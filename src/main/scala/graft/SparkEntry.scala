@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.ml.MLOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the operator registry: every SURVEY.md §2 operator (and
+  * the training-data-pipeline extensions) contributes a named query;
+  * SQL-expressible ones also carry a DuckDB oracle for the driver's
+  * correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. GetTopUsers(60,10) — the reference dashboard's spine query
+    * (SURVEY.md §7.2): per-second pre-agg, sliding-window re-agg, top-k. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ClickstreamOps.queries("get_top_users")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ClickstreamOps.queries ++
+      RelationalOps.queries ++
+      FunctionOps.queries ++
+      TextOps.queries ++
+      DedupOps.queries ++
+      SimilarityOps.queries ++
+      MLOps.queries ++
+      MediaOps.queries
+
+  /** DuckDB equivalents for the driver's oracle compare. Queries absent
+    * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
+    * SQL-expressible; the driver records a rows-only check and their
+    * semantics are spec-tested in src/test instead. */
+  def oracleSql: Map[String, String] =
+    ClickstreamOps.oracles ++
+      RelationalOps.oracles ++
+      FunctionOps.oracles ++
+      TextOps.oracles ++
+      DedupOps.oracles ++
+      SimilarityOps.oracles ++
+      MLOps.oracles ++
+      MediaOps.oracles
 }

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 so downstream readers (duckdb/pyarrow) see naive
+      // timestamps, matching the DuckDB oracle's naive TIMESTAMP values
+      // under the UTC session; TIMESTAMP_MICROS would surface as
+      // tz-aware UTC and fail naive-vs-aware equality in the compare.
+      .config("spark.sql.parquet.outputTimestampType", "INT96")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

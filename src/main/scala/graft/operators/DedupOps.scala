@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` / `embeddings` — the
+  * training-data-pipeline extension operators (builder brief):
+  *
+  *  - exact dedup (hash-groupBy): oracle-checked;
+  *  - n-gram Jaccard near-dup (shingle inverted index → pair
+  *    intersection): oracle-checked;
+  *  - MinHash + LSH (band-bucket join): the 100 TB scale path — the
+  *    exact pairwise join's cost is Σ_g freq(g)², unbounded under skew,
+  *    while LSH buckets bound candidate generation; spec-tested against
+  *    the exact path (recall invariant), no SQL oracle (hash mixing is
+  *    engine-specific);
+  *  - SimHash (64-bit, 4-block hamming LSH): spec-tested;
+  *  - embedding-cosine near-dup: oracle-checked via quantized integer
+  *    dot products (exact, associative → partition-order-independent).
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-word shingles per doc: (doc_id, g). Short docs (<3
+    * tokens) produce no shingles, matching the SQL oracle. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("g"))
+      .distinct()
+
+  /** All near-dup pairs (da < db) with exact Jaccard over shingle sets.
+    * Inverted-index join: cost Σ_g freq(g)² — fine when shingles are
+    * near-unique, the reason MinHash-LSH exists for the skewed case. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+  }
+
+  /** 64-permutation MinHash signature per doc (long array), via
+    * universal hashing over the murmur3 shingle hash. Deterministic
+    * constants — no RNG (reproducible across runs/executors). */
+  def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame = {
+    // prime modulus small enough that x*a+b never overflows a long even
+    // under ANSI mode (x,a,b < p ⇒ x*a+b < 1e12+1e6)
+    val p = 1000003L
+    val sh = shingles(docs).withColumn("x", pmod(xxhash64(col("g")), lit(p)))
+    val mins = (0 until numPerm).map { i =>
+      val a = ((2654435761L * (i + 1)) % (p - 1)) + 1
+      val b = (2246822519L * (i + 7)) % p
+      min((col("x") * a + b) % p).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numPerm), bucket-join on (band, hash(band slice)). This is the
+    * scale path: candidates per doc ≈ bucket collisions, not N². */
+  def minhashCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band", "bucket")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
+    * hashes. Near-dups have small hamming distance. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Quantized embedding vectors: exact integer math (floor(x*1000)) so
+    * dot products are associative → identical under any partitioning,
+    * and oracle-expressible. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: canonical = min doc_id per identical text
+    "dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("text")
+      Tables.documents(s, d)
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard: best near-dup neighbor per doc (exact path)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val jac = jaccardPairs(docs)
+      val und = jac.select(col("da").as("doc_id"), col("db").as("other_id"), col("j"))
+        .unionAll(jac.select(col("db").as("doc_id"), col("da").as("other_id"), col("j")))
+      val w = Window.partitionBy("doc_id").orderBy(col("j").desc, col("other_id"))
+      val best = und.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      docs.select("doc_id")
+        .join(best.select("doc_id", "other_id", "j"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("other_id").as("best_match"),
+          coalesce(col("j"), lit(0.0)).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup candidates, verified with exact jaccard —
+    // rows-only check (engine-specific hashing); recall invariant is
+    // spec-tested against dedup_ngram_jaccard
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = minhashCandidates(minhashSignatures(docs))
+      val jac = jaccardPairs(docs).select("da", "db", "j")
+      cands.join(jac, Seq("da", "db"), "left")
+        .select(col("da"), col("db"), coalesce(col("j"), lit(0.0)).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // SimHash near-dup: 4-block hamming LSH (dist ≤ 3 ⇒ one 16-bit
+    // block equal) — rows-only
+    "dedup_simhash" -> ((s, d) => {
+      val sh = simhash(Tables.documents(s, d))
+      val blocks = sh.select(col("doc_id"), col("simhash"), posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
+        .as(Seq("blk", "key")))
+      val l = blocks.as("l")
+      val r = blocks.as("r")
+      val hamming = (0 until 64)
+        .map(i => shiftright(col("l.simhash").bitwiseXOR(col("r.simhash")), i)
+          .bitwiseAND(lit(1L)))
+        .reduce(_ + _)
+      l.join(r, col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"), hamming.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("da", "db")
+    }),
+
+    // embedding-cosine near-dup: best neighbor per vector, exact
+    // quantized integer math — oracle-checked
+    "dedup_embedding_near" -> ((s, d) => {
+      val q = quantized(Tables.embeddings(s, d))
+      val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("n").as("na"))
+      val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("n").as("nb"))
+      val sims = a.join(b, col("va") =!= col("vb"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("sim", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
+      val w = Window.partitionBy("va").orderBy(col("sim").desc, col("vb"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("va").as("vec_id"), col("vb").as("best_match"), col("sim"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT da, db, c * 1.0 / (sa.n + sb.n - c) AS j
+        |        FROM inter
+        |        JOIN sizes sa ON sa.doc_id = da
+        |        JOIN sizes sb ON sb.doc_id = db),
+        |und AS (SELECT da AS doc_id, db AS other_id, j FROM jac
+        |        UNION ALL SELECT db, da, j FROM jac),
+        |best AS (SELECT doc_id, other_id, j,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY j DESC, other_id) AS rn
+        |         FROM und)
+        |SELECT d.doc_id, b.other_id AS best_match,
+        |       COALESCE(b.j, 0.0) AS jaccard
+        |FROM documents d
+        |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_embedding_near" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT va, vb,
+        |                CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |         FROM dots
+        |         JOIN norms na ON na.vec_id = va
+        |         JOIN norms nb ON nb.vec_id = vb),
+        |best AS (SELECT va, vb, sim,
+        |                row_number() OVER (PARTITION BY va
+        |                                   ORDER BY sim DESC, vb) AS rn
+        |         FROM sims)
+        |SELECT va AS vec_id, vb AS best_match, sim
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

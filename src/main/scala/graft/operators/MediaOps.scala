@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): media as opaque `binary`
+  * columns with typed metadata, decode/feature-extract as batched
+  * per-partition transforms.
+  *
+  * The container has no image/audio codecs, so [[FakeDecoder.decode]] is
+  * a clearly-marked deterministic stub; everything Spark-side — the
+  * schema (binary payload + typed metadata struct), the partition-wise
+  * batched execution (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batch shape), partitioning, and the downstream
+  * aggregations — is real and spec-tested.
+  *
+  * Scale: decode is the expensive stage, so it runs once per row inside
+  * a single narrow stage (no shuffle), after column pruning has dropped
+  * `text`; metadata aggregation happens on the small decoded output.
+  */
+object MediaOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed row for media payloads: binary blob + metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class DecodedMedia(media_id: Long, kind: String, byte_len: Int,
+                          width: Int, height: Int, channels: Int, ok: Boolean)
+
+  /** STUB decoder — deterministic fake in place of a real image/audio
+    * codec (none available in this container). A real deployment swaps
+    * this body for e.g. a JNI JPEG decode; the signature and the
+    * partition-batched call shape are the contract. */
+  object FakeDecoder {
+    def decode(r: MediaRow): DecodedMedia = {
+      val b = r.payload
+      if (b == null || b.length < 4)
+        DecodedMedia(r.media_id, r.kind, if (b == null) 0 else b.length, 0, 0, 0, ok = false)
+      else DecodedMedia(r.media_id, r.kind, b.length,
+        width = 16 + ((b(0) & 0xff) << 2),
+        height = 16 + ((b(1) & 0xff) << 2),
+        channels = 1 + ((b(2) & 0xff) % 4),
+        ok = true)
+    }
+  }
+
+  /** Synthesize a media corpus from `documents`: payload = md5 bytes of
+    * the text (deterministic, opaque), kind from source. Stands in for
+    * a real (path, binary) scan such as `spark.read.format("binaryFile")`. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        concat(lit("img/"), col("source")).as("kind"),
+        unhex(md5(col("text"))).as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Partition-batched decode: one decoder instance per partition,
+    * rows streamed through it (mapInPandas batch shape). */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup cost amortized here (codec init in real life)
+      it.map(FakeDecoder.decode)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // decode + per-kind metadata stats — rows-only (decode stub is not
+    // SQL-expressible; determinism spec-tested)
+    "media_decode_stats" -> ((s, d) =>
+      decodeAll(mediaTable(s, d)).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("byte_len").cast("long")).as("total_bytes"),
+          sum(col("width").cast("long")).as("width_sum"),
+          sum(col("height").cast("long")).as("height_sum"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy("kind")),
+
+    // plumbing-only check (oracle-able): payload byte length per doc —
+    // proves binary synthesis + schema survive the round trip
+    "media_payload_len" -> ((s, d) =>
+      mediaTable(s, d).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("byte_len"))
+        .orderBy("media_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "media_payload_len" ->
+      """SELECT doc_id AS media_id, 'img/' || source AS kind,
+        |       octet_length(unhex(md5(text))) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extensions mandated beyond the reference
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are single-pass, shuffle-free
+  * per-row expressions (plus one groupBy for the shingle fingerprint) —
+  * they scale linearly and stay inside whole-stage codegen.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  // occurrences of a literal marker: (len(text) - len(replace(text,m,''))) / len(m)
+  private def hits(m: String): org.apache.spark.sql.Column =
+    expr(s"(length(text) - length(replace(text, '$m', ''))) div ${m.length}")
+
+  val queries: Map[String, Q] = Map(
+    // whitespace token count + char count (long on both sides)
+    "doc_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("tokens"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length/punctuation/stopword ratios
+    "doc_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("tokens"),
+        length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("long").as("punct"),
+        hits(" the ").cast("long").as("stop_hits"))
+        .withColumn("stop_ratio", col("stop_hits") * lit(5.0) / col("chars"))
+        .withColumn("quality",
+          least(lit(1.0), col("tokens") / lit(100.0)) * lit(0.5) +
+            col("stop_ratio") * lit(0.5))
+        .orderBy("doc_id")),
+
+    // n-gram-marker language-ID heuristic (deterministic scoring; the
+    // CASE tiebreak order is part of the contract)
+    "doc_lang_guess" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        hits(" the ").cast("long").as("en_hits"),
+        hits(" el ").cast("long").as("es_hits"),
+        hits(" der ").cast("long").as("de_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+            .when(col("es_hits") >= col("de_hits"), "es")
+            .otherwise("de"))
+        .orderBy("doc_id")),
+
+    // content fingerprint: md5 over normalized text (exact-dup key), plus
+    // a min-shingle-hash fingerprint (winnowing-style: min over the
+    // 3-word-shingle hash set survives local edits elsewhere in the doc)
+    "doc_fingerprint" -> ((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      val sh = expr(
+        """transform(sequence(1, greatest(size(split(text, ' ', -1)) - 2, 1)),
+          |  i -> md5(concat_ws(' ', slice(split(text, ' ', -1), i, 3))))""".stripMargin)
+      docs(s, d)
+        .select(col("doc_id"), md5(norm).as("fp"),
+          array_min(when(size(split(col("text"), " ", -1)) >= 3, sh)
+            .otherwise(array(md5(col("text"))))).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_token_count" ->
+      """SELECT doc_id, length(text) AS chars,
+        |       len(string_split(text, ' ')) AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" ->
+      """SELECT doc_id, chars, tokens, punct, stop_hits,
+        |       stop_hits * 5.0 / chars AS stop_ratio,
+        |       least(1.0, tokens / 100.0) * 0.5
+        |         + (stop_hits * 5.0 / chars) * 0.5 AS quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS chars,
+        |         len(string_split(text, ' ')) AS tokens,
+        |         length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS punct,
+        |         (length(text) - length(replace(text, ' the ', ''))) // 5 AS stop_hits
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_lang_guess" ->
+      """SELECT doc_id, en_hits, es_hits, de_hits,
+        |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+        |            WHEN es_hits >= de_hits THEN 'es'
+        |            ELSE 'de' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id,
+        |    (length(text) - length(replace(text, ' the ', ''))) // 5 AS en_hits,
+        |    (length(text) - length(replace(text, ' el ', ''))) // 4 AS es_hits,
+        |    (length(text) - length(replace(text, ' der ', ''))) // 5 AS de_hits
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, min(md5(array_to_string(w[i:i+2], ' '))) AS msf
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       md5(regexp_replace(lower(t.text), '[^a-z0-9 ]', '', 'g')) AS fp,
+        |       CASE WHEN len(t.w) >= 3 THEN sh.msf ELSE md5(t.text) END
+        |         AS min_shingle_fp
+        |FROM toks t LEFT JOIN sh ON sh.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+  )
+}
