@@ -104,12 +104,17 @@ object RelationalOps {
         .orderBy("c_custkey")
     }),
 
-    // left-anti (NOT EXISTS): customers with no orders at all
-    "anti_join_no_orders" -> ((s, d) =>
+    // left-anti (NOT EXISTS): customers with no big-ticket order (every
+    // customer has *some* order in this data, so anti on all orders
+    // would be empty — this keeps the anti-join shape and a non-empty,
+    // SF-stable result)
+    "anti_join_no_orders" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")),
+        .orderBy("c_custkey")
+    }),
 
     // W1-parity window function — top-3 orders per customer by price
     "window_rank_orders" -> ((s, d) => {
@@ -239,7 +244,9 @@ object RelationalOps {
 
     "anti_join_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
 
     "window_rank_orders" ->

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.ml.ModelSwap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's hot-path ingest (SURVEY.md §3.1, `NewEvent.java:50-79`)
+  * re-expressed as a streaming pipeline:
+  *
+  *  1. enrichment — string→id dimension resolution via broadcast joins
+  *     (J5; the reference does 3 unique-index point lookups per event);
+  *  2. scoring — nearest-centroid assignment against the current model
+  *     (J3/M2), read per micro-batch from a [[graft.ml.ModelSwap]] so a
+  *     retrain swap is atomic at batch granularity (ST8, LoadDsa
+  *     semantics — `db/ddl.sql:31-43`);
+  *  3. dual sink — every event to the events sink; only session-opening
+  *     events (30-s gap, [[SessionDedup]]) to the export sink (F6/ST7).
+  *
+  * Scale: enrichment joins broadcast (dims are small by design, §1.1);
+  * scoring is a map-side expression against ≤20 broadcast centers; the
+  * only shuffle is the session-dedup keyed exchange.
+  */
+object IngestPipeline {
+
+  /** J5: resolve string keys to dimension ids with broadcast joins.
+    * `dests`/`agents` carry (id, key) columns. Left joins: unknown
+    * strings keep null ids, as the reference inserts -1/null. */
+  def enrich(events: DataFrame, dests: DataFrame, agents: DataFrame): DataFrame = {
+    val d = broadcast(dests.select(col("id").as("dest_id"), col("key").as("dest_key")))
+    val r = broadcast(dests.select(col("id").as("referral_id"), col("key").as("referral_key")))
+    val a = broadcast(agents.select(col("id").as("agent_id"), col("key").as("agent_key")))
+    events
+      .join(d, events("dest") === d("dest_key"), "left")
+      .join(r, events("referral") === r("referral_key"), "left")
+      .join(a, events("agent") === a("agent_key"), "left")
+      .drop("dest_key", "referral_key", "agent_key")
+  }
+
+  /** J3/M2 scoring expression against the model currently held by
+    * `swap` — call inside foreachBatch so each micro-batch reads one
+    * consistent version. Features (f1, f2) score against (c1, c2). */
+  def scoreBatch(batch: DataFrame, swap: ModelSwap): DataFrame = {
+    val centers = swap.current
+    if (centers.isEmpty) batch.withColumn("cluster", lit(null).cast("int"))
+    else {
+      // argmin over ≤20 centers as a fused expression (no join needed
+      // for a driver-held model): least(struct(score_i, id_i)...).id
+      val scored = centers.toSeq.sortBy(_._1).map { case (id, (c1, c2)) =>
+        val d1 = col("f1") - lit(c1)
+        val d2 = col("f2") - lit(c2)
+        struct((d1 * d1 + d2 * d2).as("score"), lit(id).as("id"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      batch.withColumn("cluster", best.getField("id"))
+    }
+  }
+}
+
+/** ST6 retention: the reference nibbler's chunked TTL deletes
+  * (`/root/reference/nibbler/src/nibbler/ContinuousDeleter.java:94-172`,
+  * `DeleteAfterDate.java:65-95`) become (a) watermark-driven state
+  * eviction inside the streaming ops and (b) dropping whole time
+  * partitions of the at-rest sink — deterministic and O(partitions),
+  * not O(rows), which is the design the chunked delete was
+  * approximating.
+  */
+object Retention {
+  /** Batch form of DeleteAfterDate: rows at/older than the cutoff are
+    * dropped; returns (kept, deletedCount) like the proc's return value. */
+  def deleteAfterDate(events: DataFrame, cutoffMicros: Long): (DataFrame, Long) = {
+    val kept = events.filter(unix_micros(col("ts")) > cutoffMicros)
+    val deleted = events.filter(unix_micros(col("ts")) <= cutoffMicros).count()
+    (kept, deleted)
+  }
+
+  /** Drop on-disk time partitions older than the horizon. Expects a
+    * sink directory partitioned by `date_hour=yyyy-MM-dd-HH` (or any
+    * lexicographically ordered bucket column). */
+  def dropOldPartitions(sinkDir: String, minKeepBucket: String): Seq[String] = {
+    val root = new java.io.File(sinkDir)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .filter(f => f.getName.split("=", 2)(1) < minKeepBucket)
+    dropped.foreach(deleteRecursive)
+    dropped.map(_.getName).toSeq.sorted
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete()
+  }
+}

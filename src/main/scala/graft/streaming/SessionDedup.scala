@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Exact 30-s-gap session dedup — the reference's export gate
+  * (`/root/reference/db/procedures/events/NewEvent.java:40-42,70-75`;
+  * SURVEY.md ST4/J4): an event within 30 s of the (src,dest) session's
+  * last event extends the session and is suppressed; otherwise it opens
+  * a new session and is emitted to the export stream.
+  *
+  * `dropDuplicatesWithinWatermark` can't express the *gap* semantics
+  * (each event refreshes the horizon), so this is the one genuinely
+  * custom stateful operator (SURVEY.md §7.3): `flatMapGroupsWithState`
+  * keyed by (src,dest) holding last_ts, with event-time timeout for
+  * state eviction — the watermark plays the reference nibbler's role of
+  * bounding state (ST6).
+  *
+  * Scale: state is one long per live (src,dest) pair; the shuffle is
+  * the same hash-by-key exchange VoltDB's partition routing performs.
+  */
+object SessionDedup {
+  /** Event row (driver-table shape: user_id→src, event_type→dest). */
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+                ts: java.sql.Timestamp, value: Double)
+  case class SessionState(lastTsMicros: Long)
+
+  val GapMicros: Long = 30L * 1000 * 1000
+
+  /** Full µs precision: Timestamp.getTime is ms-truncated; the sub-ms
+    * digits live in getNanos. */
+  def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Pure gap rule (NewEvent.java:40-42): given the previous session
+    * last-ts (None at cold start) and this batch's event times in
+    * order, returns which events open sessions plus the new last-ts.
+    * Every event — emitted or suppressed — refreshes last-ts. */
+  def sessionStarts(prev: Option[Long], ts: Seq[Long],
+                    gap: Long = GapMicros): (Seq[Boolean], Option[Long]) = {
+    var last = prev
+    val flags = ts.map { t =>
+      val emit = last.forall(l => t - l > gap)
+      last = Some(t)
+      emit
+    }
+    (flags, last)
+  }
+
+  /** Streaming form. Input must carry a watermark on `ts` when used
+    * with a real source (for timeout-based state eviction). */
+  def dedup(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[Ev] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds") // required by EventTimeTimeout
+      .as[Ev]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[SessionState, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // events within a micro-batch are not ordered: sort by
+            // (ts, event_id) to apply the gap rule in arrival order
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val (flags, lastOpt) =
+              sessionStarts(state.getOption.map(_.lastTsMicros),
+                sorted.map(e => micros(e.ts)))
+            val out = sorted.zip(flags).collect { case (e, true) => e }
+            lastOpt.foreach { last =>
+              state.update(SessionState(last))
+              // evict state once the watermark passes last_ts + gap
+              state.setTimeoutTimestamp((last / 1000) + GapMicros / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+}

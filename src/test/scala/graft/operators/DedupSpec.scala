@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-path dedup operators validated against the exact path. */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("minhash-LSH candidates achieve full recall on true near-dups (j >= 0.8)") {
+    val truth = DedupOps.jaccardPairs(docs).filter(col("j") >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain j>=0.8 near-dup pairs")
+    val cands = DedupOps.minhashCandidates(DedupOps.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} true pairs: $missed")
+  }
+
+  test("minhash signature estimates jaccard: near-dup pairs agree on most permutations") {
+    val sigs = DedupOps.minhashSignatures(docs)
+    val pair = DedupOps.jaccardPairs(docs).orderBy(col("j").desc, col("da"), col("db"))
+      .select("da", "db", "j").first()
+    val (da, db, j) = (pair.getLong(0), pair.getLong(1), pair.getDouble(2))
+    val sa = sigs.filter(col("doc_id") === da).select("sig").first().getSeq[Long](0)
+    val sb = sigs.filter(col("doc_id") === db).select("sig").first().getSeq[Long](0)
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.size
+    assert(math.abs(agree - j) < 0.25, s"minhash estimate $agree vs true $j")
+  }
+
+  test("simhash: identical texts collide, near-dups are close, and the op is deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sh = DedupOps.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "identical text must produce identical simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)),
+      "near-dup must be closer in hamming space than unrelated text")
+    val again = DedupOps.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == again, "simhash must be deterministic")
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    import spark.implicits._
+    val df = Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa"), (13L, "aaa"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text")
+    val got = df.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 11L, 12L -> 10L, 13L -> 10L))
+  }
+}
