@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.ml.MLOps
+import graft.sources.SourcesOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +29,8 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++
       MLOps.queries ++
-      MediaOps.queries
+      MediaOps.queries ++
+      SourcesOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -42,5 +44,6 @@ object SparkEntry {
       DedupOps.oracles ++
       SimilarityOps.oracles ++
       MLOps.oracles ++
-      MediaOps.oracles
+      MediaOps.oracles ++
+      SourcesOps.oracles
 }

@@ -39,10 +39,34 @@ object MLOps {
     }.toSeq.toDF("id", "c1", "c2")
   }
 
+  /** M2 scoring as a fused projection: argmin over literal centers via
+    * `least(struct(score_i, id_i))` — no join, no shuffle, stays in one
+    * whole-stage-codegen projection. This is the plan shape the
+    * reference's per-event scoring loop implies (≤20 replicated
+    * centers, NewEvent.java:62-69); ties resolve to the lowest id via
+    * the struct ordering, identical to `ORDER BY score, id LIMIT 1`. */
+  def scoreExpr(centers: Seq[(Long, Double, Double)],
+                f1: org.apache.spark.sql.Column,
+                f2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = centers.sortBy(_._1).map { case (id, c1, c2) =>
+      val d1 = f1 - lit(c1)
+      val d2 = f2 - lit(c2)
+      struct((d1 * d1 + d2 * d2).as("score"), lit(id).as("id"))
+    }
+    val best = if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("id")
+  }
+
+  /** Driver-table literal centers as plain Scala (for scoreExpr). */
+  val literalCenterSeq: Seq[(Long, Double, Double)] =
+    (0L until 20L).map(i => (i, i * 5.0, i * 12.5))
+
   /** M2 core: nearest-centroid assignment against a broadcast centers
     * relation — the J3 "distance top-1 theta join". min(struct(score,
     * id)) gives argmin with ties to lowest id, aggregated map-side
-    * (no extra shuffle beyond the per-event groupBy). */
+    * (no extra shuffle beyond the per-event groupBy). Generic form for
+    * a DataFrame centers relation; for literal/driver-held centers the
+    * fused [[scoreExpr]] avoids the join entirely. */
   def assignNearest(events: DataFrame, centers: DataFrame): DataFrame = {
     val f1 = (col("user_id") % 100).cast("double")
     val f2 = col("value")
@@ -63,14 +87,22 @@ object MLOps {
       (col("id") * lit(5.0)).as("c1"), (col("id") * lit(12.5)).as("c2"))
 
   val queries: Map[String, Q] = Map(
-    // M2/J3/T3 — oracle-checked against fixed centers
+    // M2/J3/T3 — oracle-checked against fixed centers; fused projection
+    // (no join/shuffle for the scoring itself)
     "kmeans_assign" -> ((s, d) =>
-      assignNearest(Tables.events(s, d), literalCenters(s)).orderBy("event_id")),
+      Tables.events(s, d)
+        .select(col("event_id"),
+          scoreExpr(literalCenterSeq,
+            (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
+        .orderBy("event_id")),
 
     // cluster histogram over the assignment (the dashboard's
-    // events_by_cluster read path with a real model)
+    // events_by_cluster read path with a real model): scoring is a
+    // map-side expression, the only shuffle is the 20-group agg
     "kmeans_cluster_sizes" -> ((s, d) =>
-      assignNearest(Tables.events(s, d), literalCenters(s))
+      Tables.events(s, d)
+        .select(scoreExpr(literalCenterSeq,
+          (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
         .groupBy("cluster").agg(count(lit(1)).as("n"))
         .orderBy("cluster")),
 

@@ -164,18 +164,27 @@ object DedupOps {
     }),
 
     // embedding-cosine near-dup: best neighbor per vector, exact
-    // quantized integer math — oracle-checked
+    // quantized integer math — oracle-checked.
+    // Perf shape: each unordered pair's dot product is computed ONCE
+    // (upper triangle, va < vb), through the codegen dot_i64 kernel,
+    // then mirrored; argmax-per-vector is a map-side max(struct) agg —
+    // no 4M-row window sort. At cluster scale this is the exact-path
+    // baseline the LSH variant bounds.
     "dedup_embedding_near" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
       val q = quantized(Tables.embeddings(s, d))
       val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("n").as("na"))
       val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("n").as("nb"))
-      val sims = a.join(b, col("va") =!= col("vb"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      val pairs = a.join(b, col("va") < col("vb"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("qa"), col("qb")))
         .withColumn("sim", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
-      val w = Window.partitionBy("va").orderBy(col("sim").desc, col("vb"))
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("va").as("vec_id"), col("vb").as("best_match"), col("sim"))
+        .select("va", "vb", "sim")
+      val undirected = pairs.unionAll(
+        pairs.select(col("vb").as("va"), col("va").as("vb"), col("sim")))
+      undirected
+        .groupBy(col("va"))
+        .agg(max(struct(col("sim"), (-col("vb")).as("nvb"))).as("m"))
+        .select(col("va").as("vec_id"), (-col("m.nvb")).as("best_match"), col("m.sim").as("sim"))
         .orderBy("vec_id")
     })
   )

@@ -51,13 +51,13 @@ object SimilarityOps {
     // brute-force cosine top-k vs the vec_id=0 query vector —
     // oracle-checked exact quantized math
     "ann_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
       val q = DedupOps.quantized(Tables.embeddings(s, d))
       val query = q.filter(col("vec_id") === 0)
         .select(col("q").as("qq"), col("n").as("nq"))
       q.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(query))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("q"), col("qq")))
         .withColumn("sim", col("dot") / sqrt((col("n") * col("nq")).cast("double")))
         .select("vec_id", "sim")
         .orderBy(col("sim").desc, col("vec_id"))

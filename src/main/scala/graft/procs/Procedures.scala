@@ -1,0 +1,161 @@
+package graft.procs
+
+import graft.Tables
+import graft.ml.MLOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Procedure registry — the reference's stored-procedure surface
+  * (SURVEY.md §2.10 U1–U4, §1.1 row "Stored procedure") as named,
+  * parameterized Scala entry points over SparkSession: a user of the
+  * reference calls these with the same names and argument shapes
+  * (`/root/reference/db/ddl.sql:146-173`).
+  *
+  * VoltDB's `EXPECT_*` runtime assertions (NewEvent.java:62,72-74 etc.)
+  * map to the expect* helpers. The NOW-relative window predicates take
+  * an explicit `asOf` pin (max event ts) per SURVEY.md §7.3 so results
+  * are deterministic and testable.
+  */
+object Procedures {
+
+  /** U1 parity: EXPECT_SCALAR_LONG — the statement must return exactly
+    * one row with one long value. */
+  def expectScalarLong(df: DataFrame): Long = {
+    val rows = df.limit(2).collect()
+    require(rows.length == 1 && rows(0).length == 1,
+      s"EXPECT_SCALAR_LONG violated: ${rows.length} rows")
+    rows(0).getLong(0)
+  }
+
+  /** EXPECT_ZERO_OR_ONE_ROW parity. */
+  def expectZeroOrOneRow(df: DataFrame): Option[org.apache.spark.sql.Row] = {
+    val rows = df.limit(2).collect()
+    require(rows.length <= 1, s"EXPECT_ZERO_OR_ONE_ROW violated: ${rows.length}")
+    rows.headOption
+  }
+
+  private def evBySecond(s: SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("user_id"))
+      .agg(count(lit(1)).as("count_values"))
+
+  private def asOf(s: SparkSession, dir: String) =
+    Tables.events(s, dir).agg(date_trunc("second", max(col("ts"))).as("asof_ts"))
+
+  /** GetTopUsers(seconds, limit) — GetTopUsers.java:26-31. */
+  def getTopUsers(s: SparkSession, dir: String, seconds: Int, limit: Int): DataFrame =
+    evBySecond(s, dir)
+      .crossJoin(broadcast(asOf(s, dir)))
+      .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
+      .groupBy("user_id").agg(sum("count_values").as("counts"))
+      .orderBy(col("counts").desc, col("user_id"))
+      .limit(limit)
+
+  /** GetTopDests(seconds, limit) — db/ddl.sql:161-166. */
+  def getTopDests(s: SparkSession, dir: String, seconds: Int, limit: Int): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("event_type"))
+      .agg(count(lit(1)).as("count_values"))
+      .crossJoin(broadcast(asOf(s, dir)))
+      .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
+      .groupBy("event_type").agg(sum("count_values").as("counts"))
+      .orderBy(col("counts").desc, col("event_type"))
+      .limit(limit)
+
+  /** GetTopSources(limit) — GetTopSources.java:26. */
+  def getTopSources(s: SparkSession, dir: String, limit: Int): DataFrame =
+    Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("total_visits"))
+      .orderBy(col("total_visits").desc, col("user_id")).limit(limit)
+
+  /** GetTopSrcDests(limit) — GetTopSrcDests.java:27-28. */
+  def getTopSrcDests(s: SparkSession, dir: String, limit: Int): DataFrame =
+    Tables.events(s, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy(col("counts").desc, col("user_id"), col("event_type")).limit(limit)
+
+  /** GetEventsByCluster(seconds) — db/ddl.sql:168-173. */
+  def getEventsByCluster(s: SparkSession, dir: String, seconds: Int): DataFrame =
+    Tables.events(s, dir)
+      .select(col("ts"),
+        MLOps.scoreExpr(MLOps.literalCenterSeq,
+          (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
+      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("cluster"))
+      .agg(count(lit(1)).as("count_values"))
+      .crossJoin(broadcast(asOf(s, dir)))
+      .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
+      .groupBy("cluster").agg(sum("count_values").as("counts"))
+      .orderBy("cluster")
+
+  /** DeleteAfterDate(cutoffMicros) over a mutable parquet "hot store"
+    * directory — same contract as the reference proc
+    * (DeleteAfterDate.java:65-95): delete everything at/before the
+    * cutoff, return the deleted count. Spark's immutable files make the
+    * "chunking for latency" dance unnecessary: one atomic overwrite. */
+  def deleteAfterDate(s: SparkSession, storeDir: String, cutoffMicros: Long): Long = {
+    val df = s.read.parquet(storeDir).cache()
+    try {
+      val deleted = expectScalarLong(
+        df.filter(unix_micros(col("ts")) <= cutoffMicros)
+          .agg(count(lit(1)).cast(LongType)))
+      val kept = df.filter(unix_micros(col("ts")) > cutoffMicros)
+      val tmpDir = storeDir + ".swap"
+      kept.write.mode("overwrite").parquet(tmpDir)
+      swapDirs(tmpDir, storeDir)
+      deleted
+    } finally df.unpersist()
+  }
+
+  /** DeleteOldestToTarget(maxRows) — DeleteOldestToTarget.java:49-61:
+    * find the timestamp of the (n-target)-th oldest row via the OFFSET
+    * probe (T5), then delete through it. Returns deleted count. */
+  def deleteOldestToTarget(s: SparkSession, storeDir: String, targetRows: Long): Long = {
+    val df = s.read.parquet(storeDir)
+    val n = df.count()
+    if (n <= targetRows) 0L
+    else {
+      val toDelete = (n - targetRows).toInt
+      val cutTs = df.orderBy("ts", "event_id").offset(toDelete - 1).limit(1)
+        .select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      // ties at the boundary may delete past the target (VoltDB had the
+      // same property: timestamp-predicate deletes are deterministic,
+      // row-exact they are not — DeleteAfterDate.java:31-44)
+      deleteAfterDate(s, storeDir, cutTs)
+    }
+  }
+
+  /** TruncateDsa — clear the staging model dir (db/ddl.sql:23-29). */
+  def truncateDsa(s: SparkSession, stagingDir: String): Unit = {
+    val d = new java.io.File(stagingDir)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
+    }
+    if (d.exists()) del(d)
+  }
+
+  /** LoadDsa — atomically replace the live centers with staging,
+    * ordered by id (db/ddl.sql:31-43). */
+  def loadDsa(s: SparkSession, stagingDir: String, liveDir: String): Unit = {
+    val staged = s.read.parquet(stagingDir).orderBy("id")
+    val tmpDir = liveDir + ".swap"
+    staged.write.mode("overwrite").parquet(tmpDir)
+    swapDirs(tmpDir, liveDir)
+  }
+
+  private def swapDirs(from: String, to: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(to)
+    if (Files.exists(dest)) {
+      val old = Paths.get(to + ".old")
+      if (Files.exists(old)) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
+        }
+        del(old.toFile)
+      }
+      Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.move(Paths.get(from), dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.procs.Procedures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** S10: thin HTTP/JSON query façade — the reference's dashboard API
+  * (`/root/reference/web/js/voltdb.js:45-118`, enabled by
+  * `db/deployment.xml:4-6`): `GET /api/1.0/?Procedure=X&Parameters=[..]`
+  * returns the procedure's rows as JSON. Built on the JDK's HttpServer
+  * (no extra deps); each request resolves a procedure from the registry
+  * and streams `df.toJSON`.
+  */
+final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Named procedures with JSON-array args, VoltDB call shape. */
+  private val registry: Map[String, Seq[String] => DataFrame] = Map(
+    "GetTopUsers" -> (a => Procedures.getTopUsers(spark, dataDir, a(0).toInt, a(1).toInt)),
+    "GetTopDests" -> (a => Procedures.getTopDests(spark, dataDir, a(0).toInt, a(1).toInt)),
+    "GetTopSources" -> (a => Procedures.getTopSources(spark, dataDir, a(0).toInt)),
+    "GetTopSrcDests" -> (a => Procedures.getTopSrcDests(spark, dataDir, a(0).toInt)),
+    "GetEventsByCluster" -> (a => Procedures.getEventsByCluster(spark, dataDir, a(0).toInt))
+  )
+
+  server.createContext("/api/1.0/", (ex: HttpExchange) => {
+    val resp = try {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.nonEmpty)
+        .map(_.split("=", 2)).map(kv =>
+          java.net.URLDecoder.decode(kv(0), "UTF-8") ->
+            (if (kv.length > 1) java.net.URLDecoder.decode(kv(1), "UTF-8") else ""))
+        .toMap
+      val proc = params.getOrElse("Procedure", "")
+      registry.get(proc) match {
+        case None => (404, s"""{"status":-1,"error":"unknown procedure '$proc'"}""")
+        case Some(fn) =>
+          val args = params.getOrElse("Parameters", "[]")
+            .stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val rows = fn(args).toJSON.collect()
+          (200, rows.mkString("""{"status":1,"results":[""", ",", "]}"))
+      }
+    } catch {
+      case e: Exception =>
+        (500, s"""{"status":-1,"error":"${e.getMessage.replace('"', '\'')}"}""")
+    }
+    val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(resp._1, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+}

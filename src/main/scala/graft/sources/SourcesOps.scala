@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage (SURVEY.md §2.1):
+  *
+  *  - S2 dimension bulk load — line file → (id = line number, key), the
+  *    reference's `LogGenerator.java:98-124` CSV→CRUD-proc load;
+  *  - S4/S6 columnar at-rest store — partitioned sink + scan-back with
+  *    partition pruning (the Avro→Pig→Parquet hop collapses into one
+  *    `write.partitionBy`, SURVEY S6);
+  *  - ORC/CSV/JSON round trips — alternate formats through the same
+  *    DataFrame contract.
+  *
+  * Round-trip queries write to a temp dir and read back through the
+  * real datasource — the sink IS the thing under test; aggregates over
+  * the scan-back are oracle-checked against the original table.
+  */
+object SourcesOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** S2: deterministic dimension ids — id = position in key order (the
+    * reference's "line number" with a sorted input file). */
+  def dimFromKeys(keys: DataFrame): DataFrame = {
+    val w = Window.orderBy("key")
+    keys.distinct()
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select("id", "key")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S2 — dim load via a real CSV round trip: distinct keys → csv file
+    // → read back → line-number ids
+    "dim_load_csv" -> ((s, d) => {
+      val dir = tmp("graft_dim")
+      Tables.events(s, d).select(col("event_type").as("key")).distinct()
+        .coalesce(1).sort("key")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val back = s.read.option("header", "true").csv(dir)
+      dimFromKeys(back).orderBy("id")
+    }),
+
+    // S4/S6 — partitioned parquet sink: write events partitioned by
+    // event_type, scan back, per-partition counts. The scan-back prunes
+    // partitions for type-filtered queries (spec-checked).
+    "partitioned_sink_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_sink")
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("value_sum"))
+        .orderBy("event_type")
+    }),
+
+    // ORC round trip
+    "orc_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_orc")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // JSON round trip (the HTTP API's wire format, S10)
+    "json_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_json")
+      Tables.nation(s, d).write.mode("overwrite").json(dir)
+      s.read.json(dir)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dim_load_csv" ->
+      """SELECT row_number() OVER (ORDER BY key) - 1 AS id, key
+        |FROM (SELECT DISTINCT event_type AS key FROM events)
+        |ORDER BY id""".stripMargin,
+
+    "partitioned_sink_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+  )
+}

@@ -43,15 +43,11 @@ object IngestPipeline {
     val centers = swap.current
     if (centers.isEmpty) batch.withColumn("cluster", lit(null).cast("int"))
     else {
-      // argmin over ≤20 centers as a fused expression (no join needed
-      // for a driver-held model): least(struct(score_i, id_i)...).id
-      val scored = centers.toSeq.sortBy(_._1).map { case (id, (c1, c2)) =>
-        val d1 = col("f1") - lit(c1)
-        val d2 = col("f2") - lit(c2)
-        struct((d1 * d1 + d2 * d2).as("score"), lit(id).as("id"))
-      }
-      val best = if (scored.size == 1) scored.head else least(scored: _*)
-      batch.withColumn("cluster", best.getField("id"))
+      // argmin over ≤20 centers as a fused projection — shared with the
+      // batch scoring queries (graft.ml.MLOps.scoreExpr)
+      val seq = centers.toSeq.map { case (id, (c1, c2)) => (id.toLong, c1, c2) }
+      batch.withColumn("cluster",
+        graft.ml.MLOps.scoreExpr(seq, col("f1"), col("f2")).cast("int"))
     }
   }
 }

@@ -1,0 +1,93 @@
+package graft.procs
+
+import graft.{SparkSpec, Tables}
+import graft.operators.ClickstreamOps
+import org.apache.spark.sql.functions._
+
+/** Stored-procedure parity: parameterized entry points, EXPECT_*
+  * assertions, mutable-store maintenance (Delete/Truncate/LoadDsa). */
+class ProceduresSpec extends SparkSpec {
+
+  test("GetTopUsers(60,10) == registered get_top_users query") {
+    val a = Procedures.getTopUsers(spark, sf, 60, 10).collect().map(_.toString)
+    val b = ClickstreamOps.queries("get_top_users")(spark, sf).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("GetTopUsers window/k parameters change the result shape") {
+    val wide = Procedures.getTopUsers(spark, sf, 86400 * 40, 5).collect()
+    assert(wide.length == 5)
+    // 40-day window covers everything → counts are lifetime counts
+    val lifetime = Procedures.getTopSources(spark, sf, 5).collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      lifetime.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("EXPECT_SCALAR_LONG rejects multi-row results") {
+    import spark.implicits._
+    assert(Procedures.expectScalarLong(Seq(7L).toDF("n")) == 7L)
+    intercept[IllegalArgumentException] {
+      Procedures.expectScalarLong(Seq(1L, 2L).toDF("n"))
+    }
+    intercept[IllegalArgumentException] {
+      Procedures.expectZeroOrOneRow(Seq(1L, 2L).toDF("n"))
+    }
+  }
+
+  test("DeleteAfterDate: removes rows at/before cutoff from the store, returns count") {
+    val store = java.nio.file.Files.createTempDirectory("graft_store").toString + "/events"
+    Tables.events(spark, sf).write.parquet(store)
+    val cutoff = Tables.events(spark, sf)
+      .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
+      .collect()(0).getLong(0)
+    val before = spark.read.parquet(store).count()
+    val deleted = Procedures.deleteAfterDate(spark, store, cutoff)
+    val after = spark.read.parquet(store)
+    assert(deleted > 0 && after.count() == before - deleted)
+    assert(after.filter(unix_micros(col("ts")) <= cutoff).count() == 0)
+  }
+
+  test("DeleteOldestToTarget: trims the store to ~target rows (ts-boundary exact)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/events"
+    Tables.events(spark, sf).write.parquet(store)
+    val deleted = Procedures.deleteOldestToTarget(spark, store, 200)
+    val left = spark.read.parquet(store).count()
+    assert(deleted == 800 && left == 200)
+    assert(Procedures.deleteOldestToTarget(spark, store, 500) == 0L)
+  }
+
+  test("TruncateDsa + LoadDsa: staged model swap is atomic and ordered") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dsa").toString
+    val staging = s"$base/clusters_dsa"
+    val live = s"$base/clusters"
+    Seq((2, 10, 20), (0, 1, 2), (1, 5, 6)).toDF("id", "c1", "c2")
+      .write.parquet(staging)
+    Procedures.loadDsa(spark, staging, live)
+    val loaded = spark.read.parquet(live).orderBy("id").collect()
+    assert(loaded.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // swap again with a new model: reader sees old or new, never mixed
+    Procedures.truncateDsa(spark, staging)
+    Seq((0, 99, 99)).toDF("id", "c1", "c2").write.parquet(staging)
+    Procedures.loadDsa(spark, staging, live)
+    val v2 = spark.read.parquet(live).collect()
+    assert(v2.length == 1 && v2(0).getInt(1) == 99)
+  }
+
+  test("HTTP facade serves procedure results as JSON (S10)") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(url: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val ok = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=GetTopSources&Parameters=[3]")
+      assert(ok.statusCode() == 200 && ok.body().contains("\"total_visits\""))
+      val topUsers = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=GetTopUsers&Parameters=%5B60,10%5D")
+      assert(topUsers.statusCode() == 200 && topUsers.body().startsWith("""{"status":1"""))
+      val bad = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=Nope&Parameters=[]")
+      assert(bad.statusCode() == 404)
+    } finally srv.stop()
+  }
+}
