@@ -15,10 +15,10 @@ import graft.sources.SourcesOps
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. GetTopUsers(60,10) — the reference dashboard's spine query
-    * (SURVEY.md §7.2): per-second pre-agg, sliding-window re-agg, top-k. */
+    * rows>0. The full NewEvent hot path (SURVEY.md §3.1) as one query:
+    * dim enrichment → k-means scoring → 30-s session export gate. */
   def entry(spark: SparkSession): DataFrame =
-    ClickstreamOps.queries("get_top_users")(spark, "/root/testdata/sf0.001")
+    IngestOps.queries("ingest_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -30,7 +30,8 @@ object SparkEntry {
       SimilarityOps.queries ++
       MLOps.queries ++
       MediaOps.queries ++
-      SourcesOps.queries
+      SourcesOps.queries ++
+      IngestOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -45,5 +46,6 @@ object SparkEntry {
       SimilarityOps.oracles ++
       MLOps.oracles ++
       MediaOps.oracles ++
-      SourcesOps.oracles
+      SourcesOps.oracles ++
+      IngestOps.oracles
 }

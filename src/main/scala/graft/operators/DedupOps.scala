@@ -36,7 +36,10 @@ object DedupOps {
     * Inverted-index join: cost Σ_g freq(g)² — fine when shingles are
     * near-unique, the reason MinHash-LSH exists for the skewed case. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    // materialize the shingle set once — it feeds the self-join twice
+    // plus the sizes agg; without this Catalyst re-runs the
+    // explode+distinct per use (4 scans visible in the plan)
+    val sh = shingles(docs).localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -73,6 +76,7 @@ object DedupOps {
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
       .as(Seq("band", "bucket")))
+      .localCheckpoint(true) // feeds both sides of the bucket self-join
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -117,7 +121,7 @@ object DedupOps {
     // n-gram Jaccard: best near-dup neighbor per doc (exact path)
     "dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val jac = jaccardPairs(docs)
+      val jac = jaccardPairs(docs).localCheckpoint(true)
       val und = jac.select(col("da").as("doc_id"), col("db").as("other_id"), col("j"))
         .unionAll(jac.select(col("db").as("doc_id"), col("da").as("other_id"), col("j")))
       val w = Window.partitionBy("doc_id").orderBy(col("j").desc, col("other_id"))
@@ -149,6 +153,7 @@ object DedupOps {
       val blocks = sh.select(col("doc_id"), col("simhash"), posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("blk", "key")))
+        .localCheckpoint(true) // 64-expr simhash agg runs once, not twice
       val l = blocks.as("l")
       val r = blocks.as("r")
       val hamming = (0 until 64)
