@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SQL catalog: registers the driver tables, the reference's five
+  * always-on views (batch forms), and the scalar function library as
+  * temp views/functions, so the whole engine is reachable from
+  * `spark.sql(...)` — the DDL surface of the reference
+  * (`/root/reference/db/ddl.sql`) re-expressed as a session catalog.
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    // the five continuously-maintained views (db/ddl.sql:92-143), batch forms
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW events_by_src_view AS
+        |SELECT user_id, count(*) AS total_visits FROM events GROUP BY user_id
+        |""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW events_by_src_dest_view AS
+        |SELECT user_id, event_type, count(*) AS counts
+        |FROM events GROUP BY user_id, event_type""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW events_sessions AS
+        |SELECT user_id, event_type, count(*) AS counts, max(ts) AS last_ts
+        |FROM events GROUP BY user_id, event_type""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW events_by_second AS
+        |SELECT date_trunc('second', ts) AS second_ts, user_id,
+        |       count(*) AS count_values
+        |FROM events GROUP BY 1, 2""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW dests_by_second AS
+        |SELECT date_trunc('second', ts) AS second_ts, event_type,
+        |       count(*) AS count_values
+        |FROM events GROUP BY 1, 2""".stripMargin)
+    graft.functions.IpFunctions.registerAll(spark)
+    graft.functions.VectorFunctions.registerAll(spark)
+  }
+}

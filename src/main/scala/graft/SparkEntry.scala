@@ -31,7 +31,8 @@ object SparkEntry {
       MLOps.queries ++
       MediaOps.queries ++
       SourcesOps.queries ++
-      IngestOps.queries
+      IngestOps.queries ++
+      ApproxOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -47,5 +48,6 @@ object SparkEntry {
       MLOps.oracles ++
       MediaOps.oracles ++
       SourcesOps.oracles ++
-      IngestOps.oracles
+      IngestOps.oracles ++
+      ApproxOps.oracles
 }

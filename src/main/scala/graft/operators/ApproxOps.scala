@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates — the 100 TB substitutes for exact DISTINCT /
+  * percentile (the reference has neither, SURVEY.md §2.4 note; a
+  * training-data pipeline needs both and cannot afford exact shuffles
+  * for them at scale).
+  *
+  * HLL (`approx_count_distinct`) and t-digest-ish
+  * (`approx_percentile`) are sketch-mergeable: partial sketches combine
+  * associatively, so the shuffle carries one sketch per group, not the
+  * distinct values. Sketch internals are engine-specific → rows-only in
+  * the driver gate; accuracy bounds are spec-tested against the exact
+  * forms. The exact percentile is oracle-checked.
+  */
+object ApproxOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // exact percentiles — oracle-checked (interpolated definition is
+    // identical in Spark and DuckDB)
+    "percentiles_exact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+        .orderBy("l_returnflag")),
+
+    // HLL distinct per group — rows-only; accuracy spec vs exact
+    "approx_distinct_parts" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag")),
+
+    // approximate percentile sketch — rows-only; accuracy spec vs exact
+    "approx_percentile_value" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+          .as("value_quantiles"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "percentiles_exact" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{Catalog, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sketch accuracy vs exact forms + the SQL catalog surface. */
+class ApproxCatalogSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = ApproxOps.queries("approx_distinct_parts")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val rows = ApproxOps.queries("approx_percentile_value")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val qs = r.getSeq[Double](1)
+      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2),
+        s"quantiles must be monotone: $qs")
+    }
+    val exactP50 = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .agg(expr("percentile(value, 0.5)")).collect()(0).getDouble(0)
+    val approxP50 = rows.find(_.getString(0) == "click").get.getSeq[Double](1)(0)
+    assert(math.abs(approxP50 - exactP50) / math.max(exactP50, 1.0) < 0.1,
+      s"approx p50 $approxP50 vs exact $exactP50")
+  }
+
+  test("SQL catalog: tables, the five views, and functions are sql-reachable") {
+    Catalog.registerAll(spark, sf)
+    assert(spark.sql("SELECT count(*) FROM events_by_src_view").collect()(0).getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM events_sessions WHERE counts > 1").collect()(0).getLong(0) > 0)
+    val topSql = spark.sql(
+      """SELECT user_id, sum(count_values) AS counts FROM events_by_second
+        |WHERE second_ts >= (SELECT date_trunc('second', max(ts)) FROM events)
+        |                   - INTERVAL 60 seconds
+        |GROUP BY user_id ORDER BY counts DESC, user_id LIMIT 10""".stripMargin)
+      .collect().map(_.toString)
+    val topDf = ClickstreamOps.queries("get_top_users")(spark, sf)
+      .collect().map(_.toString)
+    assert(topSql.sameElements(topDf), "SQL and DataFrame paths must agree")
+    assert(spark.sql("SELECT ip_to_int('1.2.3.4')").collect()(0).getInt(0) == 16909060)
+    assert(spark.sql(
+      "SELECT dot_i64(array(1L,2L), array(3L,4L))").collect()(0).getLong(0) == 11L)
+  }
+}
