@@ -42,5 +42,22 @@ object Catalog {
         |FROM events GROUP BY 1, 2""".stripMargin)
     graft.functions.IpFunctions.registerAll(spark)
     graft.functions.VectorFunctions.registerAll(spark)
+    registerNearestCluster(spark)
+  }
+
+  /** SURVEY.md §4 candidate (a): `nearest_cluster(f1, f2)` in SQL —
+    * a SQL-defined scalar function (Spark 4 SQL UDF) that inlines the
+    * fused argmin over the current literal centers at analysis time,
+    * so it optimizes/codegens like any expression (no black-box UDF).
+    * The scoring SQL is generated from the same center set the
+    * DataFrame path uses (`MLOps.literalCenterSeq`). */
+  def registerNearestCluster(spark: SparkSession): Unit = {
+    val structs = graft.ml.MLOps.literalCenterSeq.map { case (id, c1, c2) =>
+      s"struct((f1 - $c1) * (f1 - $c1) + (f2 - $c2) * (f2 - $c2) AS score, ${id}L AS id)"
+    }.mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION nearest_cluster(f1 DOUBLE, f2 DOUBLE)
+         |RETURNS BIGINT
+         |RETURN least($structs).id""".stripMargin)
   }
 }

@@ -32,7 +32,9 @@ object SparkEntry {
       MediaOps.queries ++
       SourcesOps.queries ++
       IngestOps.queries ++
-      ApproxOps.queries
+      ApproxOps.queries ++
+      RelationalOps2.queries ++
+      TextOps2.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -49,5 +51,7 @@ object SparkEntry {
       MediaOps.oracles ++
       SourcesOps.oracles ++
       IngestOps.oracles ++
-      ApproxOps.oracles
+      ApproxOps.oracles ++
+      RelationalOps2.oracles ++
+      TextOps2.oracles
 }
