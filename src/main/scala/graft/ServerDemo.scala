@@ -20,14 +20,18 @@ object ServerDemo {
       "GetTopUsers" -> "[60,10]", "GetTopDests" -> "[60,10]",
       "GetTopSources" -> "[10]", "GetTopSrcDests" -> "[10]",
       "GetEventsByCluster" -> "[60]", "Bogus" -> "[]")
-    calls.foreach { case (proc, params) =>
-      val t0 = System.nanoTime()
-      val r = client.send(
-        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-          s"http://127.0.0.1:$port/api/1.0/?Procedure=$proc&Parameters=$params")).build(),
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      val ms = (System.nanoTime() - t0) / 1e6
-      println(f"[server] $proc%-20s ${r.statusCode()} ${ms}%8.1f ms ${r.body().take(120)}")
+    // two rounds: the second shows steady-state dashboard latency
+    // against the cached view tier (the reference polls at 1 Hz)
+    (1 to 2).foreach { round =>
+      calls.foreach { case (proc, params) =>
+        val t0 = System.nanoTime()
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/api/1.0/?Procedure=$proc&Parameters=$params")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[server] r$round $proc%-20s ${r.statusCode()} ${ms}%8.1f ms ${r.body().take(100)}")
+      }
     }
     srv.stop(); spark.stop()
   }

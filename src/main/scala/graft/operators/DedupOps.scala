@@ -107,6 +107,41 @@ object DedupOps {
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every doc starts labeled with its own id;
+    * each round takes the min label across itself and its neighbors.
+    * Converges in O(diameter) rounds; labels only decrease, so an
+    * unchanged label-sum is a fixpoint. Per-round localCheckpoint
+    * truncates lineage — the standard iterative-Spark discipline
+    * (without it the plan doubles per round).
+    *
+    * This is the piece that turns pairwise near-dup detection into
+    * dedup groups ("keep one per component") at corpus scale. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val nb = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      labels = labels.unionAll(nb)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val sum = labels.agg(org.apache.spark.sql.functions.sum("label"))
+        .collect()(0).getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: canonical = min doc_id per identical text
     "dedup_exact" -> ((s, d) => {
@@ -166,6 +201,18 @@ object DedupOps {
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy("da", "db")
+    }),
+
+    // near-dup GROUPS: connected components of the jaccard>=0.5 pair
+    // graph — each doc mapped to its component's min doc_id (the
+    // canonical survivor). Rows-only (iterative); validated against a
+    // driver-side union-find in DedupSpec.
+    "dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = jaccardPairs(docs).filter(col("j") >= 0.5).select("da", "db")
+      connectedComponents(docs.select("doc_id"), pairs)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // embedding-cosine near-dup: best neighbor per vector, exact

@@ -16,14 +16,22 @@ import java.nio.charset.StandardCharsets
 final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  /** Dashboard reads go through the cached view tier, not the fact
+    * table — the reference's "calculated from materialized views"
+    * design (README.md:34-36). */
+  private val tier = new ServingTier(spark, dataDir)
+
   /** Named procedures with JSON-array args, VoltDB call shape. */
   private val registry: Map[String, Seq[String] => DataFrame] = Map(
-    "GetTopUsers" -> (a => Procedures.getTopUsers(spark, dataDir, a(0).toInt, a(1).toInt)),
-    "GetTopDests" -> (a => Procedures.getTopDests(spark, dataDir, a(0).toInt, a(1).toInt)),
-    "GetTopSources" -> (a => Procedures.getTopSources(spark, dataDir, a(0).toInt)),
-    "GetTopSrcDests" -> (a => Procedures.getTopSrcDests(spark, dataDir, a(0).toInt)),
-    "GetEventsByCluster" -> (a => Procedures.getEventsByCluster(spark, dataDir, a(0).toInt))
+    "GetTopUsers" -> (a => tier.getTopUsers(a(0).toInt, a(1).toInt)),
+    "GetTopDests" -> (a => tier.getTopDests(a(0).toInt, a(1).toInt)),
+    "GetTopSources" -> (a => tier.getTopSources(a(0).toInt)),
+    "GetTopSrcDests" -> (a => tier.getTopSrcDests(a(0).toInt)),
+    "GetEventsByCluster" -> (a => tier.getEventsByCluster(a(0).toInt))
   )
+
+  /** Re-materialize the view tier (e.g. after new data lands). */
+  def refresh(): Unit = tier.refresh()
 
   server.createContext("/api/1.0/", (ex: HttpExchange) => {
     val resp = try {

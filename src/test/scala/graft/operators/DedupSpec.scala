@@ -46,6 +46,39 @@ class DedupSpec extends SparkSpec {
     assert(sh == again, "simhash must be deterministic")
   }
 
+  test("connectedComponents matches a driver-side union-find on the real pair graph") {
+    import spark.implicits._
+    val pairs = DedupOps.jaccardPairs(docs).filter(col("j") >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "need a non-trivial pair graph")
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = DedupOps.queries("dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // sanity: at least one multi-doc component exists
+    assert(want.groupBy(_._2).exists(_._2.size > 1))
+  }
+
+  test("connectedComponents handles a chain spanning multiple hops") {
+    import spark.implicits._
+    val verts = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("da", "db")
+    val got = DedupOps.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     import spark.implicits._
     val df = Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa"), (13L, "aaa"))
