@@ -34,7 +34,8 @@ object SparkEntry {
       IngestOps.queries ++
       ApproxOps.queries ++
       RelationalOps2.queries ++
-      TextOps2.queries
+      TextOps2.queries ++
+      TemporalJoinOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -53,5 +54,6 @@ object SparkEntry {
       IngestOps.oracles ++
       ApproxOps.oracles ++
       RelationalOps2.oracles ++
-      TextOps2.oracles
+      TextOps2.oracles ++
+      TemporalJoinOps.oracles
 }
