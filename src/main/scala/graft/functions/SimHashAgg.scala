@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** SimHash as a custom sketch aggregate (`TypedImperativeAggregate`,
+  * the Spark extension point for mergeable sketch state — builder
+  * brief / spark_guide.md "for aggregates: TypedImperativeAggregate
+  * (mutable buffer, e.g. HLL/sketches)").
+  *
+  * Buffer = 64 signed counters; update adds ±1 per bit of the token's
+  * xxhash64 (same seed-42 hash as the `xxhash64` SQL function, so the
+  * result is bit-identical to the 64-separate-`sum(when(...))`
+  * formulation it replaces — asserted in DedupSpec). Merge is
+  * elementwise add → partial aggregation works, the shuffle carries one
+  * 64-counter buffer per group instead of 64 separate sum buffers, and
+  * each input row is hashed once instead of evaluated by 64 shift
+  * expressions.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        buf(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (buf(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "simhash_agg"
+}
+
+object SimHashFunctions {
+  def registerAll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg", es => SimHashAgg(es.head).toAggregateExpression(), "built-in")
+
+  def simhash_agg(c: Column): Column = call_function("simhash_agg", c)
+}

@@ -86,8 +86,19 @@ object DedupOps {
   }
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
-    * hashes. Near-dups have small hamming distance. */
+    * hashes. Near-dups have small hamming distance. Uses the custom
+    * sketch aggregate (one 64-counter buffer per group, one hash per
+    * token) — see [[graft.functions.SimHashAgg]]. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashFunctions.registerAll(docs.sparkSession)
+    docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashFunctions.simhash_agg(col("t")).as("simhash"))
+  }
+
+  /** Reference formulation of the same signature via 64 independent
+    * sum(when(...)) aggregates — kept for the equivalence spec. */
+  def simhashViaExprs(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { i =>

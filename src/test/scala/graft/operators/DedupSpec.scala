@@ -79,6 +79,14 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("SimHashAgg sketch aggregate == 64-sum expression formulation, any partitioning") {
+    val viaAgg = DedupOps.simhash(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExprs = DedupOps.simhashViaExprs(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExprs)
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     import spark.implicits._
     val df = Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa"), (13L, "aaa"))
