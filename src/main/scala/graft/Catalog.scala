@@ -17,15 +17,26 @@ object Catalog {
     tableNames.foreach { t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
-    // the five continuously-maintained views (db/ddl.sql:92-143), batch forms
+    // the five continuously-maintained views (db/ddl.sql:92-143), batch
+    // forms; A1/A2 aggregate the export stream (ddl:92-101:
+    // FROM events_export), not the raw fact table
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW events_export AS
+        |SELECT event_id, user_id, event_type, ts, value FROM (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS prev_ts
+        |  FROM events) t
+        |WHERE prev_ts IS NULL
+        |   OR unix_micros(ts) - unix_micros(prev_ts) > 30000000""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY VIEW events_by_src_view AS
-        |SELECT user_id, count(*) AS total_visits FROM events GROUP BY user_id
-        |""".stripMargin)
+        |SELECT user_id, count(*) AS total_visits FROM events_export
+        |GROUP BY user_id""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY VIEW events_by_src_dest_view AS
         |SELECT user_id, event_type, count(*) AS counts
-        |FROM events GROUP BY user_id, event_type""".stripMargin)
+        |FROM events_export GROUP BY user_id, event_type""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY VIEW events_sessions AS
         |SELECT user_id, event_type, count(*) AS counts, max(ts) AS last_ts

@@ -26,9 +26,12 @@ object StreamDemo {
       .sortBy(e => SessionDedup.micros(e.ts))
 
     val input = MemoryStream[SessionDedup.Ev]
+    // safe agg-after-fmgws: unwindowed complete-mode count discards
+    // nothing (see StreamingParitySpec for the full rationale)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val export = SessionDedup.dedup(input.toDS())(spark)
       .writeStream.outputMode("append").format("memory").queryName("export").start()
-    val view = StreamingViews.eventsBySrcDest(input.toDF())
+    val view = StreamingViews.eventsBySrcDest(SessionDedup.dedup(input.toDS())(spark).toDF())
       .writeStream.outputMode("complete").format("memory").queryName("by_src_dest").start()
 
     evs.grouped((evs.size + 2) / 3).zipWithIndex.foreach { case (batch, i) =>

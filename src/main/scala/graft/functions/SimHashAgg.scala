@@ -31,6 +31,14 @@ case class SimHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  // fail at analysis time, not with an executor-side ClassCastException
+  // (the function is session-catalog-reachable from arbitrary SQL)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg needs STRING input, got ${child.dataType}")
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {

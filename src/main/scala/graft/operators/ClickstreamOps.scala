@@ -27,6 +27,31 @@ object ClickstreamOps {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
+  /** The events_export relation: only the first event of each 30-s-gap
+    * (src,dest) session (batch form of the export stream,
+    * `db/ddl.sql:78-89` + NewEvent.java:70-75). The A1/A2 views
+    * aggregate THIS, not the raw fact table — a reference-semantics
+    * subtlety (`db/ddl.sql:92-101`: `FROM events_export`). */
+  def exportEvents(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(30000000L))
+      .drop("prev_ts")
+  }
+
+  /** DuckDB CTE for the same relation (prefix for A1/A2 oracles). */
+  val exportCte: String =
+    """WITH events_export AS (
+      |  SELECT event_id, user_id, event_type, ts, value FROM (
+      |    SELECT event_id, user_id, event_type, ts, value,
+      |           lag(ts) OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY ts, event_id) AS prev_ts
+      |    FROM events) t
+      |  WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 30000000)
+      |""".stripMargin
+
   /** Tumbling 1-second bucket of ts — `TRUNCATE(SECOND, ts)` in the
     * reference views (`db/ddl.sql:120,130,140`). */
   private def secondTs(c: Column): Column = date_trunc("second", c)
@@ -43,27 +68,18 @@ object ClickstreamOps {
       .groupBy(secondTs(col("ts")).as("second_ts"), col("event_type"))
       .agg(count(lit(1)).as("count_values"))
 
-  /** Sliding-window predicate: last `winSec` seconds before the max event
-    * time (the reference uses NOW — `db/ddl.sql:164,171`; we pin "now" to
-    * max(ts) so results are deterministic, SURVEY.md §7.3). Implemented
-    * as a broadcast single-row cross join, not a collect. */
-  private def lastWindow(s: SparkSession, d: String, winSec: Int): DataFrame = {
-    val asof = ev(s, d).agg(date_trunc("second", max(col("ts"))).as("asof_ts"))
-    eventsBySecond(s, d)
-      .crossJoin(broadcast(asof))
-      .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $winSec seconds"))
-  }
-
   val queries: Map[String, Q] = Map(
-    // A1 — events_by_src_view: lifetime COUNT per src (db/ddl.sql:92-95)
+    // A1 — events_by_src_view: lifetime COUNT per src OVER THE EXPORT
+    // STREAM (db/ddl.sql:92-95: FROM events_export)
     "ev_by_src" -> ((s, d) =>
-      ev(s, d).groupBy("user_id")
+      exportEvents(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("total_visits"))
         .orderBy("user_id")),
 
-    // A2 — events_by_src_dest_view (db/ddl.sql:97-101)
+    // A2 — events_by_src_dest_view over the export stream
+    // (db/ddl.sql:97-101)
     "ev_by_src_dest" -> ((s, d) =>
-      ev(s, d).groupBy("user_id", "event_type")
+      exportEvents(s, d).groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("counts"))
         .orderBy("user_id", "event_type")),
 
@@ -91,39 +107,24 @@ object ClickstreamOps {
         .orderBy("second_ts", "cluster")),
 
     // A7+T1 — GetTopUsers(60,10): SUM over per-second view within the
-    // sliding window, top-k with tiebreak (GetTopUsers.java:26-31)
+    // sliding window, top-k with tiebreak (GetTopUsers.java:26-31).
+    // Single source of truth: the parameterized procedure registry.
     "get_top_users" -> ((s, d) =>
-      lastWindow(s, d, 60)
-        .groupBy("user_id")
-        .agg(sum("count_values").as("counts"))
-        .orderBy(col("counts").desc, col("user_id"))
-        .limit(10)),
+      graft.procs.Procedures.getTopUsers(s, d, 60, 10)),
 
     // A7+T1 — GetTopDests(60,10) (db/ddl.sql:161-166)
-    "get_top_dests" -> ((s, d) => {
-      val asof = ev(s, d).agg(date_trunc("second", max(col("ts"))).as("asof_ts"))
-      destsBySecond(s, d)
-        .crossJoin(broadcast(asof))
-        .filter(col("second_ts") >= col("asof_ts") - expr("INTERVAL 60 seconds"))
-        .groupBy("event_type")
-        .agg(sum("count_values").as("counts"))
-        .orderBy(col("counts").desc, col("event_type"))
-        .limit(10)
-    }),
+    "get_top_dests" -> ((s, d) =>
+      graft.procs.Procedures.getTopDests(s, d, 60, 10)),
 
-    // T2 — GetTopSources: lifetime top-k (GetTopSources.java:26)
+    // T2 — GetTopSources: lifetime top-k over events_by_src_view, i.e.
+    // the export stream (GetTopSources.java:26)
     "get_top_sources" -> ((s, d) =>
-      ev(s, d).groupBy("user_id")
-        .agg(count(lit(1)).as("total_visits"))
-        .orderBy(col("total_visits").desc, col("user_id"))
-        .limit(10)),
+      graft.procs.Procedures.getTopSources(s, d, 10)),
 
-    // T2+J2 — GetTopSrcDests (GetTopSrcDests.java:27-28)
+    // T2+J2 — GetTopSrcDests over events_by_src_dest_view (export
+    // stream; GetTopSrcDests.java:27-28)
     "get_top_src_dests" -> ((s, d) =>
-      ev(s, d).groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("counts"))
-        .orderBy(col("counts").desc, col("user_id"), col("event_type"))
-        .limit(10)),
+      graft.procs.Procedures.getTopSrcDests(s, d, 10)),
 
     // T4 — GetEventsByCluster: windowed per-cluster counts, full ORDER BY
     // cluster (db/ddl.sql:168-173)
@@ -189,13 +190,13 @@ object ClickstreamOps {
   /** DuckDB equivalents (driver oracle). Column names/aliases match the
     * Spark side exactly; every ORDER BY is total and explicit. */
   val oracles: Map[String, String] = Map(
-    "ev_by_src" ->
-      """SELECT user_id, count(*) AS total_visits FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_by_src" -> (exportCte +
+      """SELECT user_id, count(*) AS total_visits FROM events_export
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
-    "ev_by_src_dest" ->
-      """SELECT user_id, event_type, count(*) AS counts FROM events
-        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ev_by_src_dest" -> (exportCte +
+      """SELECT user_id, event_type, count(*) AS counts FROM events_export
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin),
 
     "ev_sessions" ->
       """SELECT user_id, event_type, count(*) AS counts, max(ts) AS last_ts
@@ -238,14 +239,14 @@ object ClickstreamOps {
         |                   - INTERVAL 60 SECOND
         |GROUP BY event_type ORDER BY counts DESC, event_type LIMIT 10""".stripMargin,
 
-    "get_top_sources" ->
-      """SELECT user_id, count(*) AS total_visits FROM events
-        |GROUP BY user_id ORDER BY total_visits DESC, user_id LIMIT 10""".stripMargin,
+    "get_top_sources" -> (exportCte +
+      """SELECT user_id, count(*) AS total_visits FROM events_export
+        |GROUP BY user_id ORDER BY total_visits DESC, user_id LIMIT 10""".stripMargin),
 
-    "get_top_src_dests" ->
-      """SELECT user_id, event_type, count(*) AS counts FROM events
+    "get_top_src_dests" -> (exportCte +
+      """SELECT user_id, event_type, count(*) AS counts FROM events_export
         |GROUP BY user_id, event_type
-        |ORDER BY counts DESC, user_id, event_type LIMIT 10""".stripMargin,
+        |ORDER BY counts DESC, user_id, event_type LIMIT 10""".stripMargin),
 
     "get_events_by_cluster" ->
       """WITH by_sec AS (

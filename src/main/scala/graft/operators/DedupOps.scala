@@ -52,6 +52,30 @@ object DedupOps {
       .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
   }
 
+  /** Exact jaccard for a GIVEN candidate pair set only: semi-join the
+    * shingle index down to candidate docs, intersect per pair. Cost is
+    * bounded by candidate count × shingles-per-doc — the rerank stage
+    * of the LSH path, never N². */
+  def verifyJaccard(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val candDocs = cands.select(col("da").as("doc_id"))
+      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
+    val sh = shingles(docs)
+      .join(candDocs, "doc_id")
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("da"), col("g")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    cands
+      .join(inter, Seq("da", "db"), "left")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (coalesce(col("c"), lit(0L)) * lit(1.0) /
+          (col("na") + col("nb") - coalesce(col("c"), lit(0L)))).as("jaccard"))
+  }
+
   /** 64-permutation MinHash signature per doc (long array), via
     * universal hashing over the murmur3 shingle hash. Deterministic
     * constants — no RNG (reproducible across runs/executors). */
@@ -129,7 +153,7 @@ object DedupOps {
     * This is the piece that turns pairwise near-dup detection into
     * dedup groups ("keep one per component") at corpus scale. */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint(true)
@@ -150,6 +174,11 @@ object DedupOps {
       prevSum = sum
       iter += 1
     }
+    // returning partially-propagated labels would silently split real
+    // components — refuse instead (diameter > maxIters means the caller
+    // should raise the bound or switch to large-star/small-star)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations")
     labels
   }
 
@@ -179,15 +208,14 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup candidates, verified with exact jaccard —
-    // rows-only check (engine-specific hashing); recall invariant is
-    // spec-tested against dedup_ngram_jaccard
+    // MinHash-LSH near-dup candidates, verified with exact jaccard
+    // computed ONLY for candidate pairs (the whole point of LSH: the
+    // N² exact path never runs) — rows-only check (engine-specific
+    // hashing); recall invariant is spec-tested against the exact path
     "dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cands = minhashCandidates(minhashSignatures(docs))
-      val jac = jaccardPairs(docs).select("da", "db", "j")
-      cands.join(jac, Seq("da", "db"), "left")
-        .select(col("da"), col("db"), coalesce(col("j"), lit(0.0)).as("jaccard"))
+      verifyJaccard(docs, cands)
         .filter(col("jaccard") >= 0.5)
         .orderBy("da", "db")
     }),

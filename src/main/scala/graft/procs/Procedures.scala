@@ -3,6 +3,7 @@ package graft.procs
 import graft.Tables
 import graft.ml.MLOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -63,15 +64,18 @@ object Procedures {
       .orderBy(col("counts").desc, col("event_type"))
       .limit(limit)
 
-  /** GetTopSources(limit) — GetTopSources.java:26. */
+  /** GetTopSources(limit) — GetTopSources.java:26. Reads
+    * events_by_src_view, which aggregates the EXPORT stream
+    * (db/ddl.sql:92-95). */
   def getTopSources(s: SparkSession, dir: String, limit: Int): DataFrame =
-    Tables.events(s, dir).groupBy("user_id")
+    graft.operators.ClickstreamOps.exportEvents(s, dir).groupBy("user_id")
       .agg(count(lit(1)).as("total_visits"))
       .orderBy(col("total_visits").desc, col("user_id")).limit(limit)
 
-  /** GetTopSrcDests(limit) — GetTopSrcDests.java:27-28. */
+  /** GetTopSrcDests(limit) — GetTopSrcDests.java:27-28; export-stream
+    * view, like getTopSources. */
   def getTopSrcDests(s: SparkSession, dir: String, limit: Int): DataFrame =
-    Tables.events(s, dir).groupBy("user_id", "event_type")
+    graft.operators.ClickstreamOps.exportEvents(s, dir).groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("counts"))
       .orderBy(col("counts").desc, col("user_id"), col("event_type")).limit(limit)
 
@@ -108,16 +112,38 @@ object Procedures {
   }
 
   /** DeleteOldestToTarget(maxRows) — DeleteOldestToTarget.java:49-61:
-    * find the timestamp of the (n-target)-th oldest row via the OFFSET
-    * probe (T5), then delete through it. Returns deleted count. */
+    * find the timestamp through which to delete, then delete through
+    * it. The cutoff is found by a cumulative count over per-second
+    * buckets refined to exact timestamps inside the boundary second —
+    * O(distinct seconds) work with no Int-bounded offset/sort, so it
+    * holds at row counts far beyond 2^31 (a plain `offset(n)` caps at
+    * Int.MaxValue). Returns deleted count. */
   def deleteOldestToTarget(s: SparkSession, storeDir: String, targetRows: Long): Long = {
     val df = s.read.parquet(storeDir)
     val n = df.count()
     if (n <= targetRows) 0L
     else {
-      val toDelete = (n - targetRows).toInt
-      val cutTs = df.orderBy("ts", "event_id").offset(toDelete - 1).limit(1)
-        .select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      val toDelete = n - targetRows
+      val w = Window.orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // coarse: cumulative rows per second bucket (bounded by the
+      // retention horizon in practice, tiny relative to rows)
+      val bySec = df.select(expr("unix_micros(ts) div 1000000").as("sec"))
+        .groupBy("sec").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+      val boundary = bySec.filter(col("cum") >= toDelete)
+        .orderBy("sec").limit(1).collect()(0)
+      val boundarySec = boundary.getLong(0)
+      val before = boundary.getLong(2) - boundary.getLong(1) // cum - c
+      // fine: exact timestamps within the boundary second only
+      val wts = Window.orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inSec = df.filter(expr(s"unix_micros(ts) div 1000000 = $boundarySec"))
+        .select(unix_micros(col("ts")).as("tus"))
+        .groupBy("tus").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wts))
+      val cutTs = inSec.filter(col("cum") >= toDelete - before)
+        .orderBy("tus").limit(1).collect()(0).getLong(0)
       // ties at the boundary may delete past the target (VoltDB had the
       // same property: timestamp-predicate deletes are deterministic,
       // row-exact they are not — DeleteAfterDate.java:31-44)
@@ -143,6 +169,12 @@ object Procedures {
     swapDirs(tmpDir, liveDir)
   }
 
+  /** Each rename is atomic, but the pair is not: a crash between the
+    * two moves leaves `to` at `to+".old"` and the new data at `from` —
+    * recoverable by hand but briefly inconsistent. True atomicity needs
+    * a manifest/table-format commit (e.g. a versioned pointer file);
+    * acceptable here because LoadDsa-style swaps are operator-driven
+    * maintenance, not the hot path. */
   private def swapDirs(from: String, to: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dest = Paths.get(to)

@@ -33,6 +33,19 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   /** Re-materialize the view tier (e.g. after new data lands). */
   def refresh(): Unit = tier.refresh()
 
+  /** JSON string escaping for error payloads (quotes, backslashes, and
+    * control chars — Spark exception messages are multi-line). */
+  private def jsonStr(s: String): String =
+    "\"" + Option(s).getOrElse("null").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   server.createContext("/api/1.0/", (ex: HttpExchange) => {
     val resp = try {
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -43,7 +56,8 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
         .toMap
       val proc = params.getOrElse("Procedure", "")
       registry.get(proc) match {
-        case None => (404, s"""{"status":-1,"error":"unknown procedure '$proc'"}""")
+        case None => (404,
+          s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$proc'")}}""")
         case Some(fn) =>
           val args = params.getOrElse("Parameters", "[]")
             .stripPrefix("[").stripSuffix("]")
@@ -53,7 +67,7 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       }
     } catch {
       case e: Exception =>
-        (500, s"""{"status":-1,"error":"${e.getMessage.replace('"', '\'')}"}""")
+        (500, s"""{"status":-1,"error":${jsonStr(e.getMessage)}}""")
     }
     val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")

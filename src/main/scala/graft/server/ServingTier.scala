@@ -31,12 +31,17 @@ final class ServingTier(spark: SparkSession, dir: String) {
           (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
       .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("cluster"))
       .agg(count(lit(1)).as("count_values"))
-    val bySrcDest = ev.groupBy("user_id", "event_type")
+    // A1/A2 lifetime tiers aggregate the export stream (db/ddl.sql:92-101)
+    val exportEv = graft.operators.ClickstreamOps.exportEvents(spark, dir)
+    val bySrc = exportEv.groupBy("user_id")
+      .agg(count(lit(1)).as("total_visits"))
+    val bySrcDest = exportEv.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("counts"))
     val next = Map(
       "events_by_second" -> bySec.cache(),
       "dests_by_second" -> destsBySec.cache(),
       "events_by_cluster" -> clusterBySec.cache(),
+      "events_by_src_view" -> bySrc.cache(),
       "events_by_src_dest" -> bySrcDest.cache())
     next.values.foreach(_.count()) // pin before swapping in
     val old = views
@@ -71,8 +76,7 @@ final class ServingTier(spark: SparkSession, dir: String) {
       .orderBy("cluster")
 
   def getTopSources(limit: Int): DataFrame =
-    views("events_by_second")
-      .groupBy("user_id").agg(sum("count_values").as("total_visits"))
+    views("events_by_src_view")
       .orderBy(col("total_visits").desc, col("user_id")).limit(limit)
 
   def getTopSrcDests(limit: Int): DataFrame =

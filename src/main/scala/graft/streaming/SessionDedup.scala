@@ -71,8 +71,13 @@ object SessionDedup {
             val out = sorted.zip(flags).collect { case (e, true) => e }
             lastOpt.foreach { last =>
               state.update(SessionState(last))
-              // evict state once the watermark passes last_ts + gap
-              state.setTimeoutTimestamp((last / 1000) + GapMicros / 1000)
+              // evict state once the watermark passes last_ts + gap;
+              // clamp above the current watermark — for very late
+              // events last+gap can already be behind it, and Spark
+              // rejects (kills the query on) a timeout <= watermark
+              val target = (last / 1000) + GapMicros / 1000
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(target, floor))
             }
             out.iterator
           }

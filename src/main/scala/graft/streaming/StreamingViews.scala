@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
 object StreamingViews {
 
   /** A1 — events_by_src_view: lifetime COUNT per src (db/ddl.sql:92-95).
-    * Output mode: update/complete (no watermark — lifetime counts). */
-  def eventsBySrc(stream: DataFrame): DataFrame =
-    stream.groupBy("user_id").agg(count(lit(1)).as("total_visits"))
+    * The reference view aggregates the EXPORT stream (ddl:93: FROM
+    * events_export) — feed this the [[SessionDedup.dedup]] output, not
+    * the raw event stream. Output mode: update/complete (no watermark —
+    * lifetime counts). */
+  def eventsBySrc(exportStream: DataFrame): DataFrame =
+    exportStream.groupBy("user_id").agg(count(lit(1)).as("total_visits"))
 
-  /** A2 — events_by_src_dest_view (db/ddl.sql:97-101). */
-  def eventsBySrcDest(stream: DataFrame): DataFrame =
-    stream.groupBy("user_id", "event_type").agg(count(lit(1)).as("counts"))
+  /** A2 — events_by_src_dest_view (db/ddl.sql:97-101); same export-
+    * stream input contract as [[eventsBySrc]]. */
+  def eventsBySrcDest(exportStream: DataFrame): DataFrame =
+    exportStream.groupBy("user_id", "event_type").agg(count(lit(1)).as("counts"))
 
   /** A3 — events_sessions: COUNT + MAX(ts) (db/ddl.sql:103-112). */
   def eventsSessions(stream: DataFrame): DataFrame =

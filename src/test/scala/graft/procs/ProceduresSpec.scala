@@ -17,10 +17,17 @@ class ProceduresSpec extends SparkSpec {
   test("GetTopUsers window/k parameters change the result shape") {
     val wide = Procedures.getTopUsers(spark, sf, 86400 * 40, 5).collect()
     assert(wide.length == 5)
-    // 40-day window covers everything → counts are lifetime counts
-    val lifetime = Procedures.getTopSources(spark, sf, 5).collect()
+    // 40-day window covers everything → counts are raw lifetime counts
+    val lifetime = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("counts"))
+      .orderBy(col("counts").desc, col("user_id")).limit(5).collect()
     assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       lifetime.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // GetTopSources reads the export-stream view (ddl.sql:92-95): its
+    // counts can only be <= the raw lifetime counts
+    val exported = Procedures.getTopSources(spark, sf, 5).collect()
+    assert(exported.length == 5)
+    assert(exported.map(_.getLong(1)).max <= lifetime.map(_.getLong(1)).max)
   }
 
   test("EXPECT_SCALAR_LONG rejects multi-row results") {

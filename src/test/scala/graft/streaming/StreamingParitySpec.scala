@@ -41,19 +41,29 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming lifetime per-src counts == batch") {
+  test("streaming events_by_src_view (dedup → lifetime counts) == batch export-derived view") {
     import spark.implicits._
+    implicit val sparkSession = spark
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val agg = StreamingViews.eventsBySrc(input.toDF())
+    // the reference view aggregates the export stream: chain the
+    // session dedup into the lifetime count (ddl.sql:92-95).
+    // Spark flags any agg downstream of flatMapGroupsWithState under
+    // the global-watermark correctness check; it is safe HERE because
+    // the downstream aggregate is an unwindowed lifetime count in
+    // complete mode — it has no watermark-based eviction, so "late"
+    // rows cannot be discarded. (Production alternative: land the
+    // export stream in a sink and aggregate that — DualSinkSpec.)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val agg = StreamingViews.eventsBySrc(SessionDedup.dedup(input.toDS()).toDF())
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("ebsrc_stream").start()
     try {
       val evs = loadEvents()
       evs.grouped(400).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
       val got = spark.table("ebsrc_stream").collect().map(_.toString).sorted
-      val want = Tables.events(spark, sf).groupBy("user_id")
-        .agg(count(lit(1)).as("total_visits")).collect().map(_.toString).sorted
+      val want = ClickstreamOps.queries("ev_by_src")(spark, sf)
+        .collect().map(_.toString).sorted
       assert(got.sameElements(want))
     } finally q.stop()
   }
