@@ -93,20 +93,20 @@ object Procedures {
       .orderBy("cluster")
 
   /** DeleteAfterDate(cutoffMicros) over a mutable parquet "hot store"
-    * directory — same contract as the reference proc
-    * (DeleteAfterDate.java:65-95): delete everything at/before the
-    * cutoff, return the deleted count. Spark's immutable files make the
-    * "chunking for latency" dance unnecessary: one atomic overwrite. */
-  def deleteAfterDate(s: SparkSession, storeDir: String, cutoffMicros: Long): Long = {
-    val df = s.read.parquet(storeDir).cache()
+    * ([[graft.sources.VersionedStore]] root) — same contract as the
+    * reference proc (DeleteAfterDate.java:65-95): delete everything
+    * at/before the cutoff, return the deleted count. The new version is
+    * written completely and committed by an atomic pointer swap, so a
+    * crash mid-delete leaves the old store fully live. */
+  def deleteAfterDate(s: SparkSession, storeRoot: String, cutoffMicros: Long): Long = {
+    val df = graft.sources.VersionedStore.read(s, storeRoot).cache()
     try {
       val deleted = expectScalarLong(
         df.filter(unix_micros(col("ts")) <= cutoffMicros)
           .agg(count(lit(1)).cast(LongType)))
       val kept = df.filter(unix_micros(col("ts")) > cutoffMicros)
-      val tmpDir = storeDir + ".swap"
-      kept.write.mode("overwrite").parquet(tmpDir)
-      swapDirs(tmpDir, storeDir)
+      graft.sources.VersionedStore.publish(kept, storeRoot)
+      graft.sources.VersionedStore.vacuum(storeRoot)
       deleted
     } finally df.unpersist()
   }
@@ -118,8 +118,8 @@ object Procedures {
     * O(distinct seconds) work with no Int-bounded offset/sort, so it
     * holds at row counts far beyond 2^31 (a plain `offset(n)` caps at
     * Int.MaxValue). Returns deleted count. */
-  def deleteOldestToTarget(s: SparkSession, storeDir: String, targetRows: Long): Long = {
-    val df = s.read.parquet(storeDir)
+  def deleteOldestToTarget(s: SparkSession, storeRoot: String, targetRows: Long): Long = {
+    val df = graft.sources.VersionedStore.read(s, storeRoot)
     val n = df.count()
     if (n <= targetRows) 0L
     else {
@@ -147,7 +147,7 @@ object Procedures {
       // ties at the boundary may delete past the target (VoltDB had the
       // same property: timestamp-predicate deletes are deterministic,
       // row-exact they are not — DeleteAfterDate.java:31-44)
-      deleteAfterDate(s, storeDir, cutTs)
+      deleteAfterDate(s, storeRoot, cutTs)
     }
   }
 
@@ -161,33 +161,18 @@ object Procedures {
   }
 
   /** LoadDsa — atomically replace the live centers with staging,
-    * ordered by id (db/ddl.sql:31-43). */
-  def loadDsa(s: SparkSession, stagingDir: String, liveDir: String): Unit = {
+    * ordered by id (db/ddl.sql:31-43). The publish commits via the
+    * versioned store's atomic pointer swap — crash-safe (a reader sees
+    * the old or new model, never a missing/mixed one), the same
+    * guarantee the reference gets from running the swap in one txn. */
+  def loadDsa(s: SparkSession, stagingDir: String, liveRoot: String): Unit = {
     val staged = s.read.parquet(stagingDir).orderBy("id")
-    val tmpDir = liveDir + ".swap"
-    staged.write.mode("overwrite").parquet(tmpDir)
-    swapDirs(tmpDir, liveDir)
+    graft.sources.VersionedStore.publish(staged, liveRoot)
+    graft.sources.VersionedStore.vacuum(liveRoot)
   }
 
-  /** Each rename is atomic, but the pair is not: a crash between the
-    * two moves leaves `to` at `to+".old"` and the new data at `from` —
-    * recoverable by hand but briefly inconsistent. True atomicity needs
-    * a manifest/table-format commit (e.g. a versioned pointer file);
-    * acceptable here because LoadDsa-style swaps are operator-driven
-    * maintenance, not the hot path. */
-  private def swapDirs(from: String, to: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dest = Paths.get(to)
-    if (Files.exists(dest)) {
-      val old = Paths.get(to + ".old")
-      if (Files.exists(old)) {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
-        }
-        del(old.toFile)
-      }
-      Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.move(Paths.get(from), dest, StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Read the live version of a mutable store (events hot store,
+    * clusters model) — resolves through the CURRENT pointer. */
+  def readStore(s: SparkSession, root: String): DataFrame =
+    graft.sources.VersionedStore.read(s, root)
 }

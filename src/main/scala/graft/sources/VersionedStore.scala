@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Crash-safe mutable-store layout: data lives in immutable versioned
+  * directories (`root/v00001`, `v00002`, …) and readers resolve the
+  * live version through a single `CURRENT` pointer file. Publishing
+  * writes the new version directory completely, then commits by
+  * atomically replacing `CURRENT` (write-to-temp + ATOMIC_MOVE) — a
+  * crash at any point leaves either the old or the new version fully
+  * live, never a missing store. This is the manifest-commit pattern
+  * table formats use, at pointer-file granularity; it gives the
+  * reference's `LoadDsa` transactional-swap guarantee
+  * (`/root/reference/db/ddl.sql:31-43`) on immutable files.
+  */
+object VersionedStore {
+  private def currentFile(root: String) = Paths.get(root, "CURRENT")
+
+  def currentVersion(root: String): Option[Int] = {
+    val f = currentFile(root)
+    if (Files.exists(f)) Some(Files.readString(f).trim.stripPrefix("v").toInt)
+    else None
+  }
+
+  def currentPath(root: String): Option[String] =
+    currentVersion(root).map(v => Paths.get(root, f"v$v%05d").toString)
+
+  /** Write df as the next version and atomically commit the pointer.
+    * Returns the new version number. */
+  def publish(df: DataFrame, root: String): Int = {
+    Files.createDirectories(Paths.get(root))
+    val next = currentVersion(root).getOrElse(0) + 1
+    val dir = Paths.get(root, f"v$next%05d").toString
+    df.write.mode("overwrite").parquet(dir)
+    val tmp = Paths.get(root, s"CURRENT.tmp$next")
+    Files.writeString(tmp, f"v$next%05d")
+    Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT version in $root")))
+
+  /** Drop versions older than the live one minus `keep` (readers of
+    * recently-superseded versions keep working — MVCC-style). */
+  def vacuum(root: String, keep: Int = 1): Seq[String] = {
+    val live = currentVersion(root).getOrElse(return Nil)
+    val dropped = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
+      .filter(_.getName.stripPrefix("v").toInt <= live - 1 - keep)
+    dropped.foreach(deleteRecursive)
+    dropped.map(_.getName).toSeq.sorted
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
+    f.delete()
+  }
+}

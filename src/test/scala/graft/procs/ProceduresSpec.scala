@@ -43,27 +43,27 @@ class ProceduresSpec extends SparkSpec {
 
   test("DeleteAfterDate: removes rows at/before cutoff from the store, returns count") {
     val store = java.nio.file.Files.createTempDirectory("graft_store").toString + "/events"
-    Tables.events(spark, sf).write.parquet(store)
+    graft.sources.VersionedStore.publish(Tables.events(spark, sf), store)
     val cutoff = Tables.events(spark, sf)
       .agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"))
       .collect()(0).getLong(0)
-    val before = spark.read.parquet(store).count()
+    val before = Procedures.readStore(spark, store).count()
     val deleted = Procedures.deleteAfterDate(spark, store, cutoff)
-    val after = spark.read.parquet(store)
+    val after = Procedures.readStore(spark, store)
     assert(deleted > 0 && after.count() == before - deleted)
     assert(after.filter(unix_micros(col("ts")) <= cutoff).count() == 0)
   }
 
   test("DeleteOldestToTarget: trims the store to ~target rows (ts-boundary exact)") {
     val store = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/events"
-    Tables.events(spark, sf).write.parquet(store)
+    graft.sources.VersionedStore.publish(Tables.events(spark, sf), store)
     val deleted = Procedures.deleteOldestToTarget(spark, store, 200)
-    val left = spark.read.parquet(store).count()
+    val left = Procedures.readStore(spark, store).count()
     assert(deleted == 800 && left == 200)
     assert(Procedures.deleteOldestToTarget(spark, store, 500) == 0L)
   }
 
-  test("TruncateDsa + LoadDsa: staged model swap is atomic and ordered") {
+  test("TruncateDsa + LoadDsa: staged model swap is atomic, versioned, ordered") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_dsa").toString
     val staging = s"$base/clusters_dsa"
@@ -71,14 +71,31 @@ class ProceduresSpec extends SparkSpec {
     Seq((2, 10, 20), (0, 1, 2), (1, 5, 6)).toDF("id", "c1", "c2")
       .write.parquet(staging)
     Procedures.loadDsa(spark, staging, live)
-    val loaded = spark.read.parquet(live).orderBy("id").collect()
+    val loaded = Procedures.readStore(spark, live).orderBy("id").collect()
     assert(loaded.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
     // swap again with a new model: reader sees old or new, never mixed
     Procedures.truncateDsa(spark, staging)
     Seq((0, 99, 99)).toDF("id", "c1", "c2").write.parquet(staging)
     Procedures.loadDsa(spark, staging, live)
-    val v2 = spark.read.parquet(live).collect()
+    val v2 = Procedures.readStore(spark, live).collect()
     assert(v2.length == 1 && v2(0).getInt(1) == 99)
+  }
+
+  test("VersionedStore: pointer commit is all-or-nothing; vacuum keeps the live version") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vs").toString + "/store"
+    assert(graft.sources.VersionedStore.currentVersion(root).isEmpty)
+    graft.sources.VersionedStore.publish(Seq(1, 2, 3).toDF("x"), root)
+    // a fully-written but UNCOMMITTED version dir is invisible to readers
+    val orphan = new java.io.File(root, "v00099"); orphan.mkdirs()
+    Seq(9).toDF("x").write.mode("overwrite").parquet(orphan.toString)
+    assert(graft.sources.VersionedStore.read(spark, root).count() == 3)
+    graft.sources.VersionedStore.publish(Seq(4, 5).toDF("x"), root)
+    assert(graft.sources.VersionedStore.read(spark, root).count() == 2)
+    graft.sources.VersionedStore.publish(Seq(6).toDF("x"), root)
+    val dropped = graft.sources.VersionedStore.vacuum(root, keep = 0)
+    assert(dropped.nonEmpty)
+    assert(graft.sources.VersionedStore.read(spark, root).count() == 1)
   }
 
   test("HTTP facade serves procedure results as JSON (S10)") {
