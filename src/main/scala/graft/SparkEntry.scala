@@ -35,7 +35,8 @@ object SparkEntry {
       ApproxOps.queries ++
       RelationalOps2.queries ++
       TextOps2.queries ++
-      TemporalJoinOps.queries
+      TemporalJoinOps.queries ++
+      AnalyticsOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -55,5 +56,6 @@ object SparkEntry {
       ApproxOps.oracles ++
       RelationalOps2.oracles ++
       TextOps2.oracles ++
-      TemporalJoinOps.oracles
+      TemporalJoinOps.oracles ++
+      AnalyticsOps.oracles
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics tranche: sessionization statistics (session ids via
+  * cumulative gap-starts — the analysis layer on top of the ST4 session
+  * semantics), trend smoothing (framed moving average), and customer
+  * revenue ranking. All oracle-checked.
+  */
+object AnalyticsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // per-user session statistics: session_id = running count of
+    // 30s-gap session starts; then per-session extents, then per-user
+    // rollup — the standard two-window sessionization pipeline
+    "session_stats" -> ((s, d) => {
+      val byKey = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val marked = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byKey))
+        .withColumn("is_start",
+          (col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(30000000L))
+            .cast("long"))
+        .withColumn("session_id", sum("is_start").over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = marked
+        .groupBy("user_id", "event_type", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      perSession.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("total_events"),
+          sum("dur_us").as("total_dur_us"),
+          max("n_events").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // 7-day moving average of daily event volume (framed window over
+    // the pre-aggregated daily tier — frame math on aggregates, not rows)
+    "daily_moving_avg" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("ma7",
+          sum("c").over(w).cast("double") / count(lit(1)).over(w))
+        .orderBy("day")
+    }),
+
+    // TPC-H Q10-shaped: revenue from returned items per customer, top 20
+    "returned_revenue_topk" -> ((s, d) => {
+      val D = DecimalType(18, 4)
+      val rev = col("l_extendedprice").cast(D) *
+        (lit(1).cast(D) - col("l_discount").cast(D))
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // per-label embedding stats on exact quantized norms (cluster
+    // quality telemetry for the ANN/IVF path)
+    "emb_label_stats" -> ((s, d) =>
+      DedupOps.quantized(Tables.embeddings(s, d))
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum("n").as("norm_sum"),
+          min("n").as("norm_min"),
+          max("n").as("norm_max"))
+        .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 30000000
+        |              THEN 1 ELSE 0 END AS is_start
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |               lag(ts) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts, event_id) AS prev_ts
+        |        FROM events) t),
+        |sess AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         sum(is_start) OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, event_type, session_id, count(*) AS n_events,
+        |         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM sess GROUP BY user_id, event_type, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        |       max(n_events) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "daily_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT day, c,
+        |       CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
+    "returned_revenue_topk" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "emb_label_stats" ->
+      """WITH el AS (
+        |  SELECT vec_id, label,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, label, CAST(sum(q * q) AS BIGINT) AS nrm
+        |  FROM el GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n,
+        |       CAST(sum(nrm) AS BIGINT) AS norm_sum,
+        |       min(nrm) AS norm_min, max(nrm) AS norm_max
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin
+  )
+}
