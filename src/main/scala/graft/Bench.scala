@@ -23,9 +23,12 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // free blocks pinned by cache()/localCheckpoint() inside queries
-      // so one query's residue doesn't tax the next one's GC
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // so one query's residue doesn't tax the next one's GC; blocking
+      // so the release happens HERE (outside any timed window), not
+      // lazily inside the next query's measurement
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
+      System.gc()
       // a failed query must not masquerade as a fast one: report -1
       name -> (if (ok) dt else -1.0)
     }.toMap
