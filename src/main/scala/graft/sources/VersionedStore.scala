@@ -59,4 +59,22 @@ object VersionedStore {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
     f.delete()
   }
+
+  /** Small-file compaction: rewrite the live version into `numFiles`
+    * files and commit as a new version (readers never see a half-
+    * compacted store). Streaming sinks accrete one file per micro-batch
+    * per partition — at 100 TB the file count, not the byte count,
+    * becomes the scan bottleneck; periodic compaction through the same
+    * atomic-pointer commit keeps scans healthy without pausing writers.
+    * Returns (newVersion, filesBefore, filesAfter). */
+  def compact(spark: SparkSession, root: String, numFiles: Int): (Int, Int, Int) = {
+    val livePath = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT version in $root"))
+    def parquetCount(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val before = parquetCount(livePath)
+    val v = publish(spark.read.parquet(livePath).coalesce(numFiles), root)
+    (v, before, parquetCount(currentPath(root).get))
+  }
 }
