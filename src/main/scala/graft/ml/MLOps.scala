@@ -30,7 +30,11 @@ object MLOps {
     val assembled = new VectorAssembler()
       .setInputCols(Array("f1", "f2")).setOutputCol("features")
       .transform(feats)
+    // random init (seeded) instead of k-means||: the parallel init
+    // costs ~5 extra data passes for marginal quality on this 2-d
+    // space; 20 Lloyd iterations dominate either way
     val model = new KMeans().setK(k).setMaxIter(20).setSeed(42L)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(assembled)
     import spark.implicits._
     // ids by center index; coordinates int-rounded like KMeansReferral.scala:52
