@@ -36,7 +36,8 @@ object SparkEntry {
       RelationalOps2.queries ++
       TextOps2.queries ++
       TemporalJoinOps.queries ++
-      AnalyticsOps.queries
+      AnalyticsOps.queries ++
+      SetOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -57,5 +58,6 @@ object SparkEntry {
       RelationalOps2.oracles ++
       TextOps2.oracles ++
       TemporalJoinOps.oracles ++
-      AnalyticsOps.oracles
+      AnalyticsOps.oracles ++
+      SetOps.oracles
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set operations and grouping-sets coverage (the reference uses none —
+  * SURVEY.md §2.7 "No UNION/INTERSECT/EXCEPT anywhere" — but an engine
+  * replacing it must have them), plus bigram corpus statistics.
+  */
+object SetOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // EXCEPT: active-ish customers that are not big spenders
+    "except_customers" -> ((s, d) => {
+      val active = Tables.orders(s, d).select(col("o_custkey").as("c"))
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c"))
+      active.except(big).orderBy("c")
+    }),
+
+    // INTERSECT: customers with both an urgent and a low-priority order
+    "intersect_customers" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c"))
+      val low = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("c"))
+      urgent.intersect(low).orderBy("c")
+    }),
+
+    // UNION DISTINCT of two key populations
+    "union_keys" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    }),
+
+    // CUBE over (orderstatus, orderpriority) — full grouping-sets
+    // lattice (rollup already covered by rollup_nation_counts)
+    "cube_order_counts" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_cube")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM graft_orders_cube
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // bigram frequency top-k over the corpus
+    "bigram_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(25))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "except_customers" ->
+      """SELECT o_custkey AS c FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS c FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY c""".stripMargin,
+
+    "intersect_customers" ->
+      """SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY c""".stripMargin,
+
+    "union_keys" ->
+      """SELECT c_nationkey AS k FROM customer
+        |UNION
+        |SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "cube_order_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "bigram_topk" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT array_to_string(w[i:i+1], ' ') AS bigram
+        |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+        |       WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS freq FROM bg
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 25""".stripMargin
+  )
+}
