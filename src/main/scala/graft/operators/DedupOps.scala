@@ -154,10 +154,16 @@ object DedupOps {
     * dedup groups ("keep one per component") at corpus scale. */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIters: Int = 50): DataFrame = {
+    // the iterated relations are pair-graph-sized (≪ corpus); wide
+    // partitioning just multiplies per-iteration task overhead — at
+    // larger graph sizes raise this toward the cluster's parallelism
+    val p = 8
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .repartition(p, col("src"))
       .localCheckpoint(true)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .repartition(p, col("doc_id"))
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
     var iter = 0
