@@ -48,6 +48,25 @@ object SetOps {
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // value histogram: fixed-width buckets over the event value
+    "value_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // edit distance between adjacent docs' prefixes (string-function
+    // surface; pairwise levenshtein is bounded here by construction)
+    "doc_edit_distance" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("pa"))
+      val b = Tables.documents(s, d)
+        .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 60).as("pb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), levenshtein(col("pa"), col("pb")).as("dist"))
+        .orderBy("doc_id")
+    }),
+
     // bigram frequency top-k over the corpus
     "bigram_topk" -> ((s, d) =>
       Tables.documents(s, d)
@@ -85,6 +104,16 @@ object SetOps {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "doc_edit_distance" ->
+      """SELECT a.doc_id,
+        |       levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "bigram_topk" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
