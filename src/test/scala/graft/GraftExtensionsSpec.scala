@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A session created with spark.sql.extensions=graft.GraftExtensions
+  * has the full function library with zero registerAll calls. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions-configured session exposes the function library in SQL") {
+    // force a fresh session build so the extensions config applies
+    // (getOrCreate would return any live default session unchanged)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT ip_to_int('1.2.3.4') AS a,
+          |       int_to_ip(16909060) AS b,
+          |       dot_i64(array(2L, 3L), array(4L, 5L)) AS c""".stripMargin).first()
+      assert(r.getInt(0) == 16909060)
+      assert(r.getString(1) == "1.2.3.4")
+      assert(r.getLong(2) == 23L)
+      val agg = spark.sql(
+        """SELECT simhash_agg(t) AS sh FROM
+          |  (SELECT explode(split('the quick brown fox', ' ')) AS t)""".stripMargin)
+        .first().getLong(0)
+      assert(agg != 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
