@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extensions-configured session exposes the function library in SQL") {
-    // force a fresh session build so the extensions config applies
-    // (getOrCreate would return any live default session unchanged)
+    // `.withExtensions` applies even on a reused SparkContext; the
+    // equivalent cluster deployment is the static conf
+    // spark.sql.extensions=graft.GraftExtensions at context launch
+    // (static confs are silently ignored when a context already exists,
+    // which a test JVM sharing one context would hit)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
@@ -17,7 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
       val r = spark.sql(
