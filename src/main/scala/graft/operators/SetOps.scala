@@ -48,6 +48,29 @@ object SetOps {
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // the pivot relational operator (DataFrame .pivot with explicit
+    // values → no extra distinct-values job; same result as the manual
+    // conditional-agg form in order_status_pivot)
+    "pivot_api" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
+    // null-semantics surface: null-safe equality, COALESCE, NULLIF over
+    // a column with synthesized nulls
+    "null_semantics" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .select(col("event_id"),
+          (col("v") <=> lit(null)).as("is_null_nullsafe"),
+          coalesce(col("v"), lit(-1.0)).as("v_or_default"),
+          nullif(col("event_type"), lit("error")).as("type_or_null"))
+        .orderBy("event_id")
+        .limit(1000)),
+
     // value histogram: fixed-width buckets over the event value
     "value_histogram" -> ((s, d) =>
       Tables.events(s, d)
@@ -104,6 +127,22 @@ object SetOps {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "pivot_api" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "null_semantics" ->
+      """SELECT event_id,
+        |       (CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END) IS NULL
+        |         AS is_null_nullsafe,
+        |       COALESCE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END, -1.0)
+        |         AS v_or_default,
+        |       NULLIF(event_type, 'error') AS type_or_null
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
 
     "value_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n
