@@ -37,7 +37,8 @@ object SparkEntry {
       TextOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
-      SetOps.queries
+      SetOps.queries ++
+      graft.procs.SystemProcs.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not

@@ -1,0 +1,36 @@
+package graft.procs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** System-procedure introspection (SURVEY.md §1.1 "System procedures",
+  * §2.4 A9): the reference's `@Statistics TABLE` per-partition row
+  * counts and `@GetPartitionKeys` (used by the nibbler to walk
+  * partitions, `PartitionDataTracker.java:70-94`) re-expressed over
+  * Spark's partitioning.
+  */
+object SystemProcs {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** @Statistics TABLE: per-partition tuple counts for a relation
+    * under its current physical partitioning. */
+  def statisticsTable(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("tuple_count"))
+
+  /** @GetPartitionKeys analogue: the hash-partition id each key routes
+    * to under `numPartitions`-way partitioning (what the reference's
+    * nibbler uses to address every partition once). */
+  def partitionKeys(df: DataFrame, keyCol: String, numPartitions: Int): DataFrame =
+    df.select(col(keyCol)).distinct()
+      .withColumn("partition_id", pmod(hash(col(keyCol)), lit(numPartitions)))
+
+  val queries: Map[String, Q] = Map(
+    // rows-only: physical partition ids are engine-internal, but the
+    // per-partition counts must sum to the table count (spec-checked)
+    "stats_partition_rows" -> ((s, d) =>
+      statisticsTable(
+        graft.Tables.events(s, d).repartition(8, col("user_id")))
+        .orderBy("partition_id"))
+  )
+}
