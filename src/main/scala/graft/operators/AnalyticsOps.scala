@@ -53,6 +53,20 @@ object AnalyticsOps {
         .orderBy("day")
     }),
 
+    // RANGE-frame window: per event, same-user event count in the
+    // trailing hour — the window-function analogue of the banded range
+    // join (frame bounds in event-time units, not row counts)
+    "range_frame_hourly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsec"))
+        .rangeBetween(-3600L, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
+        .withColumn("n_trailing_hour", count(lit(1)).over(w))
+        .select("event_id", "n_trailing_hour")
+        .orderBy("event_id")
+    }),
+
     // TPC-H Q10-shaped: revenue from returned items per customer, top 20
     "returned_revenue_topk" -> ((s, d) => {
       val D = DecimalType(18, 4)
@@ -116,6 +130,13 @@ object AnalyticsOps {
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+
+    "range_frame_hourly" ->
+      """SELECT event_id, count(*) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |         AS n_trailing_hour
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "returned_revenue_topk" ->
       """SELECT c_custkey, c_name,

@@ -68,16 +68,17 @@ object SimilarityOps {
     // coarse quantizer, rank labels' members for the query — exercises
     // two-stage (coarse → fine) ANN; rows-only (double math)
     "ann_ivf_probe" -> ((s, d) => {
+      graft.functions.VecFunctions.registerAll(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // coarse: centroid per label via element-wise mean
-      val unnested = emb.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      val cents = unnested.groupBy("label", "i").agg(avg("x").as("cx"))
-        .groupBy("label").agg(map_from_arrays(
-          collect_list(col("i")), collect_list(col("cx"))).as("cmap"))
+      // coarse: centroid per label in ONE pass via the element-wise
+      // vec_sum aggregate (no posexplode to (label, dim, x) triples)
+      val cents = emb.groupBy("label")
+        .agg(graft.functions.VecFunctions.vec_sum(col("v")).as("vsum"),
+          count(lit(1)).as("cnt"))
         .select(col("label"), expr(
-          "transform(sequence(0, 63), i -> cmap[i])").as("centroid"))
+          "transform(vsum, x -> x / CAST(cnt AS DOUBLE))").as("centroid"))
       val query = emb.filter(col("vec_id") === 0)
         .select(col("v").as("qv"))
       // probe: top-2 labels by centroid cosine
