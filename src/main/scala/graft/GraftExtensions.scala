@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductI64, IntToIp, IpToInt, SimHashAgg}
+import graft.functions.{DotProductI64, IntToIp, IpToInt, SimHashAgg, VecSumAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       es => SimHashAgg(es.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum"),
+      es => VecSumAgg(es.head).toAggregateExpression()))
   }
 }

@@ -48,6 +48,23 @@ object SetOps {
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // regexp group extraction (the non-JSON path to the props payload)
+    "regexp_extract_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    // date arithmetic: order-to-ship delay distribution in days
+    "ship_delay_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long").as("delay_days")) // duckdb date_diff returns BIGINT
+        .groupBy("delay_days").agg(count(lit(1)).as("n"))
+        .orderBy("delay_days")),
+
     // the pivot relational operator (DataFrame .pivot with explicit
     // values → no extra distinct-values job; same result as the manual
     // conditional-agg form in order_status_pivot)
@@ -127,6 +144,18 @@ object SetOps {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "regexp_extract_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "ship_delay_histogram" ->
+      """SELECT date_diff('day', CAST(o_orderdate AS DATE),
+        |                 CAST(l_shipdate AS DATE)) AS delay_days,
+        |       count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY delay_days""".stripMargin,
 
     "pivot_api" ->
       """SELECT o_orderpriority,

@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  (SELECT explode(split('the quick brown fox', ' ')) AS t)""".stripMargin)
         .first().getLong(0)
       assert(agg != 0L)
+      val vs = spark.sql(
+        """SELECT vec_sum(v) FROM (SELECT array(1.0D, 2.0D) AS v
+          |UNION ALL SELECT array(10.0D, 20.0D))""".stripMargin)
+        .first().getSeq[Double](0)
+      assert(vs == Seq(11.0, 22.0))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
