@@ -48,6 +48,25 @@ object SetOps {
           |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // array-function surface: distinct shared words between adjacent docs
+    "adjacent_doc_overlap" -> ((s, d) => {
+      val a = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("wa"))
+      val b = Tables.documents(s, d)
+        .select((col("doc_id") - 1).as("doc_id"), split(col("text"), " ", -1).as("wb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          size(array_intersect(col("wa"), col("wb"))).cast("long").as("shared_words"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic seeded sampling (training-data subsampling) —
+    // rows-only: engines implement sampling differently; determinism
+    // and bounds are spec-checked
+    "sample_docs" -> ((s, d) =>
+      Tables.documents(s, d).sample(withReplacement = false, 0.2, seed = 42L)
+        .select("doc_id").orderBy("doc_id")),
+
     // regexp group extraction (the non-JSON path to the props payload)
     "regexp_extract_props" -> ((s, d) =>
       Tables.events(s, d)
@@ -144,6 +163,14 @@ object SetOps {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "adjacent_doc_overlap" ->
+      """SELECT a.doc_id,
+        |       CAST(len(list_filter(list_distinct(string_split(a.text, ' ')),
+        |                            x -> list_contains(string_split(b.text, ' '), x)))
+        |            AS BIGINT) AS shared_words
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     "regexp_extract_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
