@@ -24,8 +24,13 @@ object MLOps {
   /** M1: train k-means over (user_id mod 100, value) — the driver-table
     * analogue of the reference's (src,dest,referral,agent) int space.
     * Fixed seed: deterministic across runs on the same data. */
-  def trainCenters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val feats = Tables.events(spark, dir)
+  def trainCenters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    trainCentersOn(spark, Tables.events(spark, dir), k)
+
+  /** Train on any event-shaped relation (used by the model-feedback
+    * loop, which trains on the accumulated export stream — §3.3). */
+  def trainCentersOn(spark: SparkSession, events: DataFrame, k: Int = 20): DataFrame = {
+    val feats = events
       .select((col("user_id") % 100).cast("double").as("f1"), col("value").as("f2"))
     val assembled = new VectorAssembler()
       .setInputCols(Array("f1", "f2")).setOutputCol("features")
