@@ -28,7 +28,9 @@ case class SimHashAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // SQL convention: an aggregate over zero (non-null) inputs is NULL —
+  // 0L would masquerade as a legitimate balanced-bit simhash
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
 
   // fail at analysis time, not with an executor-side ClassCastException
@@ -39,7 +41,8 @@ case class SimHashAgg(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"simhash_agg needs STRING input, got ${child.dataType}")
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+  // slots 0..63 = per-bit counters, slot 64 = non-null input count
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -50,35 +53,39 @@ case class SimHashAgg(
         buf(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
         i += 1
       }
+      buf(64) += 1
     }
     buf
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < 64) { a(i) += b(i); i += 1 }
+    while (i < 65) { a(i) += b(i); i += 1 }
     a
   }
 
   override def eval(buf: Array[Long]): Any = {
-    var out = 0L
-    var i = 0
-    while (i < 64) {
-      if (buf(i) > 0) out |= (1L << i)
-      i += 1
+    if (buf(64) == 0L) null
+    else {
+      var out = 0L
+      var i = 0
+      while (i < 64) {
+        if (buf(i) > 0) out |= (1L << i)
+        i += 1
+      }
+      out
     }
-    out
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(64 * 8)
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(64)(bb.getLong())
+    Array.fill(bytes.length / 8)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =

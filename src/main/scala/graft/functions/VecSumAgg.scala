@@ -42,9 +42,12 @@ case class VecSumAgg(
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val out = if (buf.isEmpty) new Array[Double](n) else buf
+      // ragged inputs would otherwise produce order-dependent silent
+      // truncation — a dimension mismatch is a data bug, surface it
+      require(out.length == n,
+        s"vec_sum: dimension mismatch (${out.length} vs $n)")
       var i = 0
-      val m = math.min(n, out.length)
-      while (i < m) { out(i) += arr.getDouble(i); i += 1 }
+      while (i < n) { out(i) += arr.getDouble(i); i += 1 }
       out
     }
   }
@@ -53,9 +56,10 @@ case class VecSumAgg(
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
+      require(a.length == b.length,
+        s"vec_sum: dimension mismatch (${a.length} vs ${b.length})")
       var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }
 

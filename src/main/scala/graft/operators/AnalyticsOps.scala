@@ -84,8 +84,11 @@ object AnalyticsOps {
     // per-label embedding stats on exact quantized norms (cluster
     // quality telemetry for the ANN/IVF path)
     "emb_label_stats" -> ((s, d) =>
-      DedupOps.quantized(Tables.embeddings(s, d))
-        .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      // carry label through quantization: one scan, no re-join
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           sum("n").as("norm_sum"),

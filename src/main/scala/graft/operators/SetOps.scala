@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 object SetOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Adjacent-doc pairing (doc_id n ↔ n+1), shared by the overlap and
+    * edit-distance queries so the adjacency convention lives once. */
+  private def adjacentDocs(s: SparkSession, d: String,
+                           proj: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
+    val a = Tables.documents(s, d).select(col("doc_id"), proj(col("text")).as("ta"))
+    val b = Tables.documents(s, d)
+      .select((col("doc_id") - 1).as("doc_id"), proj(col("text")).as("tb"))
+    (a, b)
+  }
+
   val queries: Map[String, Q] = Map(
     // EXCEPT: active-ish customers that are not big spenders
     "except_customers" -> ((s, d) => {
@@ -50,13 +61,10 @@ object SetOps {
 
     // array-function surface: distinct shared words between adjacent docs
     "adjacent_doc_overlap" -> ((s, d) => {
-      val a = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("wa"))
-      val b = Tables.documents(s, d)
-        .select((col("doc_id") - 1).as("doc_id"), split(col("text"), " ", -1).as("wb"))
+      val (a, b) = adjacentDocs(s, d, t => split(t, " ", -1))
       a.join(b, "doc_id")
         .select(col("doc_id"),
-          size(array_intersect(col("wa"), col("wb"))).cast("long").as("shared_words"))
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("shared_words"))
         .orderBy("doc_id")
     }),
 
@@ -117,12 +125,9 @@ object SetOps {
     // edit distance between adjacent docs' prefixes (string-function
     // surface; pairwise levenshtein is bounded here by construction)
     "doc_edit_distance" -> ((s, d) => {
-      val a = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 60).as("pa"))
-      val b = Tables.documents(s, d)
-        .select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 60).as("pb"))
+      val (a, b) = adjacentDocs(s, d, t => substring(t, 1, 60))
       a.join(b, "doc_id")
-        .select(col("doc_id"), levenshtein(col("pa"), col("pb")).as("dist"))
+        .select(col("doc_id"), levenshtein(col("ta"), col("tb")).as("dist"))
         .orderBy("doc_id")
     }),
 

@@ -28,27 +28,33 @@ object TemporalJoinOps {
 
   /** Generic as-of: left rows (key, t) pick the latest right row
     * (key, rt, payload) with rt <= t; ties on rt resolve to the
-    * highest payload (deterministic). */
+    * highest payload (deterministic). SQL NULL semantics: right rows
+    * with a NULL key or NULL time never match (filtered before the
+    * union), and NULL-keyed left rows therefore get a NULL mark.
+    * Working columns carry a `__asof_` prefix so caller columns named
+    * k/t/kind/mark cannot collide. */
   def asOfJoin(left: DataFrame, leftKey: String, leftTime: String,
                right: DataFrame, rightKey: String, rightTime: String,
                payload: String): DataFrame = {
-    val l = left.select(col(leftKey).as("k"), col(leftTime).as("t"),
-      lit(1).as("kind"), col("*"))
-    val r = right.select(col(rightKey).as("k"), col(rightTime).as("t"),
-      lit(0).as("kind"),
-      struct(col(rightTime).as("rt"), col(payload).as("p")).as("mark"))
-    val unioned = l.withColumn("mark",
-        lit(null).cast(r.schema("mark").dataType))
-      .select((l.columns :+ "mark").distinct.map(col): _*)
+    val l = left.select(col(leftKey).as("__asof_k"), col(leftTime).as("__asof_t"),
+      lit(1).as("__asof_kind"), col("*"))
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__asof_k"), col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_kind"),
+        struct(col(rightTime).as("rt"), col(payload).as("p")).as("last_mark0"))
+    val unioned = l.withColumn("last_mark0",
+        lit(null).cast(r.schema("last_mark0").dataType))
       .unionByName(r, allowMissingColumns = true)
-    // per key: orders (kind=0) sort before events (kind=1) at equal
-    // time, so an order exactly at t is visible to that event
-    val w = Window.partitionBy("k")
-      .orderBy(col("t"), col("kind"))
+    // per key: right rows (kind=0) sort before left rows (kind=1) at
+    // equal time, so a right row exactly at t is visible to that row
+    val w = Window.partitionBy("__asof_k")
+      .orderBy(col("__asof_t"), col("__asof_kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("last_mark", max(col("mark")).over(w))
-      .filter(col("kind") === 1)
+      .withColumn("last_mark", max(col("last_mark0")).over(w))
+      .filter(col("__asof_kind") === 1)
+      .drop("__asof_k", "__asof_t", "__asof_kind", "last_mark0")
   }
 
   val queries: Map[String, Q] = Map(
@@ -80,10 +86,11 @@ object TemporalJoinOps {
         .withColumn("bucket", explode(expr(
           s"sequence(pus div $bucketUs, (pus + $bandUs) div $bucketUs)")))
       val build = ev.withColumn("bucket", expr(s"tus div $bucketUs"))
+      // no dedup needed: a build row has exactly one bucket, so each
+      // (probe, event) pair meets on at most one (k, bucket) key
       probes.join(build, Seq("k", "bucket"))
         .filter(col("event_id") =!= col("probe_id") &&
           col("tus") >= col("pus") && col("tus") <= col("pus") + bandUs)
-        .select("probe_id", "event_id").distinct() // bucket overlap dedup
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_following"))
         .orderBy("probe_id")

@@ -37,16 +37,20 @@ final class ServingTier(spark: SparkSession, dir: String) {
       .agg(count(lit(1)).as("total_visits"))
     val bySrcDest = exportEv.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("counts"))
+    // Materialize via localCheckpoint, NOT cache(): Spark's CacheManager
+    // keys entries by canonicalized plan, so a refresh re-caching the
+    // textually-identical aggregation would dedup onto the OLD entry and
+    // the subsequent unpersist would evict it — leaving the tier
+    // permanently uncached. Checkpointed RDD blocks have independent
+    // identity per refresh; superseded ones are released by the
+    // ContextCleaner once the old map is dropped.
     val next = Map(
-      "events_by_second" -> bySec.cache(),
-      "dests_by_second" -> destsBySec.cache(),
-      "events_by_cluster" -> clusterBySec.cache(),
-      "events_by_src_view" -> bySrc.cache(),
-      "events_by_src_dest" -> bySrcDest.cache())
-    next.values.foreach(_.count()) // pin before swapping in
-    val old = views
+      "events_by_second" -> bySec.localCheckpoint(true),
+      "dests_by_second" -> destsBySec.localCheckpoint(true),
+      "events_by_cluster" -> clusterBySec.localCheckpoint(true),
+      "events_by_src_view" -> bySrc.localCheckpoint(true),
+      "events_by_src_dest" -> bySrcDest.localCheckpoint(true))
     views = next // atomic repoint — readers see old or new, never mixed
-    old.values.foreach(_.unpersist())
   }
 
   refresh()

@@ -27,18 +27,34 @@ object VersionedStore {
     currentVersion(root).map(v => Paths.get(root, f"v$v%05d").toString)
 
   /** Write df as the next version and atomically commit the pointer.
-    * Returns the new version number. */
-  def publish(df: DataFrame, root: String): Int = {
-    Files.createDirectories(Paths.get(root))
-    val next = currentVersion(root).getOrElse(0) + 1
-    val dir = Paths.get(root, f"v$next%05d").toString
-    df.write.mode("overwrite").parquet(dir)
-    val tmp = Paths.get(root, s"CURRENT.tmp$next")
-    Files.writeString(tmp, f"v$next%05d")
-    Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    next
-  }
+    * Returns the new version number.
+    *
+    * Concurrency contract: one writer per store root. In-JVM that is
+    * enforced here (version allocation + commit are serialized on the
+    * root's intern'd lock); cross-process coordination is the caller's
+    * (a second process racing publish could reuse a version number —
+    * the pointer commit itself stays atomic either way). */
+  def publish(df: DataFrame, root: String): Int =
+    root.intern.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val next = currentVersion(root).getOrElse(0) + 1
+      val dir = Paths.get(root, f"v$next%05d").toString
+      df.write.mode("overwrite").parquet(dir)
+      val tmp = Paths.get(root, s"CURRENT.tmp$next")
+      // force contents to disk BEFORE the rename: a crash may persist
+      // the rename metadata but not the bytes, leaving CURRENT empty
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(f"v$next%05d".getBytes("UTF-8")))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      next
+    }
 
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(currentPath(root).getOrElse(
