@@ -34,12 +34,29 @@ object StreamDemo {
     val view = StreamingViews.eventsBySrcDest(SessionDedup.dedup(input.toDS())(spark).toDF())
       .writeStream.outputMode("complete").format("memory").queryName("by_src_dest").start()
 
+    // per-batch scoring against a swappable model — the ST8 loop: the
+    // first batches score with v1 centers, then a "retrain" swaps the
+    // model and later batches score against v2 (SURVEY.md §3.3)
+    val swap = new graft.ml.ModelSwap(
+      graft.ml.MLOps.literalCenterSeq.map { case (id, c1, c2) => id.toInt -> (c1, c2) }.toMap)
     evs.grouped((evs.size + 2) / 3).zipWithIndex.foreach { case (batch, i) =>
       input.addData(batch)
       export.processAllAvailable(); view.processAllAvailable()
       val exported = spark.table("export").count()
       val groups = spark.table("by_src_dest").count()
-      println(s"[demo] after batch $i: ingested=${batch.size} exported_total=$exported view_groups=$groups")
+      val scored = graft.streaming.IngestPipeline.scoreBatch(
+        batch.toDF()
+          .withColumn("f1", (org.apache.spark.sql.functions.col("user_id") % 100).cast("double"))
+          .withColumn("f2", org.apache.spark.sql.functions.col("value")), swap)
+      val topCluster = scored.groupBy("cluster").count()
+        .orderBy(org.apache.spark.sql.functions.col("count").desc).first()
+      println(s"[demo] after batch $i: ingested=${batch.size} exported_total=$exported " +
+        s"view_groups=$groups top_cluster=${topCluster.get(0)}(n=${topCluster.getLong(1)})")
+      if (i == 0) { // "retrain": swap the model between micro-batches
+        swap.swap(graft.ml.MLOps.trainCentersOn(spark, batch.toDF()).collect()
+          .map(r => r.getInt(0) -> (r.getInt(1).toDouble, r.getInt(2).toDouble)).toMap)
+        println("[demo] model swapped after batch 0 (retrained on observed data)")
+      }
     }
     println(s"[demo] total events=${evs.size} " +
       s"export_rows=${spark.table("export").count()} " +
