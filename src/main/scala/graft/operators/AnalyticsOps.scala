@@ -81,6 +81,36 @@ object AnalyticsOps {
         .limit(20)
     }),
 
+    // TPC-H Q6-shaped: tightly-filtered revenue sum (the pushdown
+    // showcase — every predicate reaches the scan)
+    "q6_revenue_delta" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          col("l_discount").cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"))),
+
+    // per-day distinct actives (the DAU query shape)
+    "daily_active_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("events"))
+        .orderBy("day")),
+
+    // share-of-total via an unbounded window over the aggregate tier
+    "event_type_share" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("share",
+          col("n").cast("double") / sum("n").over(Window.partitionBy()).cast("double"))
+        .orderBy("event_type")
+    }),
+
     // per-label embedding stats on exact quantized norms (cluster
     // quality telemetry for the ANN/IVF path)
     "emb_label_stats" -> ((s, d) =>
@@ -152,6 +182,26 @@ object AnalyticsOps {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "daily_active_users" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |       count(DISTINCT user_id) AS dau, count(*) AS events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "event_type_share" ->
+      """SELECT event_type, n,
+        |       CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+        |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "emb_label_stats" ->
       """WITH el AS (
