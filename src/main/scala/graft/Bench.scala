@@ -14,9 +14,14 @@ object Bench {
     // to whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // evaluate the query's OWN physical plan (toRdd), not count() on
+    // top of it — count lets Catalyst prune projections/sorts/windows
+    // and the timing degenerates to a scan-count
+    def runFully(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { runFully(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false

@@ -28,11 +28,15 @@ object ThroughputBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // toRdd.count forces the pipeline's own plan — a plain count()
+    // would let Catalyst prune the scoring/session projections
+    def runFully(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // warm-up (codegen + file index)
-    IngestOps.pipeline(spark, sfDir).count()
+    runFully(IngestOps.pipeline(spark, sfDir))
 
     val t0 = System.nanoTime()
-    val n = IngestOps.pipeline(spark, sfDir).count()
+    val n = runFully(IngestOps.pipeline(spark, sfDir))
     val batchSec = (System.nanoTime() - t0) / 1e9
     println(f"[throughput] batch: $n events in $batchSec%.2f s = ${n / batchSec}%.0f events/s")
 

@@ -97,12 +97,15 @@ object ClickstreamOps {
     "ev_dests_by_second" -> ((s, d) =>
       destsBySecond(s, d).orderBy("second_ts", "event_type")),
 
-    // A6 — events_by_cluster with IS NOT NULL filter (db/ddl.sql:134-143, F5).
-    // The driver table has no ingest-assigned cluster; we derive a
-    // deterministic one (event_id % 20) to exercise the same plan shape.
+    // A6 — events_by_cluster with IS NOT NULL filter (db/ddl.sql:134-143,
+    // F5). Cluster = the ingest-assigned nearest-centroid score (same
+    // definition the GetEventsByCluster procedure uses), with the
+    // value-present filter standing in for cluster IS NOT NULL.
     "ev_by_cluster" -> ((s, d) =>
       ev(s, d).filter(col("value").isNotNull)
-        .groupBy(secondTs(col("ts")).as("second_ts"), (col("event_id") % 20).as("cluster"))
+        .groupBy(secondTs(col("ts")).as("second_ts"),
+          graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
+            (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
         .agg(count(lit(1)).as("count_values"))
         .orderBy("second_ts", "cluster")),
 
@@ -127,18 +130,9 @@ object ClickstreamOps {
       graft.procs.Procedures.getTopSrcDests(s, d, 10)),
 
     // T4 — GetEventsByCluster: windowed per-cluster counts, full ORDER BY
-    // cluster (db/ddl.sql:168-173)
-    "get_events_by_cluster" -> ((s, d) => {
-      val asof = ev(s, d).agg(date_trunc("second", max(col("ts"))).as("asof_ts"))
-      ev(s, d).filter(col("value").isNotNull)
-        .groupBy(secondTs(col("ts")).as("second_ts"), (col("event_id") % 20).as("cluster"))
-        .agg(count(lit(1)).as("count_values"))
-        .crossJoin(broadcast(asof))
-        .filter(col("second_ts") >= col("asof_ts") - expr("INTERVAL 60 seconds"))
-        .groupBy("cluster")
-        .agg(sum("count_values").as("counts"))
-        .orderBy("cluster")
-    }),
+    // cluster (db/ddl.sql:168-173) — delegates to the procedure registry
+    "get_events_by_cluster" -> ((s, d) =>
+      graft.procs.Procedures.getEventsByCluster(s, d, 60)),
 
     // T5 — OFFSET-based nth-row probe (DeleteAfterDate.java:50-51):
     // timestamp of the 100th-oldest event (100 not 1000 so the probe is
@@ -161,17 +155,13 @@ object ClickstreamOps {
 
     // J4/ST4 — 30-s-gap session dedup, batch form (NewEvent.java:40-42,
     // 70-75): emit only the first event of each 30-s-inactivity session
-    // per (src,dest). Exact gap semantics via lag(); the streaming form
-    // is flatMapGroupsWithState in graft.streaming.SessionDedup.
-    "session_export" -> ((s, d) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-      ev(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .filter(col("prev_ts").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > lit(30000000L))
+    // per (src,dest). Single gap-rule definition: exportEvents; the
+    // streaming form is flatMapGroupsWithState in
+    // graft.streaming.SessionDedup.
+    "session_export" -> ((s, d) =>
+      exportEvents(s, d)
         .select("event_id", "user_id", "event_type", "ts", "value")
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
 
     // ST4 aggregate — sessions per (src,dest): count of session starts
     "session_counts" -> ((s, d) => {
@@ -214,9 +204,18 @@ object ClickstreamOps {
         |FROM events GROUP BY 1, 2 ORDER BY second_ts, event_type""".stripMargin,
 
     "ev_by_cluster" ->
-      """SELECT date_trunc('second', ts) AS second_ts,
-        |       event_id % 20 AS cluster, count(*) AS count_values
-        |FROM events WHERE value IS NOT NULL
+      """WITH centers AS (
+        |  SELECT i AS cid, i * 5.0 AS c1, i * 12.5 AS c2
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |best AS (
+        |  SELECT e.event_id, e.ts, c.cid,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           ((e.user_id % 100) - c.c1) * ((e.user_id % 100) - c.c1)
+        |             + (e.value - c.c2) * (e.value - c.c2), c.cid) AS rn
+        |  FROM events e CROSS JOIN centers c WHERE e.value IS NOT NULL)
+        |SELECT date_trunc('second', ts) AS second_ts, cid AS cluster,
+        |       count(*) AS count_values
+        |FROM best WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY second_ts, cluster""".stripMargin,
 
     "get_top_users" ->
@@ -249,10 +248,19 @@ object ClickstreamOps {
         |ORDER BY counts DESC, user_id, event_type LIMIT 10""".stripMargin),
 
     "get_events_by_cluster" ->
-      """WITH by_sec AS (
-        |  SELECT date_trunc('second', ts) AS second_ts,
-        |         event_id % 20 AS cluster, count(*) AS count_values
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      """WITH centers AS (
+        |  SELECT i AS cid, i * 5.0 AS c1, i * 12.5 AS c2
+        |  FROM (SELECT unnest(range(0, 20)) AS i)),
+        |best AS (
+        |  SELECT e.event_id, e.ts, c.cid,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           ((e.user_id % 100) - c.c1) * ((e.user_id % 100) - c.c1)
+        |             + (e.value - c.c2) * (e.value - c.c2), c.cid) AS rn
+        |  FROM events e CROSS JOIN centers c WHERE e.value IS NOT NULL),
+        |by_sec AS (
+        |  SELECT date_trunc('second', ts) AS second_ts, cid AS cluster,
+        |         count(*) AS count_values
+        |  FROM best WHERE rn = 1 GROUP BY 1, 2)
         |SELECT cluster, CAST(sum(count_values) AS BIGINT) AS counts FROM by_sec
         |WHERE second_ts >= (SELECT date_trunc('second', max(ts)) FROM events)
         |                   - INTERVAL 60 SECOND

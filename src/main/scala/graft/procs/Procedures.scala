@@ -36,28 +36,24 @@ object Procedures {
     rows.headOption
   }
 
-  private def evBySecond(s: SparkSession, dir: String) =
-    Tables.events(s, dir)
-      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("user_id"))
-      .agg(count(lit(1)).as("count_values"))
-
   private def asOf(s: SparkSession, dir: String) =
     Tables.events(s, dir).agg(date_trunc("second", max(col("ts"))).as("asof_ts"))
 
-  /** GetTopUsers(seconds, limit) — GetTopUsers.java:26-31. */
+  /** GetTopUsers(seconds, limit) — GetTopUsers.java:26-31. Reads the
+    * A4 per-second view (ClickstreamOps.eventsBySecond, the single
+    * definition of that tier). */
   def getTopUsers(s: SparkSession, dir: String, seconds: Int, limit: Int): DataFrame =
-    evBySecond(s, dir)
+    graft.operators.ClickstreamOps.eventsBySecond(s, dir)
       .crossJoin(broadcast(asOf(s, dir)))
       .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
       .groupBy("user_id").agg(sum("count_values").as("counts"))
       .orderBy(col("counts").desc, col("user_id"))
       .limit(limit)
 
-  /** GetTopDests(seconds, limit) — db/ddl.sql:161-166. */
+  /** GetTopDests(seconds, limit) — db/ddl.sql:161-166; reads the A5
+    * per-second view. */
   def getTopDests(s: SparkSession, dir: String, seconds: Int, limit: Int): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("event_type"))
-      .agg(count(lit(1)).as("count_values"))
+    graft.operators.ClickstreamOps.destsBySecond(s, dir)
       .crossJoin(broadcast(asOf(s, dir)))
       .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
       .groupBy("event_type").agg(sum("count_values").as("counts"))
@@ -79,9 +75,13 @@ object Procedures {
       .agg(count(lit(1)).as("counts"))
       .orderBy(col("counts").desc, col("user_id"), col("event_type")).limit(limit)
 
-  /** GetEventsByCluster(seconds) — db/ddl.sql:168-173. */
+  /** GetEventsByCluster(seconds) — db/ddl.sql:168-173: windowed re-agg
+    * over the events_by_cluster view (A6: scored events only, cluster
+    * IS NOT NULL ≙ value present). Shares the scored-cluster definition
+    * with ClickstreamOps' `ev_by_cluster`. */
   def getEventsByCluster(s: SparkSession, dir: String, seconds: Int): DataFrame =
     Tables.events(s, dir)
+      .filter(col("value").isNotNull)
       .select(col("ts"),
         MLOps.scoreExpr(MLOps.literalCenterSeq,
           (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
@@ -99,16 +99,16 @@ object Procedures {
     * written completely and committed by an atomic pointer swap, so a
     * crash mid-delete leaves the old store fully live. */
   def deleteAfterDate(s: SparkSession, storeRoot: String, cutoffMicros: Long): Long = {
-    val df = graft.sources.VersionedStore.read(s, storeRoot).cache()
-    try {
-      val deleted = expectScalarLong(
-        df.filter(unix_micros(col("ts")) <= cutoffMicros)
-          .agg(count(lit(1)).cast(LongType)))
-      val kept = df.filter(unix_micros(col("ts")) > cutoffMicros)
-      graft.sources.VersionedStore.publish(kept, storeRoot)
-      graft.sources.VersionedStore.vacuum(storeRoot)
-      deleted
-    } finally df.unpersist()
+    // no cache needed: the versioned layout pins an immutable snapshot,
+    // so the count and the kept-rows rewrite both re-scan stable files
+    val df = graft.sources.VersionedStore.read(s, storeRoot)
+    val deleted = expectScalarLong(
+      df.filter(unix_micros(col("ts")) <= cutoffMicros)
+        .agg(count(lit(1)).cast(LongType)))
+    val kept = df.filter(unix_micros(col("ts")) > cutoffMicros)
+    graft.sources.VersionedStore.publish(kept, storeRoot)
+    graft.sources.VersionedStore.vacuum(storeRoot)
+    deleted
   }
 
   /** DeleteOldestToTarget(maxRows) — DeleteOldestToTarget.java:49-61:
@@ -154,10 +154,7 @@ object Procedures {
   /** TruncateDsa — clear the staging model dir (db/ddl.sql:23-29). */
   def truncateDsa(s: SparkSession, stagingDir: String): Unit = {
     val d = new java.io.File(stagingDir)
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
-    }
-    if (d.exists()) del(d)
+    if (d.exists()) graft.sources.VersionedStore.deleteRecursive(d)
   }
 
   /** LoadDsa — atomically replace the live centers with staging,

@@ -71,7 +71,9 @@ object VersionedStore {
     dropped.map(_.getName).toSeq.sorted
   }
 
-  private def deleteRecursive(f: java.io.File): Unit = {
+  /** Shared recursive delete (also used by retention and staging
+    * truncation — one implementation for all store maintenance). */
+  def deleteRecursive(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
     f.delete()
   }

@@ -77,12 +77,7 @@ object Retention {
     val dropped = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
       .filter(f => f.getName.split("=", 2)(1) < minKeepBucket)
-    dropped.foreach(deleteRecursive)
+    dropped.foreach(graft.sources.VersionedStore.deleteRecursive)
     dropped.map(_.getName).toSeq.sorted
-  }
-
-  private def deleteRecursive(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
-    f.delete()
   }
 }

@@ -35,13 +35,16 @@ object SessionDedup {
   /** Pure gap rule (NewEvent.java:40-42): given the previous session
     * last-ts (None at cold start) and this batch's event times in
     * order, returns which events open sessions plus the new last-ts.
-    * Every event — emitted or suppressed — refreshes last-ts. */
+    * Every event — emitted or suppressed — refreshes last-ts, but it
+    * can only move FORWARD (the reference's last_ts is MAX(ts),
+    * db/ddl.sql:110): a late event processed after a newer one must
+    * not rewind the horizon and spuriously re-open the session. */
   def sessionStarts(prev: Option[Long], ts: Seq[Long],
                     gap: Long = GapMicros): (Seq[Boolean], Option[Long]) = {
     var last = prev
     val flags = ts.map { t =>
       val emit = last.forall(l => t - l > gap)
-      last = Some(t)
+      last = Some(last.fold(t)(math.max(_, t)))
       emit
     }
     (flags, last)
@@ -72,10 +75,12 @@ object SessionDedup {
             lastOpt.foreach { last =>
               state.update(SessionState(last))
               // evict state once the watermark passes last_ts + gap;
+              // ceil the µs→ms conversion (floor could evict up to
+              // 1 ms early and emit an event whose gap is <= 30 s);
               // clamp above the current watermark — for very late
               // events last+gap can already be behind it, and Spark
               // rejects (kills the query on) a timeout <= watermark
-              val target = (last / 1000) + GapMicros / 1000
+              val target = Math.floorDiv(last + 999, 1000) + GapMicros / 1000
               val floor = state.getCurrentWatermarkMs() + 1
               state.setTimeoutTimestamp(math.max(target, floor))
             }

@@ -55,6 +55,17 @@ class SessionGapPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("out-of-order event must not rewind last-ts (reference last_ts is MAX(ts))") {
+    val s100 = 100L * 1000000
+    // state says last=100s; a 5s-late event (95s) arrives, then 126s.
+    // 126s is within 30s of the TRUE horizon (100s) → suppressed; the
+    // late event must not have rewound the horizon to 95s.
+    val (flags, last) = SessionDedup.sessionStarts(
+      Some(s100), Seq(95L * 1000000, 126L * 1000000))
+    assert(flags == Seq(false, false), s"got $flags")
+    assert(last.contains(126L * 1000000))
+  }
+
   test("boundary: gap exactly 30s suppresses; 30s+1µs opens (NewEvent.java:41 <=)") {
     val t0 = 1700000000000000L
     val (f1, _) = SessionDedup.sessionStarts(None, Seq(t0, t0 + gap))
