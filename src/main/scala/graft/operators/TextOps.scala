@@ -61,14 +61,17 @@ object TextOps {
     // a min-shingle-hash fingerprint (winnowing-style: min over the
     // 3-word-shingle hash set survives local edits elsewhere in the doc)
     "doc_fingerprint" -> ((s, d) => {
+      // min-shingle-hash via explode + groupBy-min: each md5 runs once
+      // inside codegen, instead of an interpreted per-row transform
+      // lambda building a 60-element md5 array per document
+      val base = docs(s, d)
+      val minShingle = DedupOps.shingles(base)
+        .groupBy("doc_id").agg(min(md5(col("g"))).as("msf"))
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
-      val sh = expr(
-        """transform(sequence(1, greatest(size(split(text, ' ', -1)) - 2, 1)),
-          |  i -> md5(concat_ws(' ', slice(split(text, ' ', -1), i, 3))))""".stripMargin)
-      docs(s, d)
+      base
+        .join(minShingle, Seq("doc_id"), "left")
         .select(col("doc_id"), md5(norm).as("fp"),
-          array_min(when(size(split(col("text"), " ", -1)) >= 3, sh)
-            .otherwise(array(md5(col("text"))))).as("min_shingle_fp"))
+          coalesce(col("msf"), md5(col("text"))).as("min_shingle_fp"))
         .orderBy("doc_id")
     })
   )
