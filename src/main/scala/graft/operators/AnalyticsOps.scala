@@ -81,6 +81,15 @@ object AnalyticsOps {
         .limit(20)
     }),
 
+    // calendar-part breakdown (date-part extraction functions)
+    "hourly_activity" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m", "h")),
+
     // TPC-H Q6-shaped: tightly-filtered revenue sum (the pushdown
     // showcase — every predicate reaches the scan)
     "q6_revenue_delta" -> ((s, d) =>
@@ -182,6 +191,11 @@ object AnalyticsOps {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "hourly_activity" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        |       CAST(hour(ts) AS BIGINT) AS h, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY y, m, h""".stripMargin,
 
     "q6_revenue_delta" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
