@@ -37,10 +37,14 @@ object Bench {
       // a failed query must not masquerade as a fast one: report -1
       name -> (if (ok) dt else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // keep the JSON line compact (3-decimal timings): the driver keeps
+    // only a bounded tail of the output, and a 90-query line at full
+    // double precision overflows it and fails to parse
+    def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,12 +39,16 @@ object ApproxOps {
              approx_count_distinct(col("l_suppkey")).as("approx_supps"))
         .orderBy("l_returnflag")),
 
-    // approximate percentile sketch — rows-only; accuracy spec vs exact
+    // approximate percentile sketch — rows-only; accuracy spec vs exact.
+    // Scalar columns (not array<double>): the driver's pandas compare
+    // sorts every column for hashing and an ndarray cell is unhashable.
     "approx_percentile_value" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
-          .as("value_quantiles"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("p50_value"),
+          expr("approx_percentile(value, 0.9, 1000)").as("p90_value"),
+          expr("approx_percentile(value, 0.99, 1000)").as("p99_value"))
         .orderBy("event_type"))
   )
 
