@@ -34,7 +34,10 @@ object SparkEntry {
       IngestOps.queries ++
       ApproxOps.queries ++
       RelationalOps2.queries ++
+      RelationalOps3.queries ++
       TextOps2.queries ++
+      TextOps3.queries ++
+      SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
       SetOps.queries ++
@@ -57,7 +60,10 @@ object SparkEntry {
       IngestOps.oracles ++
       ApproxOps.oracles ++
       RelationalOps2.oracles ++
+      RelationalOps3.oracles ++
       TextOps2.oracles ++
+      TextOps3.oracles ++
+      SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
       SetOps.oracles

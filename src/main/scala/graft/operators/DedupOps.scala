@@ -180,6 +180,7 @@ object DedupOps {
       prevSum = sum
       iter += 1
     }
+    System.err.println(s"[cc] converged=$converged iters=$iter")
     // returning partially-propagated labels would silently split real
     // components — refuse instead (diameter > maxIters means the caller
     // should raise the bound or switch to large-star/small-star)

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search tranche 2: the k-NN JOIN (a batch of query
+  * vectors, not one) and per-label centroid similarity — both
+  * oracle-checked via the quantized-integer discipline of
+  * [[DedupOps.quantized]] (exact, associative, engine-independent).
+  *
+  * Scale notes (100 TB): the k-NN join broadcasts the QUERY side (small
+  * by construction) against the corpus scan and reduces per query with
+  * a bounded top-k window — corpus-side work is one pass, no corpus
+  * self-join. Centroid similarity is two hash aggregations (per-label
+  * sums, then per-vector dot) — the (label, dim) key count is tiny, so
+  * the second join broadcasts.
+  */
+object SimilarityOps2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // k-NN join: top-3 cosine neighbors for EACH of the 5 query vectors
+    // (vec_id < 5) — exact quantized math, query side broadcast
+    "knn_join_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      val q = DedupOps.quantized(Tables.embeddings(s, d))
+      val queries = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("n").as("nq"))
+      val scored = q.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("q"), col("qq")))
+        .withColumn("sim", col("dot") / sqrt((col("n") * col("nq")).cast("double")))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("qid", "vec_id", "sim", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    // per-vector cosine to its own label's centroid (cluster coherence
+    // scoring). Centroid = per-(label,dim) integer SUM — cosine against
+    // the sum equals cosine against the mean, so no division ever
+    // enters the integer path.
+    "label_centroid_sim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+            .as(Seq("i", "x")))
+      val cent = e.groupBy("label", "i").agg(sum("x").as("cs"))
+      val cnorm = cent.groupBy("label")
+        .agg(sum(col("cs") * col("cs")).as("nc"))
+      val joined = e.join(cent, Seq("label", "i"))
+      val perVec = joined.groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("cs")).as("dot"),
+          sum(col("x") * col("x")).as("nv"))
+      perVec.join(cnorm, "label")
+        .select(col("vec_id"), col("label"),
+          (col("dot").cast("double") /
+            (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+            .as("cos_centroid"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_join_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS dot
+        |  FROM e JOIN e q ON e.i = q.i
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT qid, dots.vec_id,
+        |         CAST(dot AS DOUBLE)
+        |           / sqrt(CAST(nv.n * nq.n AS DOUBLE)) AS sim
+        |  FROM dots
+        |  JOIN norms nv ON nv.vec_id = dots.vec_id
+        |  JOIN norms nq ON nq.vec_id = qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims)
+        |SELECT qid, vec_id, sim, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "label_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, sum(x) AS cs FROM e GROUP BY label, i),
+        |cnorm AS (SELECT label, sum(cs * cs) AS nc FROM cent GROUP BY label),
+        |pv AS (
+        |  SELECT e.vec_id, e.label, sum(e.x * cent.cs) AS dot,
+        |         sum(e.x * e.x) AS nv
+        |  FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i
+        |  GROUP BY 1, 2)
+        |SELECT pv.vec_id, pv.label,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos_centroid
+        |FROM pv JOIN cnorm ON pv.label = cnorm.label
+        |ORDER BY pv.vec_id""".stripMargin
+  )
+}

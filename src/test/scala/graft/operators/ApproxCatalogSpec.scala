@@ -19,17 +19,18 @@ class ApproxCatalogSpec extends SparkSpec {
   }
 
   test("approx_percentile brackets the exact percentile") {
+    // scalar p50/p90/p99 columns (the array shape broke the driver's
+    // pandas compare — ndarray cells are unhashable)
     val rows = ApproxOps.queries("approx_percentile_value")(spark, sf).collect()
     assert(rows.length == 5)
     rows.foreach { r =>
-      val qs = r.getSeq[Double](1)
-      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2),
-        s"quantiles must be monotone: $qs")
+      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 <= p90 && p90 <= p99, s"quantiles must be monotone: $r")
     }
     val exactP50 = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
       .agg(expr("percentile(value, 0.5)")).collect()(0).getDouble(0)
-    val approxP50 = rows.find(_.getString(0) == "click").get.getSeq[Double](1)(0)
+    val approxP50 = rows.find(_.getString(0) == "click").get.getDouble(1)
     assert(math.abs(approxP50 - exactP50) / math.max(exactP50, 1.0) < 0.1,
       s"approx p50 $approxP50 vs exact $exactP50")
   }
