@@ -85,13 +85,47 @@ object MediaOps {
       mediaTable(s, d).toDF()
         .select(col("media_id"), col("kind"),
           length(col("payload")).cast("long").as("byte_len"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // frame sampling: treat each payload as a "video" whose duration
+    // and fps derive from its metadata bytes (deterministic stand-ins
+    // for real container headers); emit one row per sampled frame at a
+    // 2-frame stride. The generate/explode plumbing — one input row →
+    // bounded frame rows, schema'd (media_id, frame_no, byte_off) — is
+    // the real contract; a decoder swaps in for the arithmetic.
+    // Oracle-checked (integer math only). Scale: explode is map-side
+    // (no shuffle); frames-per-row is bounded by the metadata, so task
+    // output stays proportional to input.
+    "media_frame_sample" -> ((s, d) =>
+      mediaTable(s, d).toDF()
+        .select(col("media_id"), col("kind"), col("payload"),
+          // fake header fields: n_frames in [1,64], frame size in bytes
+          (pmod(ascii(substring(hex(col("payload")), 1, 1)), lit(64)) + 1)
+            .cast("long").as("n_frames"),
+          (length(col("payload")) * 4).cast("long").as("frame_bytes"))
+        .select(col("media_id"), col("kind"), col("n_frames"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(2 AS BIGINT))")).as("frame_no"),
+          col("frame_bytes"))
+        .withColumn("byte_off", col("frame_no") * col("frame_bytes"))
+        .select("media_id", "kind", "frame_no", "byte_off")
+        .orderBy("media_id", "frame_no"))
   )
 
   val oracles: Map[String, String] = Map(
     "media_payload_len" ->
       """SELECT doc_id AS media_id, 'img/' || source AS kind,
         |       octet_length(unhex(md5(text))) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 'img/' || source AS kind,
+        |         ascii(substr(upper(md5(text)), 1, 1)) % 64 + 1 AS n_frames,
+        |         octet_length(unhex(md5(text))) * 4 AS frame_bytes
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |       unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS frame_no,
+        |       unnest(range(0, CAST(n_frames AS BIGINT), 2)) * frame_bytes AS byte_off
+        |FROM m ORDER BY media_id, frame_no""".stripMargin
   )
 }
