@@ -35,6 +35,7 @@ object SparkEntry {
       ApproxOps.queries ++
       RelationalOps2.queries ++
       RelationalOps3.queries ++
+      RelationalOps4.queries ++
       TextOps2.queries ++
       TextOps3.queries ++
       SimilarityOps2.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       ApproxOps.oracles ++
       RelationalOps2.oracles ++
       RelationalOps3.oracles ++
+      RelationalOps4.oracles ++
       TextOps2.oracles ++
       TextOps3.oracles ++
       SimilarityOps2.oracles ++

@@ -162,7 +162,11 @@ object DedupOps {
       .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
       .repartition(p, col("src"))
       .localCheckpoint(true)
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    // iterate ONLY over vertices that appear in the edge set — near-dup
+    // graphs are tiny next to the corpus, and singletons can't change
+    // label; they rejoin (label = own id) after the fixpoint
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .repartition(p, col("doc_id"))
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
@@ -186,7 +190,9 @@ object DedupOps {
     // should raise the bound or switch to large-star/small-star)
     require(converged,
       s"connectedComponents did not converge in $maxIters iterations")
-    labels
+    vertices.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -251,8 +257,9 @@ object DedupOps {
 
     // near-dup GROUPS: connected components of the jaccard>=0.5 pair
     // graph — each doc mapped to its component's min doc_id (the
-    // canonical survivor). Rows-only (iterative); validated against a
-    // driver-side union-find in DedupSpec.
+    // canonical survivor). Oracle-checked via a DuckDB recursive-CTE
+    // transitive closure; also validated against a driver-side
+    // union-find in DedupSpec.
     "dedup_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = jaccardPairs(docs).filter(col("j") >= 0.5).select("da", "db")
@@ -316,6 +323,33 @@ object DedupOps {
         |FROM documents d
         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same jaccard pipeline as dedup_ngram_jaccard, then connected
+    // components as a recursive transitive closure (UNION dedups across
+    // iterations → terminates); cluster id = min reachable doc_id.
+    // Feasible for the oracle because near-dup components are tiny.
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT da, db
+        |        FROM inter
+        |        JOIN sizes sa ON sa.doc_id = da
+        |        JOIN sizes sb ON sb.doc_id = db
+        |        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM jac
+        |          UNION ALL SELECT db, da FROM jac),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+        |SELECT a AS doc_id, min(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_near" ->
       """WITH e AS (

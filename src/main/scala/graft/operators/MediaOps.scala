@@ -67,8 +67,9 @@ object MediaOps {
   }
 
   val queries: Map[String, Q] = Map(
-    // decode + per-kind metadata stats — rows-only (decode stub is not
-    // SQL-expressible; determinism spec-tested)
+    // decode + per-kind metadata stats — oracle-checked: the stub's
+    // byte arithmetic is re-derived in SQL from md5 hex chars, proving
+    // the partition-batched decode output aggregates exactly
     "media_decode_stats" -> ((s, d) =>
       decodeAll(mediaTable(s, d)).toDF()
         .groupBy("kind")
@@ -112,6 +113,30 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // decode parity: payload bytes are md5(text); byte k of the digest
+    // is the hex pair at chars 2k+1..2k+2, reconstructed with ascii
+    // arithmetic (DuckDB 1.0 has no hex→int cast). width = 16 + b0*4,
+    // height = 16 + b1*4 mirror FakeDecoder exactly; every payload is
+    // 16 bytes so ok is always true.
+    "media_decode_stats" ->
+      """WITH m AS (SELECT 'img/' || source AS kind, md5(text) AS h FROM documents),
+        |hx AS (SELECT kind,
+        |  ascii(substr(h, 1, 1)) AS a1, ascii(substr(h, 2, 1)) AS a2,
+        |  ascii(substr(h, 3, 1)) AS a3, ascii(substr(h, 4, 1)) AS a4
+        |  FROM m),
+        |b AS (SELECT kind,
+        |  (CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
+        |    + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END) AS b0,
+        |  (CASE WHEN a3 >= 97 THEN a3 - 87 ELSE a3 - 48 END) * 16
+        |    + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END) AS b1
+        |  FROM hx)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) * 16 AS BIGINT) AS total_bytes,
+        |       CAST(sum(16 + b0 * 4) AS BIGINT) AS width_sum,
+        |       CAST(sum(16 + b1 * 4) AS BIGINT) AS height_sum,
+        |       CAST(count(*) AS BIGINT) AS n_ok
+        |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+
     "media_payload_len" ->
       """SELECT doc_id AS media_id, 'img/' || source AS kind,
         |       octet_length(unhex(md5(text))) AS byte_len

@@ -75,6 +75,17 @@ object SetOps {
       Tables.documents(s, d).sample(withReplacement = false, 0.2, seed = 42L)
         .select("doc_id").orderBy("doc_id")),
 
+    // content-hash sampling: keep a doc iff its first md5 byte ≡ 0
+    // (mod 5) — a ~20% sample that is a pure function of content, so
+    // it is reproducible across engines, partitionings, and cluster
+    // sizes (seeded .sample is partitioning-dependent and would drift
+    // on a 1000-executor re-shard). Oracle-checked.
+    "sample_docs_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(conv(substring(md5(col("text")), 1, 2), 16, 10)
+          .cast("int") % 5 === 0)
+        .select("doc_id").orderBy("doc_id")),
+
     // regexp group extraction (the non-JSON path to the props payload)
     "regexp_extract_props" -> ((s, d) =>
       Tables.events(s, d)
@@ -176,6 +187,15 @@ object SetOps {
         |            AS BIGINT) AS shared_words
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+
+    "sample_docs_hash" ->
+      """WITH m AS (SELECT doc_id,
+        |  ascii(substr(md5(text), 1, 1)) AS a1,
+        |  ascii(substr(md5(text), 2, 1)) AS a2 FROM documents)
+        |SELECT doc_id FROM m
+        |WHERE ((CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
+        |     + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END)) % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "regexp_extract_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k,
