@@ -88,6 +88,24 @@ object MediaOps {
           length(col("payload")).cast("long").as("byte_len"))
         .orderBy("media_id")),
 
+    // resize planning: aspect-preserving target dims (long side → 256,
+    // never upscale) computed from the decoded metadata — the pure
+    // relational half of an image-resize stage (the pixel transform
+    // itself is the decoder stub's swap-in point). Integer math only →
+    // oracle-checked via the same md5 hex-char derivation.
+    "media_resize_dims" -> ((s, d) =>
+      decodeAll(mediaTable(s, d)).toDF()
+        .withColumn("long_side", greatest(col("width"), col("height")))
+        .withColumn("scale_num", when(col("long_side") > 256, lit(256)).otherwise(col("long_side")))
+        .select(col("media_id"), col("width"), col("height"),
+          // explicit floor() on BOTH engines: Spark's double→long cast
+          // truncates but DuckDB's rounds — floor makes them agree
+          floor(col("width").cast("long") * col("scale_num") / col("long_side"))
+            .cast("long").as("out_w"),
+          floor(col("height").cast("long") * col("scale_num") / col("long_side"))
+            .cast("long").as("out_h"))
+        .orderBy("media_id")),
+
     // frame sampling: treat each payload as a "video" whose duration
     // and fps derive from its metadata bytes (deterministic stand-ins
     // for real container headers); emit one row per sampled frame at a
@@ -141,6 +159,27 @@ object MediaOps {
       """SELECT doc_id AS media_id, 'img/' || source AS kind,
         |       octet_length(unhex(md5(text))) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_resize_dims" ->
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        |hx AS (SELECT media_id,
+        |  ascii(substr(h, 1, 1)) AS a1, ascii(substr(h, 2, 1)) AS a2,
+        |  ascii(substr(h, 3, 1)) AS a3, ascii(substr(h, 4, 1)) AS a4
+        |  FROM m),
+        |wh AS (SELECT media_id,
+        |  16 + ((CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
+        |      + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END)) * 4 AS width,
+        |  16 + ((CASE WHEN a3 >= 97 THEN a3 - 87 ELSE a3 - 48 END) * 16
+        |      + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END)) * 4 AS height
+        |  FROM hx),
+        |sc AS (SELECT media_id, width, height,
+        |  greatest(width, height) AS long_side,
+        |  least(greatest(width, height), 256) AS scale_num
+        |  FROM wh)
+        |SELECT media_id, width, height,
+        |  CAST(floor(width * scale_num * 1.0 / long_side) AS BIGINT) AS out_w,
+        |  CAST(floor(height * scale_num * 1.0 / long_side) AS BIGINT) AS out_h
+        |FROM sc ORDER BY media_id""".stripMargin,
 
     "media_frame_sample" ->
       """WITH m AS (

@@ -30,8 +30,51 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     "GetEventsByCluster" -> (a => tier.getEventsByCluster(a(0).toInt))
   )
 
-  /** Re-materialize the view tier (e.g. after new data lands). */
-  def refresh(): Unit = tier.refresh()
+  /** Driver-side result cache keyed by (procedure, args). The dashboard
+    * polls the same five top-k calls at 1 Hz (`web/js/voltdb-dashboard
+    * .js:50-75`); even over the cached view tier each call pays Spark's
+    * job-launch latency (~150-400 ms). The rendered JSON payload is
+    * tiny (top-10 rows), so the right serving design is: compute on
+    * first request, serve every repeat from driver memory (sub-ms), and
+    * recompute the working set when `refresh()` lands new data — the
+    * same staleness contract as the reference's 1-second view refresh.
+    * Bounded (drops all entries past `maxCacheEntries` on refresh) so
+    * ad-hoc param sweeps can't grow driver memory without limit. */
+  private val maxCacheEntries = 256
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), String]()
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (hits, misses) since start — observability + spec hook. */
+  def cacheStats: (Long, Long) = (hitCount.get(), missCount.get())
+
+  private def render(proc: String, args: Seq[String]): String = {
+    val rows = registry(proc)(args).toJSON.collect()
+    rows.mkString("""{"status":1,"results":[""", ",", "]}")
+  }
+
+  private def cached(proc: String, args: Seq[String]): String = {
+    val key = (proc, args)
+    val hit = cache.get(key)
+    if (hit != null) { hitCount.incrementAndGet(); hit }
+    else {
+      missCount.incrementAndGet()
+      val payload = render(proc, args)
+      if (cache.size < maxCacheEntries) cache.put(key, payload)
+      payload
+    }
+  }
+
+  /** Re-materialize the view tier (e.g. after new data lands), then
+    * recompute the cached working set against the new tier so readers
+    * never see pre-refresh results after refresh() returns. */
+  def refresh(): Unit = {
+    tier.refresh()
+    val keys = new java.util.ArrayList(cache.keySet())
+    cache.clear()
+    keys.forEach { case (proc, args) => cache.put((proc, args), render(proc, args)) }
+  }
 
   /** JSON string escaping for error payloads (quotes, backslashes, and
     * control chars — Spark exception messages are multi-line). */
@@ -58,12 +101,11 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       registry.get(proc) match {
         case None => (404,
           s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$proc'")}}""")
-        case Some(fn) =>
+        case Some(_) =>
           val args = params.getOrElse("Parameters", "[]")
             .stripPrefix("[").stripSuffix("]")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          val rows = fn(args).toJSON.collect()
-          (200, rows.mkString("""{"status":1,"results":[""", ",", "]}"))
+          (200, cached(proc, args))
       }
     } catch {
       case e: Exception =>

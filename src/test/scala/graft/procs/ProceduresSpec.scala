@@ -114,4 +114,32 @@ class ProceduresSpec extends SparkSpec {
       assert(bad.statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("driver-side result cache serves repeat dashboard calls from memory") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(url: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val url = s"http://127.0.0.1:$port/api/1.0/?Procedure=GetTopUsers&Parameters=%5B60,5%5D"
+      val first = get(url)
+      assert(first.statusCode() == 200)
+      val t0 = System.nanoTime()
+      val second = get(url)
+      val warmMs = (System.nanoTime() - t0) / 1e6
+      // identical payload, served from the driver cache without a job
+      assert(second.body() == first.body())
+      assert(srv.cacheStats == ((1L, 1L)), s"expected 1 hit 1 miss, got ${srv.cacheStats}")
+      // generous bound: a cache hit is HTTP + map lookup, never a Spark
+      // job (cold calls are 100ms+ even on the cached tier)
+      assert(warmMs < 50, s"warm call took ${warmMs}ms — not served from cache?")
+      // refresh recomputes the cached working set against the new tier
+      srv.refresh()
+      val third = get(url)
+      assert(third.body() == first.body()) // same data dir → same result
+      assert(srv.cacheStats._1 == 2L, "post-refresh call should still be a cache hit")
+    } finally srv.stop()
+  }
 }
