@@ -38,6 +38,7 @@ object SparkEntry {
       RelationalOps4.queries ++
       TextOps2.queries ++
       TextOps3.queries ++
+      TextOps4.queries ++
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       RelationalOps4.oracles ++
       TextOps2.oracles ++
       TextOps3.oracles ++
+      TextOps4.oracles ++
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++

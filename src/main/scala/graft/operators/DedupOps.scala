@@ -195,6 +195,67 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds instead of the min-label
+    * propagation's O(diameter) — the scale path for long-chain graphs
+    * (min-label stays the default for near-dup graphs, whose diameter
+    * is tiny; spec asserts both produce identical components).
+    *
+    * large-star: every node points its LARGER neighbors at the minimum
+    * of its neighborhood (keeps edges to smaller nodes intact);
+    * small-star: every node points its smaller-or-equal neighbors at
+    * the neighborhood minimum. Fixpoint = a star forest: every node
+    * linked directly to its component's minimum. */
+  def connectedComponentsStar(vertices: DataFrame, pairs: DataFrame,
+                              maxIters: Int = 30): DataFrame = {
+    val p = 8
+    def neighborhoodMin(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy("src")
+        .agg(least(min(col("dst")), col("src").cast("long")).as("m"))
+    // canonical undirected edge orientation (src > dst), self-loops out
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    var edges = canon(pairs.select(col("da").as("src"), col("db").as("dst")))
+      .repartition(p, col("src"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (iter < maxIters && !done) {
+      // large-star: (v, m(u)) for v ∈ N(u), v > u — with edges oriented
+      // src > dst this is src pointed at min over u = dst's neighborhood
+      val lsMin = neighborhoodMin(edges)
+      val large = canon(edges
+        .join(lsMin.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("m").as("dst")))
+      // small-star: (v, m(u)) for v ≤ u, v ∈ N(u) ∪ {u}
+      val ssMin = neighborhoodMin(large)
+      val small = canon(large
+        .join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(large.join(ssMin, "src").select(col("src"), col("m").as("dst"))))
+        .repartition(p, col("src"))
+        .localCheckpoint(true)
+      // fixpoint when the canonical edge set is unchanged: compare a
+      // cheap order-independent digest (count + sum of key pairs)
+      val dOld = edges.agg(count(lit(1)), sum(col("src") * 31 + col("dst"))).collect()(0)
+      val dNew = small.agg(count(lit(1)), sum(col("src") * 31 + col("dst"))).collect()(0)
+      done = dOld == dNew &&
+        edges.exceptAll(small).isEmpty // digest collision guard: exact check
+      edges = small
+      iter += 1
+    }
+    System.err.println(s"[cc-star] converged=$done iters=$iter")
+    require(done, s"connectedComponentsStar did not converge in $maxIters iterations")
+    // star forest: every non-root points at its component min
+    vertices.select(col("doc_id"))
+      .join(edges.select(col("src").as("doc_id"), col("dst").as("label")), Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(coalesce(min(col("label")), first(col("doc_id"))).as("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: canonical = min doc_id per identical text
     "dedup_exact" -> ((s, d) => {

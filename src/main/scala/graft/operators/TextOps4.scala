@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth text tranche: winnowing document fingerprints and the corpus
+  * Zipf curve. Both oracle-checked.
+  *
+  * Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) is the standard
+  * local fingerprinting scheme behind plagiarism/near-dup detection at
+  * corpus scale: hash every k-char gram, slide a w-gram window, keep
+  * each window's minimum hash — guarantees any match of length
+  * ≥ w+k-1 shares a fingerprint, with a fingerprint density of
+  * ~2/(w+1) instead of every position.
+  *
+  * Engine-parity trick: fingerprints stay fixed-width lowercase-hex
+  * STRINGS (md5 prefix), where lexicographic order equals numeric
+  * order — so `min` agrees across engines with no hex→int conversion.
+  *
+  * Scale: gram explosion is map-side; the window min runs per-doc
+  * (hash-partitioned by doc_id, never a global window); the output is
+  * one row per doc. At 100 TB the fingerprint set (≈ 2·L/(w+1) per
+  * doc) replaces the raw text in every downstream near-dup join.
+  */
+object TextOps4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5 // gram length (chars)
+  private val W = 8 // winnow window (grams)
+
+  val queries: Map[String, Q] = Map(
+    "doc_winnow_fingerprint" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= K + W - 1) // at least one full window
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, length(text) - $K + 1), " +
+            s"i -> substring(md5(CAST(substring(text, i, $K) AS BINARY)), 1, 8))"))
+          .as(Seq("pos", "h")))
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+      val perDoc = Window.partitionBy("doc_id")
+      grams
+        .withColumn("fp", min(col("h")).over(win))
+        .withColumn("n", count(lit(1)).over(perDoc))
+        .filter(col("pos") <= col("n") - W) // pos is 0-based: starts 0..n-W
+        .groupBy("doc_id")
+        .agg(countDistinct(col("fp")).as("n_fp"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus Zipf curve: frequency by rank for the top 100 word types —
+    // the standard sanity check on corpus token distributions
+    "zipf_curve" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("term"))
+      freq.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 100)
+        .select("rank", "term", "freq")
+        .orderBy("rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_winnow_fingerprint" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i,
+         |         substr(md5(substr(text, CAST(i AS INTEGER), $K)), 1, 8) AS h
+         |  FROM (SELECT doc_id, text,
+         |               unnest(range(1, length(text) - $K + 2)) AS i
+         |        FROM documents WHERE length(text) >= ${K + W - 1})),
+         |wmin AS (
+         |  SELECT doc_id, i,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp,
+         |         count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM g)
+         |SELECT doc_id, count(DISTINCT fp) AS n_fp,
+         |       min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM wmin WHERE i <= n - ${W - 1}
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "zipf_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (
+        |  SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, freq,
+        |         row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |  FROM freq)
+        |SELECT rank, term, freq FROM ranked
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin
+  )
+}

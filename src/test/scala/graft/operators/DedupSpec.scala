@@ -79,6 +79,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("large-star/small-star CC == min-label CC on the real pair graph and a long chain") {
+    import spark.implicits._
+    // the real near-dup graph (small components)
+    val verts = Tables.documents(spark, sf).select("doc_id")
+    val pairs = DedupOps.jaccardPairs(docs).filter(col("j") >= 0.5).select("da", "db")
+    val viaLabel = DedupOps.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = DedupOps.connectedComponentsStar(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaLabel)
+    // a 12-hop chain: diameter >> rounds — the case star-contraction
+    // exists for (converges in O(log n) rounds, not 12)
+    val chainV = (1L to 13L).toDF("doc_id")
+    val chainE = (1L to 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = DedupOps.connectedComponentsStar(chainV, chainE)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 13L).map(_ -> 1L).toMap)
+  }
+
   test("SimHashAgg sketch aggregate == 64-sum expression formulation, any partitioning") {
     val viaAgg = DedupOps.simhash(docs.repartition(7))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
