@@ -55,7 +55,8 @@ object Bench {
       "window_rank_orders", "asof_last_order", "range_join_error_window",
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_cluster", "ann_topk", "ann_lsh", "doc_token_count",
-      "word_freq_topk", "percentiles_exact")
+      "word_freq_topk", "percentiles_exact", "q4_order_priority",
+      "q14_promo_share", "doc_winnow_fingerprint", "media_frame_sample")
     System.err.println("[bench-full] " + jmap(results.toSeq.sortBy(_._1)))
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)

@@ -76,14 +76,28 @@ object DedupOps {
           (col("na") + col("nb") - coalesce(col("c"), lit(0L)))).as("jaccard"))
   }
 
+  /** Distinct 3-word shingles per doc, pre-hashed to longs inside the
+    * explode: the distinct + downstream shuffles carry 16-byte
+    * (doc_id, hash) rows instead of ~40-byte strings — the shuffle-size
+    * lever that matters at corpus scale. Only for the LSH path (a
+    * 64-bit collision merging two shingles is ~2^-64-rare and the path
+    * is candidate-generation, rerank re-verifies); the exact-jaccard
+    * oracle path keeps string shingles. */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))")).as("gh"))
+      .distinct()
+
   /** 64-permutation MinHash signature per doc (long array), via
-    * universal hashing over the murmur3 shingle hash. Deterministic
+    * universal hashing over the xxhash64 shingle hash. Deterministic
     * constants — no RNG (reproducible across runs/executors). */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame = {
     // prime modulus small enough that x*a+b never overflows a long even
     // under ANSI mode (x,a,b < p ⇒ x*a+b < 1e12+1e6)
     val p = 1000003L
-    val sh = shingles(docs).withColumn("x", pmod(xxhash64(col("g")), lit(p)))
+    val sh = hashedShingles(docs).withColumn("x", pmod(col("gh"), lit(p)))
     val mins = (0 until numPerm).map { i =>
       val a = ((2654435761L * (i + 1)) % (p - 1)) + 1
       val b = (2246822519L * (i + 7)) % p
