@@ -39,6 +39,22 @@ object ApproxOps {
              approx_count_distinct(col("l_suppkey")).as("approx_supps"))
         .orderBy("l_returnflag")),
 
+    // mergeable sketch TIER: one HLL sketch per (flag, ship-day) kept
+    // at rest, unioned at query time — the sketch analogue of the
+    // reference's per-second count tier (partials persisted, re-agg on
+    // demand). Union of register-wise maxes is LOSSLESS vs a single
+    // pass (spec-asserted), so the tier answers any day-range distinct
+    // query without rescanning facts. Rows-only (sketch internals are
+    // engine-specific); accuracy + mergeability spec-tested.
+    "hll_sketch_tier" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      daily.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     // approximate percentile sketch — rows-only; accuracy spec vs exact.
     // Scalar columns (not array<double>): the driver's pandas compare
     // sorts every column for hashing and an ndarray cell is unhashable.

@@ -18,6 +18,27 @@ class ApproxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch tier: daily-sketch union is lossless vs single-pass, and near exact") {
+    // mergeability: estimate(union(per-day sketches)) == estimate(one
+    // global sketch) EXACTLY — register-wise max is associative, the
+    // property that makes a persisted sketch tier correct at any
+    // re-aggregation granularity
+    val tiered = ApproxOps.queries("hll_sketch_tier")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiered == single, s"tier union must be lossless: $tiered vs $single")
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(tiered(k) - n).toDouble / n < 0.05,
+        s"$k: sketch ${tiered(k)} vs exact $n")
+    }
+  }
+
   test("approx_percentile brackets the exact percentile") {
     // scalar p50/p90/p99 columns (the array shape broke the driver's
     // pandas compare — ndarray cells are unhashable)
