@@ -127,6 +127,19 @@ object RelationalOps4 {
           add_months(to_date(col("o_orderdate")), 1).as("next_month"))
         .orderBy("o_orderkey")),
 
+    // predicate surface: LIKE / regex / IN-list / BETWEEN as pushable
+    // scan filters, counted per brand (conditional aggregation keeps
+    // the output tiny while every predicate class is exercised)
+    "predicate_surface" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(
+          sum(when(col("p_type").like("PRO%"), 1L).otherwise(0L)).as("n_promo"),
+          sum(when(col("p_name").rlike("[aeiou]{2}"), 1L).otherwise(0L)).as("n_vowel_pair"),
+          sum(when(col("p_size").isin(5, 10, 15, 20), 1L).otherwise(0L)).as("n_sized"),
+          sum(when(col("p_retailprice").between(500.0, 1500.0), 1L).otherwise(0L)).as("n_mid_price"))
+        .orderBy("p_brand")),
+
     // conditional/null scalar surface: least/greatest/nullif under
     // decimal-stable aggregation
     "conditional_funcs_agg" -> ((s, d) => {
@@ -216,6 +229,14 @@ object RelationalOps4 {
         |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
         |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "predicate_surface" ->
+      """SELECT p_brand,
+        |       CAST(sum(CASE WHEN p_type LIKE 'PRO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
+        |       CAST(sum(CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS n_vowel_pair,
+        |       CAST(sum(CASE WHEN p_size IN (5, 10, 15, 20) THEN 1 ELSE 0 END) AS BIGINT) AS n_sized,
+        |       CAST(sum(CASE WHEN p_retailprice BETWEEN 500.0 AND 1500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "conditional_funcs_agg" ->
       """SELECT l_returnflag,
