@@ -32,17 +32,19 @@ object TextOps4 {
 
   val queries: Map[String, Q] = Map(
     "doc_winnow_fingerprint" -> ((s, d) => {
+      // gram count n = length - K + 1 is derivable BEFORE the explode —
+      // carrying it as a column avoids a second whole-corpus Window
+      // pass that only counted rows per doc
       val grams = Tables.documents(s, d)
         .filter(length(col("text")) >= K + W - 1) // at least one full window
-        .select(col("doc_id"), posexplode(expr(
+        .withColumn("n", (length(col("text")) - K + 1).cast("long"))
+        .select(col("doc_id"), col("n"), posexplode(expr(
           s"transform(sequence(1, length(text) - $K + 1), " +
             s"i -> substring(md5(CAST(substring(text, i, $K) AS BINARY)), 1, 8))"))
           .as(Seq("pos", "h")))
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
-      val perDoc = Window.partitionBy("doc_id")
       grams
         .withColumn("fp", min(col("h")).over(win))
-        .withColumn("n", count(lit(1)).over(perDoc))
         .filter(col("pos") <= col("n") - W) // pos is 0-based: starts 0..n-W
         .groupBy("doc_id")
         .agg(countDistinct(col("fp")).as("n_fp"),
@@ -67,16 +69,15 @@ object TextOps4 {
   val oracles: Map[String, String] = Map(
     "doc_winnow_fingerprint" ->
       s"""WITH g AS (
-         |  SELECT doc_id, i,
+         |  SELECT doc_id, i, n,
          |         substr(md5(substr(text, CAST(i AS INTEGER), $K)), 1, 8) AS h
-         |  FROM (SELECT doc_id, text,
+         |  FROM (SELECT doc_id, text, length(text) - $K + 1 AS n,
          |               unnest(range(1, length(text) - $K + 2)) AS i
          |        FROM documents WHERE length(text) >= ${K + W - 1})),
          |wmin AS (
-         |  SELECT doc_id, i,
+         |  SELECT doc_id, i, n,
          |         min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |                      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp,
-         |         count(*) OVER (PARTITION BY doc_id) AS n
+         |                      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp
          |  FROM g)
          |SELECT doc_id, count(DISTINCT fp) AS n_fp,
          |       min(fp) AS min_fp, max(fp) AS max_fp
