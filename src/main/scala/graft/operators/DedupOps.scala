@@ -23,13 +23,21 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The ONE definition of a doc's 3-word shingle array (over the
+    * tokenized `w` column) — shared by the exact-jaccard path and the
+    * hashed LSH path so their shingle semantics can never diverge. */
+  private val gramArrayExpr =
+    "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= 3)
+
   /** Distinct 3-word shingles per doc: (doc_id, g). Short docs (<3
     * tokens) produce no shingles, matching the SQL oracle. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("g"))
+    tokenized(docs)
+      .select(col("doc_id"), explode(expr(gramArrayExpr)).as("g"))
       .distinct()
 
   /** All near-dup pairs (da < db) with exact Jaccard over shingle sets.
@@ -84,10 +92,9 @@ object DedupOps {
     * is candidate-generation, rerank re-verifies); the exact-jaccard
     * oracle path keeps string shingles. */
   def hashedShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-      .filter(size(col("w")) >= 3)
+    tokenized(docs)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> xxhash64(concat_ws(' ', slice(w, i, 3))))")).as("gh"))
+        s"transform($gramArrayExpr, g -> xxhash64(g))")).as("gh"))
       .distinct()
 
   /** 64-permutation MinHash signature per doc (long array), via
@@ -185,7 +192,10 @@ object DedupOps {
       .localCheckpoint(true)
     var prevSum = Long.MaxValue
     var iter = 0
-    var converged = false
+    // an empty pair graph is already converged (every doc is its own
+    // component); entering the loop would read sum(label) of an empty
+    // relation as NULL and NPE
+    var converged = labels.isEmpty
     while (iter < maxIters && !converged) {
       val nb = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("label"))
@@ -238,6 +248,7 @@ object DedupOps {
       .localCheckpoint(true)
     var iter = 0
     var done = edges.isEmpty
+    var prevDigest: org.apache.spark.sql.Row = null
     while (iter < maxIters && !done) {
       // large-star: (v, m(u)) for v ∈ N(u), v > u — with edges oriented
       // src > dst this is src pointed at min over u = dst's neighborhood
@@ -245,20 +256,24 @@ object DedupOps {
       val large = canon(edges
         .join(lsMin.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("m").as("dst")))
-      // small-star: (v, m(u)) for v ≤ u, v ∈ N(u) ∪ {u}
+      // small-star: (v, m(u)) for v ≤ u, v ∈ N(u) ∪ {u} — one join,
+      // both output rows emitted via explode so the join isn't
+      // evaluated twice
       val ssMin = neighborhoodMin(large)
-      val small = canon(large
-        .join(ssMin, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .unionAll(large.join(ssMin, "src").select(col("src"), col("m").as("dst"))))
+      val small = canon(large.join(ssMin, "src")
+        .select(explode(array(
+          struct(col("dst").as("s"), col("m").as("d")),
+          struct(col("src").as("s"), col("m").as("d")))).as("e"))
+        .select(col("e.s").as("src"), col("e.d").as("dst")))
         .repartition(p, col("src"))
         .localCheckpoint(true)
       // fixpoint when the canonical edge set is unchanged: compare a
-      // cheap order-independent digest (count + sum of key pairs)
-      val dOld = edges.agg(count(lit(1)), sum(col("src") * 31 + col("dst"))).collect()(0)
+      // cheap order-independent digest (count + sum of key pairs),
+      // carried across rounds so each edge set is digested once
       val dNew = small.agg(count(lit(1)), sum(col("src") * 31 + col("dst"))).collect()(0)
-      done = dOld == dNew &&
+      done = prevDigest != null && prevDigest == dNew &&
         edges.exceptAll(small).isEmpty // digest collision guard: exact check
+      prevDigest = dNew
       edges = small
       iter += 1
     }

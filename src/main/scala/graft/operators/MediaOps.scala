@@ -118,7 +118,10 @@ object MediaOps {
     "media_frame_sample" -> ((s, d) =>
       mediaTable(s, d).toDF()
         .select(col("media_id"), col("kind"), col("payload"),
-          // fake header fields: n_frames in [1,64], frame size in bytes
+          // fake header fields: n_frames = ascii(first hex char) % 64 + 1
+          // — hex chars are '0'-'9','A'-'F' so the actual value set is
+          // {49..58} ∪ {2..7}, not the full [1,64]; a real decoder
+          // replaces this arithmetic wholesale
           (pmod(ascii(substring(hex(col("payload")), 1, 1)), lit(64)) + 1)
             .cast("long").as("n_frames"),
           (length(col("payload")) * 4).cast("long").as("frame_bytes"))

@@ -14,17 +14,21 @@ import org.apache.spark.sql.types.DecimalType
   * oracle-checked against DuckDB.
   *
   * Scale notes: every query here is either a broadcast join on a dim
-  * (part), a partial-agg group-by, or a per-partition window keyed on
-  * a real partition column — nothing materializes an unkeyed global
-  * window over fact-table rows except via pre-aggregated daily tiers.
+  * (part), a partial-agg group-by, or a keyed window — nothing
+  * materializes an unkeyed global window over fact-table rows except
+  * via pre-aggregated daily tiers (window_ntile_quartiles' 5-value key
+  * is a function-surface test; see its inline note).
   */
 object RelationalOps4 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // distribution window functions, keyed per priority class (never a
-    // single global partition at scale); deterministic total order via
-    // the unique orderkey tiebreak
+    // distribution window functions; deterministic total order via the
+    // unique orderkey tiebreak. NOTE the partition key has only 5
+    // values — fine as a function-surface test, but at real fact scale
+    // a distribution window needs a higher-cardinality key (e.g.
+    // priority × month) or a two-pass rank-aggregate formulation;
+    // 1/5th of a 100 TB table in one window partition would spill
     "window_ntile_quartiles" -> ((s, d) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice"), col("o_orderkey"))

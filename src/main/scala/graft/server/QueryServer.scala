@@ -35,14 +35,17 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * .js:50-75`); even over the cached view tier each call pays Spark's
     * job-launch latency (~150-400 ms). The rendered JSON payload is
     * tiny (top-10 rows), so the right serving design is: compute on
-    * first request, serve every repeat from driver memory (sub-ms), and
-    * recompute the working set when `refresh()` lands new data — the
-    * same staleness contract as the reference's 1-second view refresh.
-    * Bounded (drops all entries past `maxCacheEntries` on refresh) so
-    * ad-hoc param sweeps can't grow driver memory without limit. */
+    * first request, serve every repeat from driver memory (sub-ms),
+    * and invalidate when `refresh()` lands new data (next call per key
+    * recomputes lazily — refresh never fans out Spark jobs itself).
+    * Entries are version-stamped: a render that started before a
+    * concurrent refresh() can't re-install its stale payload after the
+    * clear. Bounded at `maxCacheEntries` so ad-hoc param sweeps can't
+    * grow driver memory without limit (full ⇒ serve uncached). */
   private val maxCacheEntries = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), String]()
+  private val version = new java.util.concurrent.atomic.AtomicLong(0)
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -60,20 +63,25 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     if (hit != null) { hitCount.incrementAndGet(); hit }
     else {
       missCount.incrementAndGet()
+      val startVersion = version.get()
       val payload = render(proc, args)
-      if (cache.size < maxCacheEntries) cache.put(key, payload)
+      // only install if no refresh() ran while we rendered — a stale
+      // payload cached after the clear would be served until the NEXT
+      // refresh, breaking the freshness contract
+      if (version.get() == startVersion && cache.size < maxCacheEntries)
+        cache.put(key, payload)
       payload
     }
   }
 
-  /** Re-materialize the view tier (e.g. after new data lands), then
-    * recompute the cached working set against the new tier so readers
-    * never see pre-refresh results after refresh() returns. */
+  /** Re-materialize the view tier (e.g. after new data lands) and
+    * invalidate the result cache: after refresh() returns no reader
+    * sees a pre-refresh payload; each key recomputes on its next
+    * request (one job per hot key, paid by the first caller). */
   def refresh(): Unit = {
     tier.refresh()
-    val keys = new java.util.ArrayList(cache.keySet())
+    version.incrementAndGet()
     cache.clear()
-    keys.forEach { case (proc, args) => cache.put((proc, args), render(proc, args)) }
   }
 
   /** JSON string escaping for error payloads (quotes, backslashes, and

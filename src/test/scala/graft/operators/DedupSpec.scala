@@ -79,6 +79,17 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("both CC variants handle an empty pair graph (every doc its own component)") {
+    import spark.implicits._
+    val verts = (1L to 5L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    for (cc <- Seq(DedupOps.connectedComponents _, DedupOps.connectedComponentsStar _)) {
+      val got = cc(verts, noPairs, 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 5L).map(i => i -> i).toMap)
+    }
+  }
+
   test("large-star/small-star CC == min-label CC on the real pair graph and a long chain") {
     import spark.implicits._
     // the real near-dup graph (small components)
