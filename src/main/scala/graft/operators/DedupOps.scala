@@ -33,6 +33,21 @@ object DedupOps {
     docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
       .filter(size(col("w")) >= 3)
 
+  /** Per-doc DISTINCT shingle-hash SET as a row-local array column:
+    * (doc_id, ghs: array<long>, n = |ghs|). xxhash64 per gram +
+    * array_distinct happen inside one map stage — no explode, no
+    * distinct shuffle. A 64-bit collision merging two shingles is
+    * ~2^-64-rare; every consumer (candidate generation, intersection
+    * counts) tolerates it. The corpus parquet is one small file = one
+    * input split, but this map stage carries all the hashing work —
+    * round-robin it across the cluster first. */
+  def docShingleArrays(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform($gramArrayExpr, g -> xxhash64(g)))").as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("long"))
+
   /** Distinct 3-word shingles per doc: (doc_id, g). Short docs (<3
     * tokens) produce no shingles, matching the SQL oracle. */
   def shingles(docs: DataFrame): DataFrame =
@@ -41,87 +56,70 @@ object DedupOps {
       .distinct()
 
   /** All near-dup pairs (da < db) with exact Jaccard over shingle sets.
-    * Inverted-index join: cost Σ_g freq(g)² — fine when shingles are
-    * near-unique, the reason MinHash-LSH exists for the skewed case. */
+    *
+    * Inverted-index join on the HASHED shingle finds which pairs share
+    * ≥1 shingle (cost Σ_g freq(g)² — the reason MinHash-LSH exists for
+    * the skewed case); the intersection SIZE is then row-local
+    * array_intersect over the two docs' shingle arrays, joined in by
+    * broadcast. vs the count(*)-per-pair aggregation this drops the
+    * widest shuffle (one row per shared shingle) down to one row per
+    * candidate pair. */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    // materialize the shingle set once — it feeds the self-join twice
-    // plus the sizes agg; without this Catalyst re-runs the
-    // explode+distinct per use (4 scans visible in the plan)
-    val sh = shingles(docs).localCheckpoint(true)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
-  }
-
-  /** Exact jaccard for a GIVEN candidate pair set only: semi-join the
-    * shingle index down to candidate docs, intersect per pair. Cost is
-    * bounded by candidate count × shingles-per-doc — the rerank stage
-    * of the LSH path, never N². */
-  def verifyJaccard(docs: DataFrame, cands: DataFrame): DataFrame = {
-    val candDocs = cands.select(col("da").as("doc_id"))
-      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
-    val sh = shingles(docs)
-      .join(candDocs, "doc_id")
-      .localCheckpoint(true)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("da"), col("g")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    cands
-      .join(inter, Seq("da", "db"), "left")
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"),
-        (coalesce(col("c"), lit(0L)) * lit(1.0) /
-          (col("na") + col("nb") - coalesce(col("c"), lit(0L)))).as("jaccard"))
-  }
-
-  /** Distinct 3-word shingles per doc, pre-hashed to longs inside the
-    * explode: the distinct + downstream shuffles carry 16-byte
-    * (doc_id, hash) rows instead of ~40-byte strings — the shuffle-size
-    * lever that matters at corpus scale. Only for the LSH path (a
-    * 64-bit collision merging two shingles is ~2^-64-rare and the path
-    * is candidate-generation, rerank re-verifies); the exact-jaccard
-    * oracle path keeps string shingles. */
-  def hashedShingles(docs: DataFrame): DataFrame =
-    tokenized(docs)
-      .select(col("doc_id"), explode(expr(
-        s"transform($gramArrayExpr, g -> xxhash64(g))")).as("gh"))
+    // one row per doc (~|ghs| longs each): materialize once — it feeds
+    // both sides of the inverted-index join AND both broadcast builds
+    val arrs = docShingleArrays(docs).localCheckpoint(true)
+    val inv = arrs.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val cand = inv.as("a").join(inv.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    cand
+      .join(broadcast(arrs.select(col("doc_id").as("da"), col("ghs").as("ga"), col("n").as("na"))), "da")
+      .join(broadcast(arrs.select(col("doc_id").as("db"), col("ghs").as("gb"), col("n").as("nb"))), "db")
+      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(col("da"), col("db"), col("c"), col("na"), col("nb"),
+        (col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))).as("j"))
+  }
+
+  /** Exact jaccard for a GIVEN candidate pair set only: broadcast-join
+    * each side's shingle array in, intersect row-locally. Cost is
+    * bounded by candidate count × shingles-per-doc — the rerank stage
+    * of the LSH path, never N². (At corpus scale the broadcast becomes
+    * a shuffle join keyed by doc_id; the row-local intersect is
+    * unchanged.) */
+  def verifyJaccard(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val arrs = docShingleArrays(docs)
+    cands
+      .join(broadcast(arrs.select(col("doc_id").as("da"), col("ghs").as("ga"), col("n").as("na"))), "da")
+      .join(broadcast(arrs.select(col("doc_id").as("db"), col("ghs").as("gb"), col("n").as("nb"))), "db")
+      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(col("da"), col("db"),
+        (col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
 
   /** 64-permutation MinHash signature per doc (long array), via
     * universal hashing over the xxhash64 shingle hash. Deterministic
-    * constants — no RNG (reproducible across runs/executors). */
+    * constants — no RNG (reproducible across runs/executors).
+    * Row-local: one native-kernel expression per doc over its own
+    * shingle-hash array — a pure map stage (the groupBy formulation
+    * shuffled every (doc, shingle) row through a 64-buffer aggregate;
+    * the higher-order-function formulation paid two boxed lambda
+    * dispatches per (perm, shingle)). See [[graft.functions.MinHashSig]]. */
   def minhashSignatures(docs: DataFrame, numPerm: Int = 64): DataFrame = {
-    // prime modulus small enough that x*a+b never overflows a long even
-    // under ANSI mode (x,a,b < p ⇒ x*a+b < 1e12+1e6)
-    val p = 1000003L
-    val sh = hashedShingles(docs).withColumn("x", pmod(col("gh"), lit(p)))
-    val mins = (0 until numPerm).map { i =>
-      val a = ((2654435761L * (i + 1)) % (p - 1)) + 1
-      val b = (2246822519L * (i + 7)) % p
-      min((col("x") * a + b) % p).as(s"h$i")
-    }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.MinHashSig.registerAll(docs.sparkSession)
+    docShingleArrays(docs)
+      .select(col("doc_id"), graft.functions.MinHashSig.minhash_sig(col("ghs")).as("sig"))
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numPerm), bucket-join on (band, hash(band slice)). This is the
     * scale path: candidates per doc ≈ bucket collisions, not N². */
   def minhashCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // materialize once — feeds both sides of the bucket self-join
     val banded = sigs.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
       .as(Seq("band", "bucket")))
-      .localCheckpoint(true) // feeds both sides of the bucket self-join
+      .localCheckpoint(true)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -285,6 +283,53 @@ object DedupOps {
       .groupBy("doc_id").agg(coalesce(min(col("label")), first(col("doc_id"))).as("label"))
   }
 
+  /** Connected components via driver-side union-find — the small-graph
+    * fast path. Near-dup pair graphs are tiny relative to the corpus
+    * (pairs ≪ docs ≪ corpus bytes), so once the pair set fits on the
+    * driver the O(E α(E)) union-find beats any iterative distributed
+    * scheme by the per-round job overhead × rounds. Union-by-min keeps
+    * the invariant that every root is its component's minimum id. */
+  def connectedComponentsLocal(vertices: DataFrame, edgeRows: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edgeRows.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edgeRows.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val labelDf = nodes.iterator.map(v => (v, find(v))).toSeq.toDF("doc_id", "label")
+    vertices.select(col("doc_id"))
+      .join(broadcast(labelDf), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+  }
+
+  /** Adaptive connected components: collect the pair graph if it is
+    * small (the overwhelmingly common near-dup case) and union-find on
+    * the driver; otherwise run the O(log n)-round large-star/small-star
+    * algorithm. Mirrors Spark's own broadcast-join adaptivity — pick
+    * the local algorithm exactly when the data provably fits. */
+  def connectedComponentsAuto(vertices: DataFrame, pairs: DataFrame,
+                              smallThreshold: Int = 500000): DataFrame = {
+    // materialize the (tiny) pair graph ONCE, then size-probe and
+    // collect from the checkpoint — a limit().collect() probe would
+    // re-execute the whole upstream pair pipeline per scale-up round
+    // of CollectLimit's incremental scan
+    val edges = pairs
+      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+      .localCheckpoint(true)
+    if (edges.count() <= smallThreshold)
+      connectedComponentsLocal(vertices, edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+    else connectedComponentsStar(vertices, edges)
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: canonical = min doc_id per identical text
     "dedup_exact" -> ((s, d) => {
@@ -296,16 +341,21 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard: best near-dup neighbor per doc (exact path)
+    // n-gram Jaccard: best near-dup neighbor per doc (exact path).
+    // argmax-per-doc is a max(struct) agg (ties → lowest other_id via
+    // the negated id), not a window sort; the docs join broadcasts the
+    // small best-neighbor side into the corpus scan.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val jac = jaccardPairs(docs).localCheckpoint(true)
+      val jac = jaccardPairs(docs)
       val und = jac.select(col("da").as("doc_id"), col("db").as("other_id"), col("j"))
         .unionAll(jac.select(col("db").as("doc_id"), col("da").as("other_id"), col("j")))
-      val w = Window.partitionBy("doc_id").orderBy(col("j").desc, col("other_id"))
-      val best = und.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val best = und
+        .groupBy("doc_id")
+        .agg(max(struct(col("j"), (-col("other_id")).as("no"))).as("m"))
+        .select(col("doc_id"), (-col("m.no")).as("other_id"), col("m.j").as("j"))
       docs.select("doc_id")
-        .join(best.select("doc_id", "other_id", "j"), Seq("doc_id"), "left")
+        .join(broadcast(best), Seq("doc_id"), "left")
         .select(col("doc_id"), col("other_id").as("best_match"),
           coalesce(col("j"), lit(0.0)).as("jaccard"))
         .orderBy("doc_id")
@@ -317,7 +367,9 @@ object DedupOps {
     // hashing); recall invariant is spec-tested against the exact path
     "dedup_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val cands = minhashCandidates(minhashSignatures(docs))
+      // candidate set materialized once: it is tiny (bucket collisions)
+      // and feeds the rerank join's stream side
+      val cands = minhashCandidates(minhashSignatures(docs)).localCheckpoint(true)
       verifyJaccard(docs, cands)
         .filter(col("jaccard") >= 0.5)
         .orderBy("da", "db")
@@ -353,7 +405,7 @@ object DedupOps {
     "dedup_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = jaccardPairs(docs).filter(col("j") >= 0.5).select("da", "db")
-      connectedComponents(docs.select("doc_id"), pairs)
+      connectedComponentsAuto(docs.select("doc_id"), pairs)
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     }),

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * STRINGS (md5 prefix), where lexicographic order equals numeric
   * order — so `min` agrees across engines with no hex→int conversion.
   *
-  * Scale: gram explosion is map-side; the window min runs per-doc
-  * (hash-partitioned by doc_id, never a global window); the output is
-  * one row per doc. At 100 TB the fingerprint set (≈ 2·L/(w+1) per
-  * doc) replaces the raw text in every downstream near-dup join.
+  * Scale: fully row-local — gram hashes, window minima, and the
+  * distinct-count are array ops inside a single map stage (no explode,
+  * no per-doc sort exchange); the output is one row per doc. At 100 TB
+  * the fingerprint set (≈ 2·L/(w+1) per doc) replaces the raw text in
+  * every downstream near-dup join.
   */
 object TextOps4 {
   type Q = (SparkSession, String) => DataFrame
@@ -32,23 +33,29 @@ object TextOps4 {
 
   val queries: Map[String, Q] = Map(
     "doc_winnow_fingerprint" -> ((s, d) => {
-      // gram count n = length - K + 1 is derivable BEFORE the explode —
-      // carrying it as a column avoids a second whole-corpus Window
-      // pass that only counted rows per doc
-      val grams = Tables.documents(s, d)
+      // The whole scheme is row-local: gram hashes, per-window minima,
+      // and the distinct-count all live inside one document. Keeping it
+      // in array-typed columns (transform/slice/array_min) instead of
+      // posexplode + Window avoids materializing ~n rows per doc and —
+      // the real win — the per-doc sort exchange the Window needed.
+      // At 100 TB this is a pure map stage: zero shuffle until the
+      // one-row-per-doc result hits the final orderBy.
+      // the corpus parquet is one small file = ONE input split, but the
+      // per-row work (n md5s + n window minima per doc) is the whole
+      // query — round-robin it across the cluster first; the 1-row-per-
+      // doc output makes the extra exchange ~free
+      Tables.documents(s, d)
         .filter(length(col("text")) >= K + W - 1) // at least one full window
-        .withColumn("n", (length(col("text")) - K + 1).cast("long"))
-        .select(col("doc_id"), col("n"), posexplode(expr(
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("hs", expr(
           s"transform(sequence(1, length(text) - $K + 1), " +
             s"i -> substring(md5(CAST(substring(text, i, $K) AS BINARY)), 1, 8))"))
-          .as(Seq("pos", "h")))
-      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
-      grams
-        .withColumn("fp", min(col("h")).over(win))
-        .filter(col("pos") <= col("n") - W) // pos is 0-based: starts 0..n-W
-        .groupBy("doc_id")
-        .agg(countDistinct(col("fp")).as("n_fp"),
-          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .withColumn("fps", expr(
+          s"transform(sequence(1, size(hs) - $W + 1), j -> array_min(slice(hs, j, $W)))"))
+        .select(col("doc_id"),
+          size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
         .orderBy("doc_id")
     }),
 

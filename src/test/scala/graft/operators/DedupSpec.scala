@@ -109,6 +109,17 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 13L).map(_ -> 1L).toMap)
   }
 
+  test("auto CC: small-graph union-find fast path == distributed star path") {
+    val verts = Tables.documents(spark, sf).select("doc_id")
+    val pairs = DedupOps.jaccardPairs(docs).filter(col("j") >= 0.5).select("da", "db")
+    val viaLocal = DedupOps.connectedComponentsAuto(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 0 forces the distributed branch on the same graph
+    val viaDist = DedupOps.connectedComponentsAuto(verts, pairs, smallThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaDist)
+  }
+
   test("SimHashAgg sketch aggregate == 64-sum expression formulation, any partitioning") {
     val viaAgg = DedupOps.simhash(docs.repartition(7))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
