@@ -39,6 +39,7 @@ object SparkEntry {
       TextOps2.queries ++
       TextOps3.queries ++
       TextOps4.queries ++
+      TrainingOps.queries ++
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       TextOps2.oracles ++
       TextOps3.oracles ++
       TextOps4.oracles ++
+      TrainingOps.oracles ++
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++

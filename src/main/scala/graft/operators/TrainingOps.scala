@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation tranche: the quality/packing/quantization
+  * operators an LLM-scale data pipeline runs between raw corpus and
+  * training shards.
+  *
+  *  - Gopher-style per-doc quality signals (Rae et al. 2021 §A1.1-ish:
+  *    word count, mean word length, stopword fraction, lexical
+  *    diversity) with a keep/drop verdict;
+  *  - repetition ratios (top-token / top-bigram coverage — the Gopher
+  *    repetition filters);
+  *  - per-stratum deterministic sampling (content-hash thresholds per
+  *    language — reproducible train/val splits at any scale);
+  *  - sequence packing (greedy doc→fixed-token-budget bins per lang —
+  *    the shard-building step before tokenizer/trainer handoff);
+  *  - int8 embedding quantization with exact integer reconstruction
+  *    error (the storage-shrink step for ANN indexes over corpus
+  *    embeddings);
+  *  - corpus bigram LM score per doc (mean transition probability —
+  *    a perplexity proxy for quality filtering).
+  *
+  * All oracle-checked. Scores use scaled-integer (ppm) arithmetic — the
+  * tranche-wide discipline (see TextOps3): bit-identical across
+  * engines, independent of aggregation order.
+  *
+  * Scale notes (100 TB): signals/quantization are pure map stages
+  * (row-local array math, no shuffle); repetition and LM score are
+  * token-explode → partial-agg group-bys; packing windows are
+  * per-stratum (never a global sort); the sampler is a map-side filter
+  * that composes with predicate pushdown.
+  */
+object TrainingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stops = Seq("the", "a")
+
+  val queries: Map[String, Q] = Map(
+    // Gopher-style signals, row-local: one pass over the token array.
+    // mean word length derives from n_chars minus separators — no
+    // per-token length pass needed.
+    "doc_gopher_signals" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ", -1).as("w"), length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), col("lang"),
+          size(col("w")).cast("long").as("n_words"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          size(filter(col("w"), x => x.isin(stops: _*))).cast("long").as("n_stop"),
+          (col("len") - (size(col("w")) - 1)).cast("long").as("n_word_chars"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          expr("n_word_chars * 1000000 div n_words").as("mean_wlen_ppm"),
+          expr("n_distinct * 1000000 div n_words").as("distinct_ppm"),
+          expr("n_stop * 1000000 div n_words").as("stop_ppm"))
+        .withColumn("keep",
+          col("n_words") >= 40 &&
+            col("mean_wlen_ppm").between(3000000L, 8000000L) &&
+            col("stop_ppm") >= 10000L)
+        .orderBy("doc_id")),
+
+    // repetition filters: coverage of the most frequent token and the
+    // most frequent bigram (x2: a bigram occurrence covers two tokens)
+    "doc_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+      val tokTop = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
+      val big = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("b"))
+      val bigTop = big.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_big"))
+      tokTop.join(bigTop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          expr("max_tok * 1000000 div n_tok").as("top_token_ppm"),
+          coalesce(expr("max_big * 2 * 1000000 div n_tok"), lit(0L)).as("top_bigram_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // per-language deterministic sample: content-hash thresholds give
+    // each stratum its own rate (en 1/4, de 1/8, es 1/16, rest 1/32) —
+    // a map-side filter, reproducible under any partitioning/engine
+    "sample_stratified" -> ((s, d) => {
+      val h = substring(md5(col("text").cast("binary")), 1, 2)
+      val thr = when(col("lang") === "en", "40")
+        .when(col("lang") === "de", "20")
+        .when(col("lang") === "es", "10")
+        .otherwise("08")
+      Tables.documents(s, d)
+        .filter(h < thr)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // sequence packing: docs stream into 2048-token bins per language
+    // (bin = floor of the tokens-before-this-doc / budget — greedy,
+    // order-deterministic by doc_id). Output: per-bin manifest.
+    "doc_pack_bins" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin_id")
+    }),
+
+    // symmetric int8 quantization of the (already integer-quantized)
+    // embedding: code = round-toward-zero of x*127/amax, computed on
+    // absolute values so integer division agrees across engines
+    // (floor == trunc on non-negatives); SSE is exact integer math.
+    "emb_quantize_int8" -> ((s, d) =>
+      DedupOps.quantized(Tables.embeddings(s, d))
+        .withColumn("amax", greatest(expr("array_max(transform(q, x -> abs(x)))"), lit(1L)))
+        .withColumn("sse", expr(
+          """aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + CASE WHEN x >= 0
+            |  THEN (x - ((x * 127 div amax) * amax) div 127) * (x - ((x * 127 div amax) * amax) div 127)
+            |  ELSE (x + (((-x) * 127 div amax) * amax) div 127) * (x + (((-x) * 127 div amax) * amax) div 127)
+            |END)""".stripMargin))
+        .select(col("vec_id"), col("amax"), col("sse"), size(col("q")).cast("long").as("dim"))
+        .orderBy("vec_id")),
+
+    // corpus bigram LM score: mean/min transition probability (ppm)
+    // per doc under the corpus-wide bigram model — docs full of rare
+    // transitions (low mean, low min) read as noise
+    "doc_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val big = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val pair = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
+      val model = pair.join(uni, "w1")
+        .withColumn("p_ppm", expr("c12 * 1000000 div c1"))
+        .select("w1", "w2", "p_ppm")
+      big.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"),
+          min(col("p_ppm")).as("min_p_ppm"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_gopher_signals" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |         CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+        |         len - (len(w) - 1) AS n_word_chars
+        |  FROM s)
+        |SELECT doc_id, lang, n_words,
+        |       n_word_chars * 1000000 // n_words AS mean_wlen_ppm,
+        |       n_distinct * 1000000 // n_words AS distinct_ppm,
+        |       n_stop * 1000000 // n_words AS stop_ppm,
+        |       (n_words >= 40
+        |        AND n_word_chars * 1000000 // n_words BETWEEN 3000000 AND 8000000
+        |        AND n_stop * 1000000 // n_words >= 10000) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tok
+        |       FROM tc GROUP BY 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, max(c) AS max_big FROM bc GROUP BY 1)
+        |SELECT tt.doc_id, n_tok,
+        |       max_tok * 1000000 // n_tok AS top_token_ppm,
+        |       COALESCE(max_big * 2 * 1000000 // n_tok, 0) AS top_bigram_ppm
+        |FROM tt LEFT JOIN bt ON bt.doc_id = tt.doc_id
+        |ORDER BY tt.doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(text), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '20'
+        |                WHEN 'es' THEN '10' ELSE '08' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT lang, CAST(cum - n_tok AS BIGINT) // 2048 AS bin_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
+
+    "emb_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, q,
+        |         greatest(list_max(list_transform(q, x -> abs(x))), 1) AS amax
+        |  FROM q)
+        |SELECT vec_id, amax,
+        |       CAST(list_sum(list_transform(q, x -> CASE WHEN x >= 0
+        |         THEN (x - ((x * 127 // amax) * amax) // 127) * (x - ((x * 127 // amax) * amax) // 127)
+        |         ELSE (x + (((-x) * 127 // amax) * amax) // 127) * (x + (((-x) * 127 // amax) * amax) // 127)
+        |       END)) AS BIGINT) AS sse,
+        |       CAST(len(q) AS BIGINT) AS dim
+        |FROM a ORDER BY vec_id""".stripMargin,
+
+    "doc_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+        |model AS (SELECT pair.w1, w2, c12 * 1000000 // c1 AS p_ppm
+        |          FROM pair JOIN uni ON pair.w1 = uni.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm,
+        |       min(p_ppm) AS min_p_ppm
+        |FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
