@@ -2,10 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** SimHash as a custom sketch aggregate (`TypedImperativeAggregate`,
   * the Spark extension point for mergeable sketch state — builder
@@ -98,10 +100,62 @@ case class SimHashAgg(
   override def prettyName: String = "simhash_agg"
 }
 
+/** SimHash as a row-local SCALAR kernel over a doc's token array —
+  * the map-stage twin of [[SimHashAgg]]: identical bit semantics
+  * (xxhash64 seed 42, ±1 per bit, sign → bit; empty/null → NULL), but
+  * no token explode and no aggregation shuffle. The query path uses
+  * this; the aggregate stays as the mergeable formulation for inputs
+  * that arrive pre-exploded (and as the TypedImperativeAggregate
+  * extension-point exemplar). Equivalence is spec-asserted. */
+case class SimHashSig(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](64)
+    var seen = 0L
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(j), StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          counts(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+        seen += 1
+      }
+      j += 1
+    }
+    if (seen == 0L) null
+    else {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+  override def prettyName: String = "simhash_sig"
+}
+
 object SimHashFunctions {
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", es => SimHashAgg(es.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", es => SimHashSig(es.head), "built-in")
+  }
 
   def simhash_agg(c: Column): Column = call_function("simhash_agg", c)
+  def simhash_sig(c: Column): Column = call_function("simhash_sig", c)
 }

@@ -26,7 +26,7 @@ object DedupOps {
   /** The ONE definition of a doc's 3-word shingle array (over the
     * tokenized `w` column) — shared by the exact-jaccard path and the
     * hashed LSH path so their shingle semantics can never diverge. */
-  private val gramArrayExpr =
+  private[operators] val gramArrayExpr =
     "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
 
   private def tokenized(docs: DataFrame): DataFrame =
@@ -129,10 +129,20 @@ object DedupOps {
   }
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
-    * hashes. Near-dups have small hamming distance. Uses the custom
-    * sketch aggregate (one 64-counter buffer per group, one hash per
-    * token) — see [[graft.functions.SimHashAgg]]. */
+    * hashes. Near-dups have small hamming distance. Row-local scalar
+    * kernel over the token array (see [[graft.functions.SimHashSig]]) —
+    * a pure map stage, no token explode / aggregation shuffle. */
   def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashFunctions.registerAll(docs.sparkSession)
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash_sig(split(col("text"), " ", -1)).as("simhash"))
+  }
+
+  /** Same signature via the mergeable sketch aggregate (for inputs that
+    * arrive pre-exploded; kept for the three-way equivalence spec). */
+  def simhashViaAgg(docs: DataFrame): DataFrame = {
     graft.functions.SimHashFunctions.registerAll(docs.sparkSession)
     docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
       .groupBy("doc_id")

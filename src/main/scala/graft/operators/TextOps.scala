@@ -61,15 +61,19 @@ object TextOps {
     // a min-shingle-hash fingerprint (winnowing-style: min over the
     // 3-word-shingle hash set survives local edits elsewhere in the doc)
     "doc_fingerprint" -> ((s, d) => {
-      // min-shingle-hash via explode + groupBy-min: each md5 runs once
-      // inside codegen, instead of an interpreted per-row transform
-      // lambda building a 60-element md5 array per document
+      // min-shingle-hash row-locally: array_min over per-gram md5s of
+      // the doc's own shingle array — no explode, no groupBy shuffle.
+      // The corpus file is ONE input split, so the md5 work must be
+      // spread by an explicit round-robin first (explode + codegen md5
+      // in the scan task ran the whole corpus's md5s on one core).
       val base = docs(s, d)
-      val minShingle = DedupOps.shingles(base)
-        .groupBy("doc_id").agg(min(md5(col("g"))).as("msf"))
       val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
       base
-        .join(minShingle, Seq("doc_id"), "left")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("w", split(col("text"), " ", -1))
+        .withColumn("msf", expr(
+          s"CASE WHEN size(w) >= 3 THEN array_min(transform(${DedupOps.gramArrayExpr}, " +
+            "g -> md5(CAST(g AS BINARY)))) END"))
         .select(col("doc_id"), md5(norm).as("fp"),
           coalesce(col("msf"), md5(col("text"))).as("min_shingle_fp"))
         .orderBy("doc_id")

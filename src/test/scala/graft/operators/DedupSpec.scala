@@ -120,11 +120,14 @@ class DedupSpec extends SparkSpec {
     assert(viaLocal == viaDist)
   }
 
-  test("SimHashAgg sketch aggregate == 64-sum expression formulation, any partitioning") {
-    val viaAgg = DedupOps.simhash(docs.repartition(7))
+  test("simhash: scalar kernel == sketch aggregate == 64-sum exprs, any partitioning") {
+    val viaKernel = DedupOps.simhash(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = DedupOps.simhashViaAgg(docs.repartition(5))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaExprs = DedupOps.simhashViaExprs(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaAgg)
     assert(viaAgg == viaExprs)
   }
 
