@@ -65,7 +65,10 @@ object TrainingOps {
     // repetition filters: coverage of the most frequent token and the
     // most frequent bigram (x2: a bigram occurrence covers two tokens)
     "doc_repetition" -> ((s, d) => {
+      // round-robin first: the corpus file is one input split and the
+      // token/bigram explodes would otherwise run on one core
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
       val tokTop = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
@@ -133,7 +136,9 @@ object TrainingOps {
     // per doc under the corpus-wide bigram model — docs full of rare
     // transitions (low mean, low min) read as noise
     "doc_lm_score" -> ((s, d) => {
+      // round-robin for the same single-split reason as doc_repetition
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
       val big = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(expr(
