@@ -59,4 +59,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product:\n$plan")
     }
   }
+
+  test("row-local kernel queries shuffle only for repartition + final order") {
+    // winnowing, gopher signals, int8 quantization: the computation is
+    // per-row array math — the ONLY exchanges allowed are the explicit
+    // round-robin spread and the presentation orderBy. A SortAggregate /
+    // extra Exchange here means someone reintroduced an explode+groupBy.
+    for (q <- Seq("doc_winnow_fingerprint", "doc_gopher_signals", "emb_quantize_int8")) {
+      // AQE's tree string appends the pre-adaptive "Initial Plan" —
+      // count exchanges in the final section only
+      val plan = finalPlan(q).split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"$q grew extra shuffles ($exchanges):\n$plan")
+      assert(!plan.contains("SortAggregate") && !plan.contains("ObjectHashAggregate"),
+        s"$q re-grew an aggregation:\n$plan")
+    }
+  }
+
+  test("stratified sampler is a pure pushed-scan filter (no shuffle before the sort)") {
+    val plan = finalPlan("sample_stratified").split("== Initial Plan ==").head
+    // one exchange: the orderBy's range partitioning — nothing else
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"sample_stratified shuffles before sampling:\n$plan")
+  }
 }
