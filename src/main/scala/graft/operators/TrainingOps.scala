@@ -39,6 +39,19 @@ object TrainingOps {
 
   private val stops = Seq("the", "a")
 
+  /** 8-token shingles as a row-local array (decontamination grain:
+    * long spans, so only genuine copied passages collide — the 3-token
+    * near-dup grain would flag everything in a topical corpus). */
+  private val gram8Expr =
+    "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"
+
+  /** The stand-in benchmark/eval split: ~5% of docs by id. */
+  private def isEval = col("doc_id") % 100 < 5
+
+  private def tokens8(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= 8)
+
   val queries: Map[String, Q] = Map(
     // Gopher-style signals, row-local: one pass over the token array.
     // mean word length derives from n_chars minus separators — no
@@ -131,6 +144,63 @@ object TrainingOps {
             |END)""".stripMargin))
         .select(col("vec_id"), col("amax"), col("sse"), size(col("q")).cast("long").as("dim"))
         .orderBy("vec_id")),
+
+    // benchmark decontamination, exact path: flag any training doc
+    // sharing an 8-token shingle with the eval set. Eval shingles are
+    // few → broadcast; the corpus side is a map + broadcast-semi-join,
+    // no corpus shuffle. Oracle-checked.
+    "decontaminate_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val evalG = tokens8(docs.filter(isEval))
+        .select(explode(expr(gram8Expr)).as("g")).distinct()
+      val trainG = tokens8(docs.filter(!isEval))
+        .select(col("doc_id"), explode(expr(gram8Expr)).as("g")).distinct()
+      trainG.join(broadcast(evalG), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // decontamination, sketch path: Bloom filter over the eval set's
+    // hashed shingles (built distributed, merged once), probed row-
+    // locally against each training doc's shingle-hash array — ship
+    // the few-MB sketch, not the corpus. Guaranteed no false
+    // negatives (spec: superset of the exact path); rows-only check
+    // (sketch layout is engine-specific).
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val evalH = tokens8(docs.filter(isEval))
+        .select(explode(expr(s"transform($gram8Expr, g -> xxhash64(g))")).as("h"))
+        .distinct()
+      val n = math.max(evalH.count(), 1L)
+      val bloom = evalH.stat.bloomFilter("h", n, 0.001)
+      val probed = tokens8(docs.filter(!isEval))
+        .withColumn("ghs", expr(s"array_distinct(transform($gram8Expr, g -> xxhash64(g)))"))
+        .select(col("doc_id"),
+          size(filter(col("ghs"),
+            h => graft.functions.BloomFunctions.probe(s, bloom, h))).cast("long")
+            .as("n_flagged"))
+      probed.filter(col("n_flagged") > 0).orderBy("doc_id")
+    }),
+
+    // cross-source duplication matrix: how many distinct 8-token spans
+    // each source pair shares — the corpus-provenance audit that
+    // decides which sources to dedup against each other first (span
+    // grain, not whole-doc: partial copies count)
+    "source_overlap" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("source"), explode(expr(gram8Expr)).as("g"))
+        .distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
 
     // corpus bigram LM score: mean/min transition probability (ppm)
     // per doc under the corpus-wide bigram model — docs full of rare
@@ -238,6 +308,28 @@ object TrainingOps {
         |       END)) AS BIGINT) AS sse,
         |       CAST(len(q) AS BIGINT) AS dim
         |FROM a ORDER BY vec_id""".stripMargin,
+
+    "decontaminate_exact" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM w)),
+        |evalg AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 < 5),
+        |traing AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 100 >= 5)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM traing JOIN evalg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "source_overlap" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (SELECT DISTINCT source, array_to_string(w[i:i+7], ' ') AS g
+        |       FROM (SELECT source, w, unnest(range(1, len(w) - 6)) AS i FROM w))
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "doc_lm_score" ->
       """WITH w AS (

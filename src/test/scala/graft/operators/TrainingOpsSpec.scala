@@ -58,6 +58,35 @@ class TrainingOpsSpec extends SparkSpec {
     assert(df.filter(col("sse") < 0).isEmpty)
   }
 
+  test("decontamination: bloom path flags a superset of the exact path (no false negatives)") {
+    val exact = TrainingOps.queries("decontaminate_exact")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = TrainingOps.queries("decontaminate_bloom")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "corpus should contain contaminated docs (exact dups span the split)")
+    val missed = exact -- bloom
+    assert(missed.isEmpty, s"bloom missed ${missed.size} truly-contaminated docs: $missed")
+    // each probed (doc, shingle) can false-positive at ~fpp=0.001 and
+    // every FP shingle can flag a new doc: bound extra docs by 3x the
+    // expected FP count (not by the exact-hit count — a corpus with
+    // many shingles and few true hits legitimately flags more docs)
+    val probes = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= 8 && col("doc_id") % 100 >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))), g -> xxhash64(g))")).as("h"))
+      .distinct().count()
+    val bound = math.max(5L, (probes * 0.003).toLong)
+    assert((bloom -- exact).size <= bound,
+      s"bloom flagged ${(bloom -- exact).size} false docs; expected <= $bound for $probes probes")
+  }
+
+  test("source overlap is symmetric-canonical (src_a < src_b) and counts real dups") {
+    val df = TrainingOps.queries("source_overlap")(spark, sf).cache()
+    assert(df.filter(col("src_a") >= col("src_b")).isEmpty)
+    assert(df.filter(col("n_shared") <= 0).isEmpty)
+  }
+
   test("LM score: probabilities live in (0, 1e6]; min <= mean") {
     val df = TrainingOps.queries("doc_lm_score")(spark, sf)
     assert(df.filter(col("min_p_ppm") <= 0 || col("mean_p_ppm") > 1000000).isEmpty)
