@@ -40,6 +40,7 @@ object SparkEntry {
       TextOps3.queries ++
       TextOps4.queries ++
       TrainingOps.queries ++
+      TrainingOps2.queries ++
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       TextOps3.oracles ++
       TextOps4.oracles ++
       TrainingOps.oracles ++
+      TrainingOps2.oracles ++
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++

@@ -170,10 +170,16 @@ object TrainingOps {
     "decontaminate_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
+      // no distinct() and no exact count before the build: bloom
+      // insertion is idempotent, and expectedNumItems only needs an
+      // upper bound — estimate it from the (metadata-cheap) doc count
+      // so the build side is a single explode pass with per-partition
+      // sketch merge, zero shuffles of the gram stream
       val evalH = tokens8(docs.filter(isEval))
         .select(explode(expr(s"transform($gram8Expr, g -> xxhash64(g))")).as("h"))
-        .distinct()
-      val n = math.max(evalH.count(), 1L)
+      // eval ≈ 5% of docs × ≤ ~40 grams/doc → 2 × docs over-covers;
+      // oversizing only lowers the fpp, it never misses
+      val n = math.max(Tables.documents(s, d).count() * 2, 64L)
       val bloom = evalH.stat.bloomFilter("h", n, 0.001)
       val probed = tokens8(docs.filter(!isEval))
         .withColumn("ghs", expr(s"array_distinct(transform($gram8Expr, g -> xxhash64(g)))"))
