@@ -57,7 +57,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
       "ann_topk", "ann_lsh", "doc_token_count",
       "word_freq_topk", "percentiles_exact",
-      "doc_winnow_fingerprint", "media_frame_sample")
+      "doc_winnow_fingerprint", "media_frame_sample",
+      "decontaminate_exact", "sample_mixture", "ann_pq")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

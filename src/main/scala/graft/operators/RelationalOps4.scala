@@ -23,6 +23,25 @@ object RelationalOps4 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // value window functions (lead / dense_rank / nth_value): each
+    // customer's order timeline — next order's price, dense price-band
+    // rank, and the 2nd order as an explicit whole-partition frame.
+    // Keyed by custkey (high cardinality — scales, unlike a global
+    // window); lead's default fires on each customer's last order.
+    "window_value_funcs" -> ((s, d) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val whole = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("next_price", lead(col("o_totalprice"), 1, -1).over(byDate))
+        .withColumn("band_rank",
+          dense_rank().over(Window.partitionBy("o_custkey")
+            .orderBy(floor(col("o_totalprice") / 50000L))).cast("long"))
+        .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(whole))
+        .select("o_orderkey", "o_custkey", "next_price", "band_rank", "second_order")
+        .orderBy("o_orderkey")
+    }),
+
     // distribution window functions; deterministic total order via the
     // unique orderkey tiebreak. NOTE the partition key has only 5
     // values — fine as a function-surface test, but at real fact scale
@@ -161,6 +180,17 @@ object RelationalOps4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_value_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lead(o_totalprice, 1, -1) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |       CAST(dense_rank() OVER
+        |         (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 50000)) AS BIGINT) AS band_rank,
+        |       nth_value(o_orderkey, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "window_ntile_quartiles" ->
       """SELECT o_orderkey, o_orderpriority,
         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,

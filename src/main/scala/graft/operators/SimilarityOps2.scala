@@ -62,6 +62,64 @@ object SimilarityOps2 {
             (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
             .as("cos_centroid"))
         .orderBy("vec_id")
+    }),
+
+    // product-quantization ANN (IVFADC-style, Jégou et al. 2011): the
+    // 100 TB memory-budget path — each 64-dim vector compresses to
+    // M=4 sub-space codes against a 32-entry codebook (256 B → 4 B at
+    // rest), queries scan CODES via a 128-entry broadcast lookup table,
+    // and only the approx-top-100 get exact rerank. Codebook anchors
+    // are content-hash-sampled (deterministic, no RNG — reproducible
+    // cluster-wide like the SRP planes). Rows-only (double math);
+    // recall-vs-exact pinned in AnnSpec.
+    "ann_pq" -> ((s, d) => {
+      val M = 4; val sub = 16; val k = 32
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val subExpr = s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $sub + 1, $sub) AS sv))"
+      // codebook: k anchors per subspace, sampled by content-hash order
+      val anchors = emb
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
+        .limit(k)
+        .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+        .select(col("code"), explode(expr(subExpr)).as("a"))
+        .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
+      // encode: nearest anchor per (vector, subspace) — corpus stays a
+      // map stage against the broadcast 64-row codebook
+      val dist = "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
+      val codes = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), explode(expr(subExpr)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+        .join(broadcast(anchors), "m")
+        .withColumn("d2", expr(dist))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      // query-side asymmetric distance table: dot(q_m, anchor) per
+      // (m, code) — M*k entries, broadcast to score codes directly
+      val qsub = emb.filter(col("vec_id") === 0)
+        .select(explode(expr(subExpr)).as("s"))
+        .select(col("s.m").as("m"), col("s.sv").as("qv"))
+      val qd = anchors.join(qsub, "m")
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(av, qv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+        .select("m", "code", "qdot")
+      val approx = codes.join(broadcast(qd), Seq("m", "code"))
+        .groupBy("vec_id").agg(sum("qdot").as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+      // exact rerank inside the candidate set only
+      val query = emb.filter(col("vec_id") === 0).select(col("v").as("qfull"))
+      emb.join(broadcast(approx), "vec_id")
+        .crossJoin(broadcast(query))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(v, qfull, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+        .withColumn("nv", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+        .withColumn("nq", expr("aggregate(qfull, 0D, (acc, x) -> acc + x * x)"))
+        .withColumn("sim", col("dot") / sqrt(col("nv") * col("nq")))
+        .select("vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
     })
   )
 

@@ -52,28 +52,35 @@ object TrainingOps {
     docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
       .filter(size(col("w")) >= 8)
 
+  /** Gopher-style signals as a stateless transform over any relation
+    * with (doc_id, lang, text) — row-local array math, one pass, no
+    * shuffle. Shared verbatim by the batch query and the streaming
+    * quality gate ([[graft.streaming.QualityGateStream]]) so the two
+    * paths cannot drift. */
+  def gopherSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), " ", -1).as("w"), length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        size(filter(col("w"), x => x.isin(stops: _*))).cast("long").as("n_stop"),
+        (col("len") - (size(col("w")) - 1)).cast("long").as("n_word_chars"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        expr("n_word_chars * 1000000 div n_words").as("mean_wlen_ppm"),
+        expr("n_distinct * 1000000 div n_words").as("distinct_ppm"),
+        expr("n_stop * 1000000 div n_words").as("stop_ppm"))
+      .withColumn("keep",
+        col("n_words") >= 40 &&
+          col("mean_wlen_ppm").between(3000000L, 8000000L) &&
+          col("stop_ppm") >= 10000L)
+
   val queries: Map[String, Q] = Map(
     // Gopher-style signals, row-local: one pass over the token array.
     // mean word length derives from n_chars minus separators — no
     // per-token length pass needed.
     "doc_gopher_signals" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          split(col("text"), " ", -1).as("w"), length(col("text")).cast("long").as("len"))
-        .select(col("doc_id"), col("lang"),
-          size(col("w")).cast("long").as("n_words"),
-          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-          size(filter(col("w"), x => x.isin(stops: _*))).cast("long").as("n_stop"),
-          (col("len") - (size(col("w")) - 1)).cast("long").as("n_word_chars"))
-        .select(col("doc_id"), col("lang"), col("n_words"),
-          expr("n_word_chars * 1000000 div n_words").as("mean_wlen_ppm"),
-          expr("n_distinct * 1000000 div n_words").as("distinct_ppm"),
-          expr("n_stop * 1000000 div n_words").as("stop_ppm"))
-        .withColumn("keep",
-          col("n_words") >= 40 &&
-            col("mean_wlen_ppm").between(3000000L, 8000000L) &&
-            col("stop_ppm") >= 10000L)
-        .orderBy("doc_id")),
+      gopherSignals(Tables.documents(s, d)).orderBy("doc_id")),
 
     // repetition filters: coverage of the most frequent token and the
     // most frequent bigram (x2: a bigram occurrence covers two tokens)

@@ -82,4 +82,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1,
       s"sample_stratified shuffles before sampling:\n$plan")
   }
+
+  test("decontamination joins broadcast the eval side (the corpus never shuffles to a join)") {
+    for (q <- Seq("decontaminate_exact", "sample_mixture")) {
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q shuffles the corpus into a join:\n$plan")
+    }
+  }
+
+  test("blocklist audit is a map + dim-sized partial agg — no join node at all") {
+    val plan = finalPlan("blocklist_filter").split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"blocklist_filter grew a join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"blocklist_filter lost map-side partial aggregation:\n$plan")
+  }
+
+  test("span census short-circuits via TakeOrderedAndProject") {
+    val plan = finalPlan("span_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"span_topk does a full sort for a top-k:\n$plan")
+  }
 }

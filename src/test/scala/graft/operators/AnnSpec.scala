@@ -32,6 +32,27 @@ class AnnSpec extends SparkSpec {
     assert(out.map(_.getInt(1)).distinct.length <= 2, "at most 2 probed labels")
   }
 
+  test("ann_pq: exact-reranked candidates, deterministic, recalls the brute-force head") {
+    val pq = SimilarityOps2.queries("ann_pq")(spark, sf).collect()
+    assert(pq.nonEmpty && pq.length <= 10)
+    // reranked sims are exact double cosine — identical to brute force
+    // (to quantization tolerance) for every returned id
+    val brute = SimilarityOps.queries("ann_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq.foreach { r =>
+      brute.get(r.getLong(0)).foreach(bq =>
+        assert(math.abs(bq - r.getDouble(1)) < 5e-3))
+    }
+    // candidate funnel keeps real recall: the approx-top-50 must
+    // contain at least half of the true top-10
+    val hit = pq.map(_.getLong(0)).toSet.intersect(brute.keySet).size
+    assert(hit >= 5, s"PQ recall@10 too low: $hit/10")
+    // content-hash codebook ⇒ bit-identical reruns
+    val rerun = SimilarityOps2.queries("ann_pq")(spark, sf).collect()
+    assert(pq.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("brute-force top-1 is the global argmax of quantized cosine") {
     val top = SimilarityOps.queries("ann_topk")(spark, sf).first()
     val all = DedupOps.quantized(Tables.embeddings(spark, sf))
