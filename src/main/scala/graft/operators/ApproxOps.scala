@@ -55,6 +55,39 @@ object ApproxOps {
         .orderBy("l_returnflag")
     }),
 
+    // approximate heavy hitters: mergeable count-min tier + two-tier
+    // candidate generation (the classic distributed top-k that never
+    // shuffles raw keys globally):
+    //   tier 1 — one CMS per day (count_min_sketch aggregate; persisted
+    //   at rest in production, like the HLL tier), merged on the driver
+    //   (30 sketch blobs, not data);
+    //   tier 2 — candidates = union of per-day LOCAL top-20 users (a
+    //   global heavy hitter is a local top-k somewhere; k trades
+    //   candidate-set size against recall on flat distributions), then
+    //   each candidate's global count read from the merged sketch.
+    // CMS error is one-sided (estimate ≥ truth) — spec-asserted along
+    // with candidate recall vs the exact top-10. Rows-only.
+    "heavy_hitters_cms" -> ((s, d) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+      val skRows = ev.groupBy("day")
+        .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+        .collect()
+      val merged = skRows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val w = Window.partitionBy("day").orderBy(col("c").desc, col("user_id"))
+      val cands = ev.groupBy("day", "user_id").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select("user_id").distinct()
+        .collect().map(_.getLong(0))
+      import s.implicits._
+      cands.toSeq.map(u => (u, merged.estimateCount(u)))
+        .toDF("user_id", "est_count")
+        .orderBy(col("est_count").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // approximate percentile sketch — rows-only; accuracy spec vs exact.
     // Scalar columns (not array<double>): the driver's pandas compare
     // sorts every column for hashing and an ndarray cell is unhashable.

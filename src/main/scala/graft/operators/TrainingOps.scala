@@ -52,6 +52,22 @@ object TrainingOps {
     docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
       .filter(size(col("w")) >= 8)
 
+  /** Bloom sketch of the eval split's 8-token shingle hashes — built
+    * distributed with NO distinct() and NO exact count pass: bloom
+    * insertion is idempotent, and expectedNumItems only needs an upper
+    * bound (eval ≈ 5% of docs × ≤ ~40 grams/doc → 2 × docs
+    * over-covers; oversizing only lowers the fpp, never misses). One
+    * explode pass with per-partition sketch merge, zero shuffles.
+    * Shared by the batch query and [[graft.streaming.DecontamStream]]. */
+  def evalBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val evalH = tokens8(docs.filter(isEval))
+      .select(explode(expr(s"transform($gram8Expr, g -> xxhash64(g))")).as("h"))
+    val n = math.max(Tables.documents(s, d).count() * 2, 64L)
+    evalH.stat.bloomFilter("h", n, 0.001)
+  }
+
   /** Gopher-style signals as a stateless transform over any relation
     * with (doc_id, lang, text) — row-local array math, one pass, no
     * shuffle. Shared verbatim by the batch query and the streaming
@@ -177,17 +193,7 @@ object TrainingOps {
     "decontaminate_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-      // no distinct() and no exact count before the build: bloom
-      // insertion is idempotent, and expectedNumItems only needs an
-      // upper bound — estimate it from the (metadata-cheap) doc count
-      // so the build side is a single explode pass with per-partition
-      // sketch merge, zero shuffles of the gram stream
-      val evalH = tokens8(docs.filter(isEval))
-        .select(explode(expr(s"transform($gram8Expr, g -> xxhash64(g))")).as("h"))
-      // eval ≈ 5% of docs × ≤ ~40 grams/doc → 2 × docs over-covers;
-      // oversizing only lowers the fpp, it never misses
-      val n = math.max(Tables.documents(s, d).count() * 2, 64L)
-      val bloom = evalH.stat.bloomFilter("h", n, 0.001)
+      val bloom = evalBloom(s, d)
       val probed = tokens8(docs.filter(!isEval))
         .withColumn("ghs", expr(s"array_distinct(transform($gram8Expr, g -> xxhash64(g)))"))
         .select(col("doc_id"),

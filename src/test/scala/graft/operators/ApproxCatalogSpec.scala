@@ -56,6 +56,27 @@ class ApproxCatalogSpec extends SparkSpec {
       s"approx p50 $approxP50 vs exact $exactP50")
   }
 
+  test("CMS heavy hitters: one-sided error, bounded inflation, recalls the exact head") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val exact = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hh = ApproxOps.queries("heavy_hitters_cms")(spark, sf).collect()
+    assert(hh.nonEmpty && hh.length <= 10)
+    hh.foreach { r =>
+      val (u, est) = (r.getLong(0), r.getLong(1))
+      val t = exact(u)
+      assert(est >= t, s"CMS must never under-count: user $u est $est < exact $t")
+      // eps = 1e-4 ⇒ w.h.p. inflation ≤ eps·N per counter; 20x slack
+      assert(est <= t + math.max(2L, (n * 0.002).toLong),
+        s"user $u est $est too far above exact $t")
+    }
+    // the true heaviest user must be surfaced (estimate ordering can
+    // permute near-ties; the head itself cannot be lost)
+    val top1 = exact.maxBy { case (u, c) => (c, -u) }._1
+    assert(hh.map(_.getLong(0)).contains(top1), s"lost exact top-1 user $top1")
+  }
+
   test("SQL catalog: tables, the five views, and functions are sql-reachable") {
     Catalog.registerAll(spark, sf)
     assert(spark.sql("SELECT count(*) FROM events_by_src_view").collect()(0).getLong(0) > 0)
