@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global-order primitives.
+  *
+  * `row_number() OVER (ORDER BY …)` with an empty PARTITION BY moves
+  * the whole relation through ONE partition — the single shape Spark
+  * itself warns about, and the one that cannot survive a 100 TB input.
+  * The scalable formulation is a range-partitioned total sort (every
+  * partition holds a contiguous key range, sorted within) followed by
+  * `zipWithIndex`, which assigns globally consecutive indices with one
+  * extra O(#partitions) pass to compute per-partition offsets — no
+  * single-partition exchange anywhere.
+  *
+  * Determinism: callers must pass a TOTAL order (include a unique
+  * tiebreaker column); then the assigned index is a pure function of
+  * the data, independent of partition boundaries or cluster size.
+  */
+object GlobalOrder {
+
+  /** Appends a 0-based global row index ordered by `order`. */
+  def withRowIndex(df: DataFrame, out: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Exact `ntile(k) OVER (ORDER BY order)` without the global-window
+    * single partition: the first (n mod k) buckets take ceil(n/k) rows,
+    * the rest floor(n/k) — the SQL-standard split, bit-identical to
+    * WindowExec's NTile and to DuckDB's. Costs one count pass + the
+    * sort; both fully parallel. */
+  def ntileGlobal(df: DataFrame, k: Int, out: String, order: Column*): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val n = df.count()
+    val big = n % k          // buckets 1..big have size base+1
+    val base = n / k
+    val cut = big * (base + 1) // rows before this index fall in a big bucket
+    val indexed = withRowIndex(df, "_rn0", order: _*)
+    // `div` (integer division), not `/` (double division)
+    val bucketSql =
+      if (base == 0)
+        // fewer rows than buckets: one row per bucket, in order
+        "_rn0 + 1"
+      else
+        s"CASE WHEN _rn0 < $cut THEN _rn0 div ${base + 1} + 1" +
+          s" ELSE $big + (_rn0 - $cut) div $base + 1 END"
+    indexed
+      .withColumn(out, org.apache.spark.sql.functions.expr(bucketSql).cast("int"))
+      .drop("_rn0")
+  }
+}

@@ -44,12 +44,14 @@ object RelationalOps3 {
     }),
 
     // ntile(4) over the global totalprice order → quartile stats.
-    // NOTE single-partition sort: at 100 TB serve this shape via
-    // percentile() (one pass, mergeable) — kept as operator coverage.
+    // Served by GlobalOrder.ntileGlobal: range-partitioned total sort +
+    // zipWithIndex instead of WindowExec's single-partition global
+    // window — same bucket assignment (spec-checked against Spark's own
+    // ntile), but every stage stays parallel at 100 TB.
     "ntile_quartiles" -> ((s, d) => {
-      val w = Window.orderBy("o_totalprice", "o_orderkey")
-      Tables.orders(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+      GlobalOrder.ntileGlobal(
+          Tables.orders(s, d).select("o_totalprice", "o_orderkey"),
+          4, "quartile", col("o_totalprice"), col("o_orderkey"))
         .groupBy("quartile")
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("lo"),

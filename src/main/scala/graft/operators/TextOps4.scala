@@ -60,14 +60,19 @@ object TextOps4 {
     }),
 
     // corpus Zipf curve: frequency by rank for the top 100 word types —
-    // the standard sanity check on corpus token distributions
+    // the standard sanity check on corpus token distributions.
+    // Top-k FIRST (TakeOrderedAndProject — parallel partial top-100 per
+    // partition, merged on the driver), THEN rank the surviving ≤100
+    // rows: the global-order window never sees the full vocabulary, so
+    // the shape holds at 100 TB vocab sizes.
     "zipf_curve" -> ((s, d) => {
-      val freq = Tables.documents(s, d)
+      val top = Tables.documents(s, d)
         .select(explode(split(col("text"), " ", -1)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(100)
       val w = Window.orderBy(col("freq").desc, col("term"))
-      freq.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 100)
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select("rank", "term", "freq")
         .orderBy("rank")
     })
