@@ -44,6 +44,7 @@ object SparkEntry {
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
+      AnalyticsOps2.queries ++
       SetOps.queries ++
       graft.procs.SystemProcs.queries
 
@@ -74,5 +75,6 @@ object SparkEntry {
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
+      AnalyticsOps2.oracles ++
       SetOps.oracles
 }
