@@ -41,6 +41,7 @@ object SparkEntry {
       TextOps4.queries ++
       TrainingOps.queries ++
       TrainingOps2.queries ++
+      TrainingOps3.queries ++
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       TextOps4.oracles ++
       TrainingOps.oracles ++
       TrainingOps2.oracles ++
+      TrainingOps3.oracles ++
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++

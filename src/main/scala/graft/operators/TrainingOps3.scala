@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third training-data-curation tranche: vocabulary OOV coverage,
+  * n-gram-level benchmark contamination rate, hard-negative mining
+  * over embeddings, quantized norm audit, common-prefix dedup, and a
+  * Z-order layout key. All oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *  - vocab_oov_rate broadcasts the top-k vocabulary (k rows by
+  *    construction) into the token explode — the corpus-sized side
+  *    never shuffles;
+  *  - contamination joins the corpus gram explode against the DISTINCT
+  *    benchmark gram set; benchmark suites are fixed-size (≪ corpus),
+  *    so that side broadcasts, and the per-doc rate is a map-side
+  *    re-aggregation on doc_id — the same key the explode started
+  *    from, so AQE sees a co-partitioned agg;
+  *  - hard_negatives is the exact O(N²) baseline kept deliberately
+  *    (same contract as dedup_embedding_near): the ANN/IVF/PQ queries
+  *    are its bounded-scale path, and its integer dot products go
+  *    through the codegen dot_i64 kernel;
+  *  - zorder_key is a pure map stage — the interleaved key is what a
+  *    writer would RANGE-partition + sort by so multi-dimensional
+  *    point/range predicates prune at the parquet row-group level.
+  */
+object TrainingOps3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Benchmark membership predicate shared by query and spec: every
+    * 50th doc plays the held-out eval set. */
+  private val isBench = "doc_id % 50 = 0"
+
+  val queries: Map[String, Q] = Map(
+    // tokenizer-vocabulary coverage: share of tokens outside the top-20
+    // corpus vocabulary, per doc (the fixed-vocab OOV-rate audit run
+    // before committing to a tokenizer)
+    "vocab_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ", -1)).as("t"))
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("t"))
+        .limit(20)
+        .select(col("t"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram contamination rate: per TRAIN doc, the share of its
+    // distinct 3-gram shingles that appear anywhere in the benchmark
+    // docs — the gradated contamination audit (decontaminate_exact is
+    // the whole-doc-hash version; this catches partial overlap)
+    "contamination_ngram_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = DedupOps.shingles(docs) // (doc_id, g) distinct
+      val benchGrams = grams.filter(expr(isBench))
+        .select(col("g")).distinct()
+        .withColumn("contaminated", lit(1))
+      val perDoc = grams.filter(!expr(isBench))
+        .join(broadcast(benchGrams), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("contaminated")).as("n_contam"))
+      // docs too short to produce grams surface with rate 0, not
+      // silently vanish — absence from a contamination report reads
+      // as "clean", so make that explicit
+      docs.filter(!expr(isBench)).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+          (coalesce(col("n_contam"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"))
+            .as("contam_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // hard-negative mining: per vector, the most-similar vector with a
+    // DIFFERENT label (exact quantized integer math through the
+    // codegen dot kernel; ties broken to the lowest vec_id)
+    "hard_negatives" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+        .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      val a = q.select(col("vec_id").as("va"), col("label").as("la"),
+        col("q").as("qa"), col("n").as("na"))
+      val b = q.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("q").as("qb"), col("n").as("nb"))
+      // upper triangle once, mirrored — each cross-label pair's dot
+      // product is computed a single time
+      val pairs = a.join(b, col("va") < col("vb") && col("la") =!= col("lb"))
+        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("qa"), col("qb")))
+        .withColumn("sim", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
+        .select("va", "vb", "sim")
+      val undirected = pairs.unionAll(
+        pairs.select(col("vb").as("va"), col("va").as("vb"), col("sim")))
+      undirected.groupBy("va")
+        .agg(max(struct(col("sim"), (-col("vb")).as("nvb"))).as("m"))
+        .select(col("va").as("vec_id"), (-col("m.nvb")).as("hard_negative"),
+          col("m.sim").as("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // quantized-norm audit: histogram of exact integer L2² norms —
+    // catches un-normalized or degenerate embedding batches before
+    // they poison cosine-based dedup/ANN (for unit vectors every
+    // bucket sits near 1e6 / 1000 = 1000)
+    "emb_norm_hist" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(expr(
+          "aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+          .as("n2"))
+        .groupBy(expr("n2 div 1000").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // common-prefix dedup: docs sharing their first 8 tokens collapse
+    // to the min doc_id (boilerplate/header dedup — exact dedup misses
+    // docs that diverge after a shared prefix)
+    "dedup_prefix" -> ((s, d) => {
+      val pfx = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " ", -1), 1, 8)).as("prefix"))
+      pfx.groupBy("prefix")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select("canonical_id", "n_docs")
+        .orderBy("canonical_id")
+    }),
+
+    // Z-order layout key: bit-interleave (user_id low byte, second-of-
+    // minute-scaled time byte) — the clustering key that makes BOTH
+    // user- and time-range predicates prune row groups after a single
+    // range-partitioned sort on zkey
+    "zorder_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (col("user_id") % 256).cast("long").as("x"),
+          (expr("unix_micros(ts) div 1000000") % 256).cast("long").as("y"))
+        .withColumn("zkey", expr(
+          (0 until 8).map(i =>
+            s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+            .mkString(" + ")))
+        .select("event_id", "zkey")
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vocab_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(*) AS freq FROM toks GROUP BY t
+        |    ORDER BY freq DESC, t LIMIT 20)),
+        |j AS (
+        |  SELECT toks.doc_id, toks.t, vocab.t AS vt
+        |  FROM toks LEFT JOIN vocab ON vocab.t = toks.t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_oov,
+        |       CAST(count(*) FILTER (WHERE vt IS NULL) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "contamination_ngram_rate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_grams,
+        |         CAST(count(bench.g) AS BIGINT) AS n_contam
+        |  FROM sh LEFT JOIN bench ON bench.g = sh.g
+        |  WHERE sh.doc_id % 50 <> 0
+        |  GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(per.n_grams, 0) AS n_grams,
+        |       COALESCE(per.n_contam, 0) AS n_contam,
+        |       CAST(COALESCE(per.n_contam, 0) AS DOUBLE)
+        |         / CAST(greatest(COALESCE(per.n_grams, 0), 1) AS DOUBLE) AS contam_rate
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |labels AS (SELECT DISTINCT vec_id, label FROM e),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |                          AND a.label <> b.label
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT va, vb,
+        |                CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |         FROM dots
+        |         JOIN norms na ON na.vec_id = va
+        |         JOIN norms nb ON nb.vec_id = vb),
+        |best AS (SELECT va, vb, sim,
+        |                row_number() OVER (PARTITION BY va
+        |                                   ORDER BY sim DESC, vb) AS rn
+        |         FROM sims)
+        |SELECT va AS vec_id, vb AS hard_negative, sim
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_norm_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM e GROUP BY vec_id)
+        |SELECT n2 // 1000 AS bucket, count(*) AS n
+        |FROM norms GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "dedup_prefix" ->
+      """WITH pfx AS (
+        |  SELECT doc_id,
+        |         array_to_string((string_split(text, ' '))[1:8], ' ') AS prefix
+        |  FROM documents)
+        |SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM pfx GROUP BY prefix HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+
+    "zorder_key" -> {
+      val terms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH xy AS (
+         |  SELECT event_id,
+         |         CAST(user_id % 256 AS BIGINT) AS x,
+         |         CAST((epoch_us(ts) // 1000000) % 256 AS BIGINT) AS y
+         |  FROM events)
+         |SELECT event_id, CAST($terms AS BIGINT) AS zkey
+         |FROM xy ORDER BY event_id""".stripMargin
+    }
+  )
+}
