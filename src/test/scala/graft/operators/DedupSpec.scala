@@ -8,6 +8,13 @@ class DedupSpec extends SparkSpec {
 
   lazy val docs = Tables.documents(spark, sf).cache()
 
+  test("pair-count jaccard == array-intersect jaccard (formulation equivalence)") {
+    val a = DedupOps.jaccardPairs(docs).select("da", "db", "c", "na", "nb", "j")
+    val b = DedupOps.jaccardPairsArrays(docs).select("da", "db", "c", "na", "nb", "j")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "the two jaccardPairs formulations diverged")
+  }
+
   test("minhash-LSH candidates achieve full recall on true near-dups (j >= 0.8)") {
     val truth = DedupOps.jaccardPairs(docs).filter(col("j") >= 0.8)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
