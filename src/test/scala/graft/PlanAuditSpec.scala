@@ -104,4 +104,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"span_topk does a full sort for a top-k:\n$plan")
   }
+
+  test("global-order rewrites never plan a single-partition window") {
+    // ntile_quartiles runs on sort+zipWithIndex; zipf_curve ranks only
+    // the top-100 survivors of a TakeOrderedAndProject
+    val ntile = finalPlan("ntile_quartiles")
+    assert(!ntile.contains("Window"), s"ntile_quartiles re-grew a global window:\n$ntile")
+    val zipf = SparkEntry.queries("zipf_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"zipf_curve lost its parallel top-k:\n$zipf")
+  }
+
+  test("vocab/contamination audits broadcast the small side into the corpus explode") {
+    for (q <- Seq("vocab_oov_rate", "contamination_ngram_rate")) {
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$q shuffles the corpus explode into a join:\n$plan")
+    }
+  }
+
+  test("funnel joins stay keyed on user_id (no cartesian anywhere)") {
+    val plan = finalPlan("funnel_conversion")
+    assert(!plan.contains("CartesianProduct"),
+      s"funnel_conversion degenerated to a cartesian:\n$plan")
+  }
+
+  test("zorder key is a pure map stage before the output sort") {
+    val plan = finalPlan("zorder_key").split("== Initial Plan ==").head
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"zorder_key grew a join/agg:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"zorder_key shuffles more than the output order:\n$plan")
+  }
+
+  test("jaccard pair counting keeps map-side partial aggregation") {
+    val plan = finalPlan("dedup_ngram_jaccard")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"pair counting lost its partial aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"dedup_ngram_jaccard degenerated to a cartesian:\n$plan")
+  }
 }
