@@ -47,8 +47,16 @@ object ApproxOps {
     // query without rescanning facts. Rows-only (sketch internals are
     // engine-specific); accuracy + mergeability spec-tested.
     "hll_sketch_tier" -> ((s, d) => {
+      // pre-partition on the group key BEFORE the sketch aggregate:
+      // partial aggregation would otherwise build a multi-KB sketch
+      // buffer per (group × task) — with every scan task seeing every
+      // (flag, day), that's |groups| × |tasks| buffer allocations and
+      // merges (measured ~2× the query). Co-locating groups first
+      // costs one narrow-row shuffle and leaves |groups| buffers.
       val daily = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+        .select(col("l_returnflag"), to_date(col("l_shipdate")).as("day"), col("l_partkey"))
+        .repartition(col("l_returnflag"), col("day"))
+        .groupBy(col("l_returnflag"), col("day"))
         .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
       daily.groupBy("l_returnflag")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"))
@@ -71,7 +79,10 @@ object ApproxOps {
       import org.apache.spark.util.sketch.CountMinSketch
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
-      val skRows = ev.groupBy("day")
+      // same pre-partition discipline as hll_sketch_tier: a 1e-4-eps
+      // CMS buffer is ~1 MB — one per (day × task) under default
+      // partial aggregation vs one per day when days are co-located
+      val skRows = ev.repartition(col("day")).groupBy("day")
         .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
         .collect()
       val merged = skRows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
