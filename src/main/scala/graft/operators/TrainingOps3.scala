@@ -138,6 +138,53 @@ object TrainingOps3 {
         .orderBy("canonical_id")
     }),
 
+    // deterministic training-shuffle order: global position by
+    // md5(doc_id || salt) — reproducible on any engine/partitioning
+    // (unlike a seeded shuffle) and assigned by the distributed
+    // sort+zipWithIndex primitive, never a single-partition window
+    "training_order" -> ((s, d) => {
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("shuffle"))).as("h"))
+      GlobalOrder.withRowIndex(hashed, "shuffle_pos", col("h"), col("doc_id"))
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    }),
+
+    // shard plan: content-hash shard assignment (first md5 hex nibble →
+    // 16 shards) with per-shard doc/token budgets — the write-side plan
+    // for training shards; hash sharding keeps shards balanced and
+    // assignment reproducible across engines and reshards
+    "shard_plan" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          (expr("locate(substr(md5(cast(text as binary)), 1, 1), '0123456789abcdef')") - 1)
+            .cast("long").as("shard"),
+          size(split(col("text"), " ", -1)).cast("long").as("toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .orderBy("shard")),
+
+    // CCNet-style quality terciles per source: head/middle/tail by a
+    // row-local quality proxy (mean chars per token, integer-exact),
+    // ntile(3) within each source — the per-group window shuffles once
+    // on source and sorts within partitions, no global order anywhere
+    "quality_terciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score_milli"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          // widen before the multiply: ANSI mode throws on int overflow
+          // and 1000 × length exceeds Int.MaxValue past ~2 MB of text
+          expr("(1000 * cast(length(text) as bigint)) div size(split(text, ' ', -1))")
+            .as("score_milli"))
+        .withColumn("tercile", ntile(3).over(w))
+        .groupBy("source", "tercile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_milli").as("lo"), max("score_milli").as("hi"))
+        .orderBy("source", "tercile")
+    }),
+
     // Z-order layout key: bit-interleave (user_id low byte, second-of-
     // minute-scaled time byte) — the clustering key that makes BOTH
     // user- and time-range predicates prune row groups after a single
@@ -233,6 +280,35 @@ object TrainingOps3 {
         |SELECT min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM pfx GROUP BY prefix HAVING count(*) > 1
         |ORDER BY canonical_id""".stripMargin,
+
+    "training_order" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuffle'), doc_id) - 1
+        |         AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "shard_plan" ->
+      """SELECT CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT)
+        |         AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "quality_terciles" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |         (1000 * length(text)) // len(string_split(text, ' ')) AS score_milli
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, score_milli,
+        |         ntile(3) OVER (PARTITION BY source
+        |                        ORDER BY score_milli, doc_id) AS tercile
+        |  FROM scored)
+        |SELECT source, tercile, count(*) AS n_docs,
+        |       min(score_milli) AS lo, max(score_milli) AS hi
+        |FROM b GROUP BY source, tercile
+        |ORDER BY source, tercile""".stripMargin,
 
     "zorder_key" -> {
       val terms = (0 until 8).map(i =>

@@ -39,6 +39,37 @@ class TrainingOps3Spec extends SparkSpec {
     assert(c.filter(col("n_contam") > col("n_grams")).count() == 0)
   }
 
+  test("training order is a permutation: every doc exactly once, positions dense") {
+    val o = TrainingOps3.queries("training_order")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    val agg = o.agg(count(lit(1)), countDistinct("shuffle_pos"),
+      min("shuffle_pos"), max("shuffle_pos")).collect()(0)
+    assert(agg.getLong(0) == n && agg.getLong(1) == n)
+    assert(agg.getLong(2) == 0L && agg.getLong(3) == n - 1)
+  }
+
+  test("shard plan covers every doc and spreads the load") {
+    val sp = TrainingOps3.queries("shard_plan")(spark, sf).collect()
+    val total = sp.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sf).count())
+    assert(sp.length == 16, s"expected 16 hash shards, got ${sp.length}")
+    val counts = sp.map(_.getLong(1))
+    assert(counts.max < counts.min * 4L,
+      s"hash shards badly skewed: min ${counts.min} max ${counts.max}")
+  }
+
+  test("quality terciles partition each source into three non-overlapping bands") {
+    val t = TrainingOps3.queries("quality_terciles")(spark, sf).collect()
+      .groupBy(_.getString(0))
+    for ((src, rows) <- t) {
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"$src missing a tercile")
+      val sorted = rows.sortBy(_.getInt(1))
+      for (w <- sorted.sliding(2); if w.length == 2)
+        assert(w(0).getLong(4) <= w(1).getLong(3), // hi(k) <= lo(k+1)
+          s"$src tercile bands overlap: ${w(0).getLong(4)} > ${w(1).getLong(3)}")
+    }
+  }
+
   test("oov counts bounded by token counts; benchmark-free vocab is top-20") {
     val v = TrainingOps3.queries("vocab_oov_rate")(spark, sf)
     assert(v.filter(col("n_oov") > col("n_tokens")).count() == 0)
