@@ -87,6 +87,49 @@ object AnalyticsOps2 {
         .orderBy("minute")
     }),
 
+    // event-type transition matrix (first-order Markov over each
+    // user's event sequence): per-key lag window — one shuffle on
+    // user_id, sort within partitions, then a dim-sized count agg
+    "event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      t.withColumn("p_ppm", expr("n * 1000000 div sum(n) over (partition by from_type)"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // exact z-score outlier counts per event type: mean/stddev from
+    // quantized integer moments (one aggregation pass), then a second
+    // pass counts |x - mean| > 3σ — both passes scan-bound, the
+    // moment tier broadcast back into the filter
+    "value_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("x"))
+      val I = org.apache.spark.sql.types.DecimalType(38, 0)
+      val m = ev.groupBy("event_type").agg(
+          count(lit(1)).cast(I).as("n"),
+          sum(col("x").cast(I)).as("sx"),
+          sum((col("x") * col("x")).cast(I)).as("sxx"))
+        .select(col("event_type"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double").as("vn"))
+        .select(col("event_type"),
+          (col("sxd") / col("nd")).as("mean_x"),
+          (sqrt(col("vn")) / col("nd")).as("sd_x"))
+      ev.join(broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(abs(col("x").cast("double") - col("mean_x")) > lit(3.0) * col("sd_x"), 1))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // exact least-squares fit of extendedprice on quantity per
     // returnflag: slope / intercept / r² from integer moments
     // (floor(x*100) quantization ⇒ exact decimal sums; the double
@@ -168,6 +211,39 @@ object AnalyticsOps2 {
         |SELECT s.minute, COALESCE(c.c, 0) AS n
         |FROM spine s LEFT JOIN counts c ON c.minute = s.minute
         |ORDER BY s.minute""".stripMargin,
+
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS p_ppm
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
+    "value_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM q GROUP BY event_type),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) AS sd_x
+        |  FROM m)
+        |SELECT q.event_type, count(*) AS n_events,
+        |       CAST(count(*) FILTER (
+        |         WHERE abs(CAST(x AS DOUBLE) - mean_x) > 3.0 * sd_x) AS BIGINT)
+        |         AS n_outliers
+        |FROM q JOIN stats ON stats.event_type = q.event_type
+        |GROUP BY q.event_type ORDER BY q.event_type""".stripMargin,
 
     "regr_fit" ->
       """WITH s AS (

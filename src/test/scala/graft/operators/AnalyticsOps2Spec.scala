@@ -35,6 +35,28 @@ class AnalyticsOps2Spec extends SparkSpec {
     assert(g.getLong(1) == minutes, "spine must have one row per minute, no gaps")
   }
 
+  test("transition matrix rows sum to ~1e6 ppm per from_type") {
+    val t = AnalyticsOps2.queries("event_transitions")(spark, sf)
+      .groupBy("from_type").agg(sum("p_ppm").as("total"))
+      .collect()
+    for (r <- t) {
+      val total = r.getLong(1)
+      // integer division truncates per cell: total ∈ (1e6 - cells, 1e6]
+      assert(total > 999900L && total <= 1000000L,
+        s"${r.getString(0)} transition probs sum to $total ppm")
+    }
+  }
+
+  test("outliers are rare and bounded") {
+    val o = AnalyticsOps2.queries("value_outliers")(spark, sf).collect()
+    for (r <- o) {
+      assert(r.getLong(2) <= r.getLong(1))
+      // Chebyshev: at most 1/9 of any distribution sits beyond 3σ
+      assert(r.getLong(2) * 9 <= r.getLong(1),
+        s"${r.getString(0)}: ${r.getLong(2)} outliers of ${r.getLong(1)} exceeds the 3σ bound")
+    }
+  }
+
   test("regression fit is well-formed") {
     val rows = AnalyticsOps2.queries("regr_fit")(spark, sf).collect()
     assert(rows.length == 3)
