@@ -62,7 +62,8 @@ object Bench {
       "ann_topk", "ann_lsh", "doc_token_count",
       "word_freq_topk", "percentiles_exact",
       "doc_winnow_fingerprint", "media_frame_sample",
-      "decontaminate_exact", "sample_mixture", "ann_pq")
+      "decontaminate_exact", "sample_mixture", "ann_pq",
+      "funnel_conversion", "contamination_ngram_rate", "training_order")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
