@@ -47,6 +47,7 @@ object SparkEntry {
       AnalyticsOps.queries ++
       AnalyticsOps2.queries ++
       SetOps.queries ++
+      PipelineOps.queries ++
       graft.procs.SystemProcs.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
@@ -78,5 +79,6 @@ object SparkEntry {
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
       AnalyticsOps2.oracles ++
-      SetOps.oracles
+      SetOps.oracles ++
+      PipelineOps.oracles
 }

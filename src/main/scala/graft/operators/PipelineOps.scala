@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composite pipeline operators: the end-to-end curation funnel (the
+  * reason the individual curation ops exist) and a column-profiling
+  * audit. Both oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *  - the curation funnel is a single declarative plan: exact dedup is
+  *    one window over text-hash partitions; the quality gate and the
+  *    mixture threshold are row-local filters that run INSIDE the same
+  *    scan; decontamination broadcasts the benchmark gram set and
+  *    anti-joins — the corpus never shuffles except for the dedup
+  *    window's one hash exchange;
+  *  - table_profile computes every column's stats in ONE scan pass
+  *    (count/null/distinct/min/max as parallel aggregates), then
+  *    unpivots the 1-row result — no per-column rescan.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val isBench = "doc_id % 50 = 0"
+
+  val queries: Map[String, Q] = Map(
+    // dedup → quality gate → decontaminate → mixture sample, ending in
+    // the per-source budget report a curation run hands to training
+    "curation_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // 1. exact dedup: canonical survivor per identical text
+      val w = Window.partitionBy("text")
+      val canon = docs
+        .withColumn("mn", min("doc_id").over(w))
+        .filter(col("doc_id") === col("mn"))
+        // 2. quality gate: row-local, runs in the same stage
+        .filter(expr("size(split(text, ' ', -1)) >= 20"))
+        // benchmark docs are held out, never trained on
+        .filter(!expr(isBench))
+        .select("doc_id", "text", "source")
+      // 3. decontaminate: drop docs sharing ANY 3-gram with the
+      // benchmark split (gram set broadcast; left_anti keeps the
+      // corpus on its own partitioning)
+      val benchGrams = DedupOps.shingles(docs.filter(expr(isBench)))
+        .select("g").distinct()
+      val contaminated = DedupOps.shingles(canon)
+        .join(broadcast(benchGrams), "g")
+        .select("doc_id").distinct()
+      val clean = canon.join(contaminated, Seq("doc_id"), "left_anti")
+        // 4. mixture sample: deterministic content-hash 50% keep rate
+        .filter(substring(md5(col("text").cast("binary")), 1, 2) < "80")
+      clean.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // column-profiling audit (the pre-ingest data-quality report):
+    // count / nulls / distincts / min / max per column, one scan pass,
+    // numerics profiled exactly via floor(x*100) integer space
+    "table_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val one = o.agg(
+        count(lit(1)).as("n"),
+        // o_orderkey
+        count(col("o_orderkey")).as("k_nn"),
+        countDistinct(col("o_orderkey")).as("k_nd"),
+        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"),
+        // o_custkey
+        count(col("o_custkey")).as("c_nn"),
+        countDistinct(col("o_custkey")).as("c_nd"),
+        min(col("o_custkey")).as("c_min"), max(col("o_custkey")).as("c_max"),
+        // o_totalprice (integer cents)
+        count(col("o_totalprice")).as("p_nn"),
+        countDistinct(floor(col("o_totalprice") * 100).cast("long")).as("p_nd"),
+        min(floor(col("o_totalprice") * 100).cast("long")).as("p_min"),
+        max(floor(col("o_totalprice") * 100).cast("long")).as("p_max"),
+        // o_orderstatus (categorical: min/max as the lexicographic range)
+        count(col("o_orderstatus")).as("s_nn"),
+        countDistinct(col("o_orderstatus")).as("s_nd"))
+      one.select(expr(
+        """explode(array(
+          |  struct('o_orderkey' AS column, n, k_nn AS n_nonnull, k_nd AS n_distinct, k_min AS min_v, k_max AS max_v),
+          |  struct('o_custkey' AS column, n, c_nn AS n_nonnull, c_nd AS n_distinct, c_min AS min_v, c_max AS max_v),
+          |  struct('o_totalprice_cents' AS column, n, p_nn AS n_nonnull, p_nd AS n_distinct, p_min AS min_v, p_max AS max_v),
+          |  struct('o_orderstatus' AS column, n, s_nn AS n_nonnull, s_nd AS n_distinct, CAST(NULL AS BIGINT) AS min_v, CAST(NULL AS BIGINT) AS max_v)
+          |)) AS r""".stripMargin))
+        .select("r.*")
+        .orderBy("column")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "curation_pipeline_e2e" ->
+      """WITH canon AS (
+        |  SELECT doc_id, text, source
+        |  FROM (SELECT doc_id, text, source,
+        |               min(doc_id) OVER (PARTITION BY text) AS mn
+        |        FROM documents)
+        |  WHERE doc_id = mn
+        |    AND len(string_split(text, ' ')) >= 20
+        |    AND doc_id % 50 <> 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench ON bench.g = sh.g),
+        |clean AS (
+        |  SELECT c.* FROM canon c
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND substr(md5(text), 1, 2) < '80')
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM clean GROUP BY source ORDER BY source""".stripMargin,
+
+    "table_profile" ->
+      """WITH one AS (
+        |  SELECT count(*) AS n,
+        |         count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+        |         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+        |         count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+        |         min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+        |         count(o_totalprice) AS p_nn,
+        |         count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT)) AS p_nd,
+        |         min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS p_min,
+        |         max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS p_max,
+        |         count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS "column", n, k_nn AS n_nonnull, k_nd AS n_distinct,
+        |       k_min AS min_v, k_max AS max_v FROM one
+        |UNION ALL
+        |SELECT 'o_custkey', n, c_nn, c_nd, c_min, c_max FROM one
+        |UNION ALL
+        |SELECT 'o_totalprice_cents', n, p_nn, p_nd, p_min, p_max FROM one
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, s_nn, s_nd, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM one
+        |ORDER BY "column"""".stripMargin
+  )
+}
