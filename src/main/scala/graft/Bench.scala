@@ -72,10 +72,20 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
     val qs = jmap(headline.filter(results.contains).map(k => k -> results(k)))
-    // ingest events/s = events rows / measured full-plan time of the
-    // enrich→score→session-gate pipeline (vs the reference's 20k/s)
-    val ingestT = results.getOrElse("ingest_pipeline", -1.0)
-    val eps = if (ingestT > 0) (nEvents / ingestT).round else -1L
+    // ingest events/s = events rows / full-plan time of the
+    // enrich→score→session-gate pipeline (vs the reference's 20k/s).
+    // Median of 3 dedicated runs: this is the headline baseline
+    // comparison and a single measurement swings ±50% with
+    // shared-machine load; the per-query map keeps its own single
+    // in-sequence measurement untouched.
+    val eps = try {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        runFully(SparkEntry.queries("ingest_pipeline")(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (nEvents / ts(1)).round
+    } catch { case _: Throwable => -1L }
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // printed LAST, after spark.stop(), so no straggler executor log

@@ -443,6 +443,19 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // containment near-dup: c / min(na, nb) ≥ 0.9 — catches docs that
+    // are near-SUBSETS of another (prepended boilerplate, truncations),
+    // which symmetric Jaccard dilutes below any usable threshold when
+    // the sizes differ. Same counted pair pipeline, different ratio.
+    "dedup_containment" -> ((s, d) => {
+      jaccardPairs(Tables.documents(s, d))
+        .withColumn("containment",
+          col("c").cast("double") / least(col("na"), col("nb")).cast("double"))
+        .filter(col("containment") >= 0.9)
+        .select("da", "db", "containment")
+        .orderBy("da", "db")
+    }),
+
     // embedding-cosine near-dup: best neighbor per vector, exact
     // quantized integer math — oracle-checked.
     // Perf shape: each unordered pair's dot product is computed ONCE
@@ -525,6 +538,22 @@ object DedupOps {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
         |SELECT a AS doc_id, min(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db,
+        |       CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = da
+        |JOIN sizes sb ON sb.doc_id = db
+        |WHERE CAST(c AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9
+        |ORDER BY da, db""".stripMargin,
 
     "dedup_embedding_near" ->
       """WITH e AS (
