@@ -63,7 +63,8 @@ object Bench {
       "word_freq_topk", "percentiles_exact",
       "doc_winnow_fingerprint", "media_frame_sample",
       "decontaminate_exact", "sample_mixture", "ann_pq",
-      "funnel_conversion", "contamination_ngram_rate", "training_order")
+      "funnel_conversion", "contamination_ngram_rate", "training_order",
+      "nation_trade_pagerank", "ewma_anomaly", "dedup_blocks")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),

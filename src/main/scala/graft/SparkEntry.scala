@@ -42,6 +42,9 @@ object SparkEntry {
       TrainingOps.queries ++
       TrainingOps2.queries ++
       TrainingOps3.queries ++
+      TrainingOps4.queries ++
+      GraphOps.queries ++
+      AnalyticsOps3.queries ++
       SimilarityOps2.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
@@ -75,6 +78,9 @@ object SparkEntry {
       TrainingOps.oracles ++
       TrainingOps2.oracles ++
       TrainingOps3.oracles ++
+      TrainingOps4.oracles ++
+      GraphOps.oracles ++
+      AnalyticsOps3.oracles ++
       SimilarityOps2.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++

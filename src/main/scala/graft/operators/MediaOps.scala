@@ -130,7 +130,29 @@ object MediaOps {
           col("frame_bytes"))
         .withColumn("byte_off", col("frame_no") * col("frame_bytes"))
         .select("media_id", "kind", "frame_no", "byte_off")
-        .orderBy("media_id", "frame_no"))
+        .orderBy("media_id", "frame_no")),
+
+    // perceptual-hash stub (dHash shape): bit i set when payload byte
+    // i > byte i+1 — an 8-bit locality-sensitive fingerprint; equal
+    // phash buckets are the near-dup-image candidate groups. A real
+    // decoder swaps the byte source for downsampled luma; the
+    // bucketing contract (map-side bit math → groupable key) is the
+    // real part. Oracle-checked via the same md5 hex-char derivation
+    // as media_decode_stats.
+    "media_phash" -> ((s, d) => {
+      val withBytes = (0 to 8).foldLeft(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), md5(col("text")).as("h"))) {
+        (df, i) =>
+          df.withColumn(s"b$i",
+            conv(substring(col("h"), 2 * i + 1, 2), 16, 10).cast("long"))
+      }
+      val phash = (0 until 8).map(i =>
+        when(col(s"b$i") > col(s"b${i + 1}"), lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      withBytes.select(col("media_id"), phash.as("phash"))
+        .orderBy("media_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +215,23 @@ object MediaOps {
         |SELECT media_id, kind,
         |       unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS frame_no,
         |       unnest(range(0, CAST(n_frames AS BIGINT), 2)) * frame_bytes AS byte_off
-        |FROM m ORDER BY media_id, frame_no""".stripMargin
+        |FROM m ORDER BY media_id, frame_no""".stripMargin,
+
+    "media_phash" -> {
+      val bytes = (0 to 8).map { i =>
+        val a1 = s"ascii(substr(h, ${2 * i + 1}, 1))"
+        val a2 = s"ascii(substr(h, ${2 * i + 2}, 1))"
+        s"(CASE WHEN $a1 >= 97 THEN $a1 - 87 ELSE $a1 - 48 END) * 16" +
+          s" + (CASE WHEN $a2 >= 97 THEN $a2 - 87 ELSE $a2 - 48 END) AS b$i"
+      }.mkString(",\n  ")
+      val bits = (0 until 8).map(i =>
+        s"(CASE WHEN b$i > b${i + 1} THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+         |bb AS (SELECT media_id,
+         |  $bytes
+         |  FROM m)
+         |SELECT media_id, CAST($bits AS BIGINT) AS phash
+         |FROM bb ORDER BY media_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth training-data-curation tranche: sliding-window token
+  * chunking, duplicated-block (substring-dedup) audit, BPE first-merge
+  * pair census, and the higher-order array-function surface. All
+  * oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *  - doc_chunks / dedup_blocks explode each doc into
+  *    O(tokens/stride) rows — output proportional to input, map-side
+  *    (no shuffle before the block-hash aggregation); chunk text is
+  *    hashed to md5 BEFORE any shuffle so exchanged rows are narrow;
+  *  - dedup_blocks is the block-grain form of Lee et al.'s substring
+  *    dedup: the only shuffle is on the 16-token block hash, and the
+  *    per-doc re-aggregation happens on doc_id, the explode's source
+  *    key;
+  *  - bpe_pair_freq is the first iteration of a BPE trainer: pair
+  *    census → partial-agg → TakeOrderedAndProject top-k; successive
+  *    merge rounds repeat the same plan on the re-encoded corpus;
+  *  - array_funcs_surface is a pure map stage — it exists to pin the
+  *    higher-order-function semantics (transform/filter/aggregate/
+  *    sort_array/slice/reverse) against an independent engine, since
+  *    every embedding kernel in this library builds on them.
+  */
+object TrainingOps4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // sliding-window chunking: 32-token windows at a 24-token stride
+    // (the tokenize-for-training shape; last window may be short).
+    // One row per (doc, chunk) with the chunk's md5 for downstream
+    // chunk-grain dedup.
+    "doc_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))"))
+            .as("start"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_no"),
+          least(lit(32L), col("n") - col("start")).as("chunk_tokens"),
+          md5(expr("concat_ws(' ', slice(w, CAST(start + 1 AS INT), 32))"))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // duplicated-block audit: non-overlapping 16-token blocks hashed
+    // corpus-wide; per doc, how many of its blocks occur more than
+    // once anywhere (block-grain substring dedup — catches shared
+    // boilerplate that whole-doc hashing misses)
+    "dedup_blocks" -> ((s, d) => {
+      val blocks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n - 1, CAST(16 AS BIGINT))"))
+            .as("start"))
+        .select(col("doc_id"),
+          md5(expr("concat_ws(' ', slice(w, CAST(start + 1 AS INT), 16))"))
+            .as("bh"))
+      val occ = blocks.groupBy("bh").agg(count(lit(1)).as("occ"))
+      blocks.join(occ, "bh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("occ") > 1, 1)).as("n_dup_blocks"))
+        .withColumn("dup_ppm",
+          expr("n_dup_blocks * 1000000 div n_blocks"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE first-merge census: most frequent adjacent character pair
+    // inside tokens — the pair a byte-pair-encoding trainer would
+    // merge first (doc_bpe_tokens applies a fixed merge table; this
+    // is where such a table comes from)
+    "bpe_pair_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ", -1)).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("t"),
+          explode(expr("sequence(1, length(t) - 1)")).as("i"))
+        .select(expr("substring(t, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(25)),
+
+    // higher-order array-function surface over the embedding column:
+    // transform / filter / aggregate / sort_array / slice / reverse,
+    // all on the exact quantized integer form — semantics pinned
+    // against DuckDB's list functions
+    "array_funcs_surface" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+        .select(col("vec_id"),
+          size(col("q")).cast("long").as("n_dims"),
+          expr("CAST(size(filter(q, x -> x > 0)) AS BIGINT)").as("n_pos"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("array_join(transform(slice(sort_array(q, false), 1, 3), x -> CAST(x AS STRING)), ',')")
+            .as("top3"),
+          expr("element_at(reverse(q), 1)").as("rev_head"))
+        .orderBy("vec_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), 24)) AS start
+        |      FROM t)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+        |       CAST(least(32, n - start) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(w[start+1:start+32], ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "dedup_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, md5(array_to_string(w[start+1:start+16], ' ')) AS bh
+        |      FROM (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS start FROM t)),
+        |occ AS (SELECT bh, count(*) AS occ FROM b GROUP BY bh)
+        |SELECT b.doc_id, count(*) AS n_blocks,
+        |       CAST(count(*) FILTER (WHERE occ.occ > 1) AS BIGINT) AS n_dup_blocks,
+        |       CAST(count(*) FILTER (WHERE occ.occ > 1) * 1000000 // count(*)
+        |            AS BIGINT) AS dup_ppm
+        |FROM b JOIN occ ON occ.bh = b.bh
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_freq" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |p AS (SELECT substr(t, i, 2) AS pair
+        |      FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |            FROM toks WHERE len(t) >= 2))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 25""".stripMargin,
+
+    "array_funcs_surface" ->
+      """SELECT vec_id,
+        |  CAST(len(l) AS BIGINT) AS n_dims,
+        |  CAST(len(list_filter(l, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  list_min(l) AS q_min, list_max(l) AS q_max,
+        |  CAST(list_sum(l) AS BIGINT) AS q_sum,
+        |  array_to_string(list_sort(l, 'DESC')[1:3], ',') AS top3,
+        |  list_reverse(l)[1] AS rev_head
+        |FROM (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS l
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin
+  )
+}

@@ -24,6 +24,20 @@ class MediaSpec extends SparkSpec {
     assert(d1.map(_.media_id).toSeq == (0L until 500L))
   }
 
+  test("phash matches a local byte-compare recompute and stays 8-bit") {
+    val got = MediaOps.queries("media_phash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(p => p >= 0 && p <= 255), "phash is 8 bits")
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, t) <- docs) {
+      val b = md.digest(t.getBytes("UTF-8")).map(_ & 0xff)
+      val want = (0 until 8).map(i => if (b(i) > b(i + 1)) 1L << i else 0L).sum
+      assert(got(id) == want, s"phash mismatch for doc $id")
+    }
+  }
+
   test("decode handles malformed payloads without failing the stage") {
     import spark.implicits._
     val bad = Seq(
