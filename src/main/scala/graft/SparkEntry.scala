@@ -46,6 +46,8 @@ object SparkEntry {
       GraphOps.queries ++
       AnalyticsOps3.queries ++
       SimilarityOps2.queries ++
+      SimilarityOps3.queries ++
+      RelationalOps5.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
       AnalyticsOps2.queries ++
@@ -82,6 +84,8 @@ object SparkEntry {
       GraphOps.oracles ++
       AnalyticsOps3.oracles ++
       SimilarityOps2.oracles ++
+      SimilarityOps3.oracles ++
+      RelationalOps5.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
       AnalyticsOps2.oracles ++

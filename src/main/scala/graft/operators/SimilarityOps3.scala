@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse-vector similarity: idf-weighted shingle cosine via the
+  * inverted-index join — the text-side complement of the dense
+  * embedding kernels (SimilarityOps/dot_i64). Oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *  - weights are INTEGER (linear idf in milli-units, binary tf over
+  *    DISTINCT shingles), so dot products and norms are exact long
+  *    sums — order-independent, bit-identical to the oracle under any
+  *    partitioning; only the final cosine division is floating point
+  *    (one correctly-rounded IEEE op on identical operands per pair);
+  *  - the pair join is the same inverted-index shape as
+  *    dedup_ngram_jaccard: cost Σ_g df(g)² — bounded by shingle
+  *    rarity, never N²; the MinHash/LSH tranche remains the
+  *    candidate-bounded path when df skews;
+  *  - the idf join is a broadcast of the df tier only when the
+  *    vocabulary is dim-sized; here it rides the same shuffle as the
+  *    pair join (both key on the gram), so AQE reuses the exchange.
+  */
+object SimilarityOps3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // top-10 most similar doc pairs by idf-weighted shingle cosine:
+    // w(g) = 1000·N / df(g) (integer linear idf — no log, so both
+    // engines agree exactly), dot = Σ_{shared g} w(g)², norms row-local
+    "sparse_cosine_topk" -> ((s, d) => {
+      val grams = DedupOps.shingles(Tables.documents(s, d))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val w = grams.join(df, "g").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("g"), expr("1000 * n div df").as("w"))
+      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val a = w.select(col("doc_id").as("da"), col("g"), col("w").as("wa"))
+      val b = w.select(col("doc_id").as("db"), col("g"), col("w").as("wb"))
+      val dots = a.join(b, Seq("g")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+      dots
+        .join(norm.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
+        .join(norm.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")
+        .select(col("da"), col("db"),
+          (col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("da"), col("db"))
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sparse_cosine_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |wt AS (SELECT sh.doc_id, sh.g, (1000 * n.n // df.df) AS w
+        |       FROM sh JOIN df USING (g), n),
+        |norm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+        |         FROM wt GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |                CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |         FROM wt a JOIN wt b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT da, db,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |         AS cos_sim
+        |FROM dots
+        |JOIN norm na ON na.doc_id = da
+        |JOIN norm nb ON nb.doc_id = db
+        |ORDER BY cos_sim DESC, da, db LIMIT 10""".stripMargin
+  )
+}
