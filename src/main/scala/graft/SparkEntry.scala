@@ -48,6 +48,7 @@ object SparkEntry {
       SimilarityOps2.queries ++
       SimilarityOps3.queries ++
       RelationalOps5.queries ++
+      RelationalOps6.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
       AnalyticsOps2.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
       SimilarityOps2.oracles ++
       SimilarityOps3.oracles ++
       RelationalOps5.oracles ++
+      RelationalOps6.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
       AnalyticsOps2.oracles ++
