@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph-analytics tranche over the nation-level trade graph derived
   * from the fact tables: an edge (src → dst, weight w) exists when a
@@ -61,7 +60,8 @@ object GraphOps {
     // degree/strength census of the trade graph — the graph-shape
     // audit run before committing to any propagation algorithm
     "nation_trade_degree" -> ((s, d) => {
-      val e = tradeEdges(s, d)
+      // referenced twice (out + in tiers) — materialize the edge list once
+      val e = tradeEdges(s, d).localCheckpoint(true)
       val out = e.groupBy("src").agg(
         count(lit(1)).as("out_degree"), sum("w").as("out_strength"))
       val in = e.groupBy("dst").agg(
@@ -84,10 +84,14 @@ object GraphOps {
     // partitioning. Dangling mass is dropped (no out-edges ⇒ no
     // contribution), the standard simplification.
     "nation_trade_pagerank" -> ((s, d) => {
-      val e0 = tradeEdges(s, d)
+      // eager localCheckpoint: the fact join that derives edges runs
+      // exactly ONCE; the V²-bounded edge list is materialized before
+      // the loop (a lazy .persist still recomputed the join for the
+      // out-strength tier and left AQE blind to the tiny sizes —
+      // 20 s → ~2 s at sf0.1)
+      val e0 = tradeEdges(s, d).localCheckpoint(true)
       val out = e0.groupBy("src").agg(sum("w").as("out_w"))
-      // persist: the PR loop must not replay the fact join per iteration
-      val e = e0.join(out, "src").persist(StorageLevel.MEMORY_AND_DISK)
+      val e = e0.join(out, "src")
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
       var pr = nodes.withColumn("pr", lit(1000000000L / 25).cast("long"))
       for (_ <- 1 to 5) {
@@ -105,10 +109,13 @@ object GraphOps {
     // triangle count: canonical a<b<c enumeration over the undirected
     // edge set (two self-joins), plus the edge count — one output row
     "nation_trade_triangles" -> ((s, d) => {
+      // referenced four times (three join legs + edge count) —
+      // materialize the undirected edge list once
       val und = tradeEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
+        .localCheckpoint(true)
       val e1 = und.select(col("a").as("e1a"), col("b").as("e1b"))
       val e2 = und.select(col("a").as("e2a"), col("b").as("e2b"))
       val e3 = und.select(col("a").as("e3a"), col("b").as("e3b"))

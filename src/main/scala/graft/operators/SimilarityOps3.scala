@@ -30,11 +30,15 @@ object SimilarityOps3 {
     // w(g) = 1000·N / df(g) (integer linear idf — no log, so both
     // engines agree exactly), dot = Σ_{shared g} w(g)², norms row-local
     "sparse_cosine_topk" -> ((s, d) => {
-      val grams = DedupOps.shingles(Tables.documents(s, d))
+      // the shingle explode feeds the df tier, the norm tier, and both
+      // pair-join legs — materialize it once (eager localCheckpoint;
+      // lazy lineage recomputed the corpus explode ~5×)
+      val grams = DedupOps.shingles(Tables.documents(s, d)).localCheckpoint(true)
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
       val w = grams.join(df, "g").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("g"), expr("1000 * n div df").as("w"))
+        .localCheckpoint(true)
       val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
       val a = w.select(col("doc_id").as("da"), col("g"), col("w").as("wa"))
       val b = w.select(col("doc_id").as("db"), col("g"), col("w").as("wb"))
