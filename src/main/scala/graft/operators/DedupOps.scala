@@ -111,7 +111,8 @@ object DedupOps {
     * a shuffle join keyed by doc_id; the row-local intersect is
     * unchanged.) */
   def verifyJaccard(docs: DataFrame, cands: DataFrame): DataFrame = {
-    val arrs = docShingleArrays(docs)
+    // feeds BOTH broadcast sides — materialize the corpus hashing once
+    val arrs = docShingleArrays(docs).localCheckpoint(true)
     cands
       .join(broadcast(arrs.select(col("doc_id").as("da"), col("ghs").as("ga"), col("n").as("na"))), "da")
       .join(broadcast(arrs.select(col("doc_id").as("db"), col("ghs").as("gb"), col("n").as("nb"))), "db")
