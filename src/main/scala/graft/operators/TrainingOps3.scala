@@ -39,8 +39,11 @@ object TrainingOps3 {
     // before committing to a tokenizer)
     "vocab_oov_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // feeds both the vocab census and the coverage join — run the
+      // token explode once
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ", -1)).as("t"))
+        .localCheckpoint(true)
       val vocab = toks.groupBy("t").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("t"))
         .limit(20)
@@ -60,7 +63,9 @@ object TrainingOps3 {
     // the whole-doc-hash version; this catches partial overlap)
     "contamination_ngram_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val grams = DedupOps.shingles(docs) // (doc_id, g) distinct
+      // (doc_id, g) distinct — feeds the benchmark tier and the train
+      // probe — run the gram explode once
+      val grams = DedupOps.shingles(docs).localCheckpoint(true)
       val benchGrams = grams.filter(expr(isBench))
         .select(col("g")).distinct()
         .withColumn("contaminated", lit(1))
