@@ -80,6 +80,28 @@ object AnalyticsOps3 {
         .orderBy("minute_id")
     }),
 
+    // robust outliers via median absolute deviation: med and MAD from
+    // the exact interpolated percentile (bit-parity with DuckDB's
+    // quantile_cont, proven by percentiles_exact), cutoff 3σ-equivalent
+    // (4.4478 = 3 × 1.4826) — the complement of value_outliers'
+    // mean/stddev z-score, immune to the outliers it hunts
+    "mad_outliers" -> ((s, d) => {
+      val q = Tables.events(s, d).select("event_type", "value")
+      val med = q.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = q.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          first(col("med")).as("med"),
+          first(col("mad")).as("mad"),
+          count(when(col("adev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // key-skew audit: top-10 heaviest user_ids with their traffic
     // share, plus the global skew factor (max/mean, ×100) — the
     // number that decides between a plain shuffle and SkewOps salting
@@ -125,6 +147,23 @@ object AnalyticsOps3 {
         |SELECT s.m AS minute_id, CAST(COALESCE(cnt.nu, 0) AS BIGINT) AS n_users
         |FROM spine s LEFT JOIN cnt ON cnt.cm = s.m
         |ORDER BY minute_id""".stripMargin,
+
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - med.med) AS adev, med.med
+        |  FROM events e JOIN med ON med.event_type = e.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, count(*) AS n_events,
+        |       any_value(dev.med) AS med, any_value(mad.mad) AS mad,
+        |       CAST(count(*) FILTER (WHERE dev.adev > 4.4478 * mad.mad) AS BIGINT)
+        |         AS n_outliers
+        |FROM dev JOIN mad ON mad.event_type = dev.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
 
     "skew_audit" ->
       """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

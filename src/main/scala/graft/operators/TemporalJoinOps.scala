@@ -57,6 +57,34 @@ object TemporalJoinOps {
       .drop("__asof_k", "__asof_t", "__asof_kind", "last_mark0")
   }
 
+  /** Forward as-of: left rows (key, t) pick the EARLIEST right row
+    * (key, rt, payload) with rt >= t — same union + one-window plan as
+    * [[asOfJoin]], scanned toward the future. At equal time the right
+    * row is visible (kind orders right after left so the
+    * current-row-to-following frame includes it); ties on rt resolve
+    * to the lowest payload. */
+  def asOfJoinForward(left: DataFrame, leftKey: String, leftTime: String,
+                      right: DataFrame, rightKey: String, rightTime: String,
+                      payload: String): DataFrame = {
+    val l = left.select(col(leftKey).as("__asof_k"), col(leftTime).as("__asof_t"),
+      lit(0).as("__asof_kind"), col("*"))
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__asof_k"), col(rightTime).as("__asof_t"),
+        lit(1).as("__asof_kind"),
+        struct(col(rightTime).as("rt"), col(payload).as("p")).as("next_mark0"))
+    val unioned = l.withColumn("next_mark0",
+        lit(null).cast(r.schema("next_mark0").dataType))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy("__asof_k")
+      .orderBy(col("__asof_t"), col("__asof_kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("next_mark", min(col("next_mark0")).over(w))
+      .filter(col("__asof_kind") === 0)
+      .drop("__asof_k", "__asof_t", "__asof_kind", "next_mark0")
+  }
+
   val queries: Map[String, Q] = Map(
     // as-of: each event's latest order (same customer, at-or-before ts)
     "asof_last_order" -> ((s, d) => {
@@ -69,6 +97,21 @@ object TemporalJoinOps {
           col("last_mark.p").as("last_orderkey"),
           col("last_mark.rt").as("last_orderdate"))
         .orderBy("event_id")
+    }),
+
+    // forward as-of: each order's FIRST event of the same customer
+    // at-or-after the order date (the fulfillment-lag probe) — the
+    // mirror direction of asof_last_order, same one-shuffle plan
+    "asof_next_event" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoinForward(ord, "o_custkey", "o_orderdate", ev, "user_id", "ts", "event_id")
+        .select(col("o_orderkey"),
+          col("next_mark.p").as("next_event_id"),
+          col("next_mark.rt").as("next_event_ts"))
+        .orderBy("o_orderkey")
     }),
 
     // banded range join: for each error event, count the same user's
@@ -109,6 +152,16 @@ object TemporalJoinOps {
         |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |         AS last_orderdate
         |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "asof_next_event" ->
+      """SELECT o.o_orderkey,
+        |       (SELECT e.event_id FROM events e
+        |        WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |        ORDER BY e.ts, e.event_id LIMIT 1) AS next_event_id,
+        |       (SELECT e.ts FROM events e
+        |        WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |        ORDER BY e.ts, e.event_id LIMIT 1) AS next_event_ts
+        |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
 
     "range_join_error_window" ->
       """SELECT a.event_id AS probe_id, count(*) AS n_following

@@ -50,6 +50,17 @@ class AnalyticsOps3Spec extends SparkSpec {
     }
   }
 
+  test("mad_outliers: robust stats bound the flagged share") {
+    val rows = AnalyticsOps3.queries("mad_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, mad, out) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(mad >= 0, "MAD is a median of absolute values")
+      assert(out <= n / 2,
+        "by definition at least half the mass is within one MAD of the median")
+    }
+  }
+
   test("skew_audit: shares and skew factor are exact and ordered") {
     val rows = AnalyticsOps3.queries("skew_audit")(spark, sf).collect()
     assert(rows.length == 10)
