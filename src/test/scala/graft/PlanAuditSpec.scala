@@ -146,4 +146,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"dedup_ngram_jaccard degenerated to a cartesian:\n$plan")
   }
+
+  test("ewma anomaly plans no ordered window — explode + re-aggregate only") {
+    val plan = finalPlan("ewma_anomaly")
+    assert(!plan.contains("Window"),
+      s"ewma_anomaly re-grew an ordered window over the spine:\n$plan")
+  }
+
+  test("sparse cosine ranks via TakeOrderedAndProject, never a cartesian") {
+    val plan = finalPlan("sparse_cosine_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sparse_cosine_topk does a full sort for its top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"sparse_cosine_topk degenerated to a cartesian:\n$plan")
+  }
+
+  test("pagerank iterations stay cartesian-free over the edge relation") {
+    val plan = finalPlan("nation_trade_pagerank")
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank degenerated to a cartesian:\n$plan")
+  }
 }
