@@ -49,6 +49,7 @@ object SparkEntry {
       SimilarityOps3.queries ++
       RelationalOps5.queries ++
       RelationalOps6.queries ++
+      CdcOps.queries ++
       TemporalJoinOps.queries ++
       AnalyticsOps.queries ++
       AnalyticsOps2.queries ++
@@ -88,6 +89,7 @@ object SparkEntry {
       SimilarityOps3.oracles ++
       RelationalOps5.oracles ++
       RelationalOps6.oracles ++
+      CdcOps.oracles ++
       TemporalJoinOps.oracles ++
       AnalyticsOps.oracles ++
       AnalyticsOps2.oracles ++
