@@ -53,6 +53,33 @@ object SimilarityOps3 {
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("da"), col("db"))
         .limit(10)
+    }),
+
+    // late-interaction (MaxSim) retrieval: vectors grouped 8-per-"doc"
+    // (multi-vector documents), query = the first 4 vectors;
+    // score(doc) = Σ_q max_v dot(q, v) — the ColBERT scoring shape.
+    // Integer-quantized dots through the codegen kernel ⇒ exact.
+    // Scale: the query side is tiny by construction (broadcast); the
+    // doc side is scanned once; per-row work is |qvecs| × 8 dots, and
+    // both reductions (max per query vec, sum over query vecs) are
+    // partial-aggregated on doc_id.
+    "maxsim_topk" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("qv"))
+      val queries = q.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+      val docs = q.select(expr("vec_id div 8").as("doc"),
+        col("vec_id"), col("qv"))
+      docs.crossJoin(broadcast(queries))
+        .select(col("doc"), col("qid"),
+          graft.functions.VectorFunctions.dot_i64(col("qv"), col("qvec")).as("dot"))
+        .groupBy("doc", "qid").agg(max("dot").as("best"))
+        .groupBy("doc").agg(sum("best").as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc"))
+        .limit(10)
     })
   )
 
@@ -78,6 +105,22 @@ object SimilarityOps3 {
         |FROM dots
         |JOIN norm na ON na.doc_id = da
         |JOIN norm nb ON nb.doc_id = db
-        |ORDER BY cos_sim DESC, da, db LIMIT 10""".stripMargin
+        |ORDER BY cos_sim DESC, da, db LIMIT 10""".stripMargin,
+
+    "maxsim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT v.vec_id // 8 AS doc, v.vec_id AS vid, q.vec_id AS qid,
+        |         CAST(sum(v.x * q.x) AS BIGINT) AS dot
+        |  FROM e v JOIN e q ON q.i = v.i AND q.vec_id < 4
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc, qid, max(dot) AS best FROM dots GROUP BY doc, qid)
+        |SELECT doc, CAST(sum(best) AS BIGINT) AS maxsim
+        |FROM best GROUP BY doc
+        |ORDER BY maxsim DESC, doc LIMIT 10""".stripMargin
   )
 }

@@ -38,4 +38,15 @@ class SimilarityOps3Spec extends SparkSpec {
     }
     assert(got.forall(p => p._3 > 0 && p._3 <= 1.0 + 1e-12))
   }
+
+  test("maxsim: the query vectors' own doc scores highest (self-retrieval)") {
+    val top = SimilarityOps3.queries("maxsim_topk")(spark, sf).collect()
+    assert(top.length == 10)
+    // doc 0 contains the query vectors themselves: each query's best
+    // match there is its own (maximal) self dot product
+    assert(top.head.getLong(0) == 0L,
+      s"doc 0 must win self-retrieval, got doc ${top.head.getLong(0)}")
+    val scores = top.map(_.getLong(1))
+    assert(scores.sameElements(scores.sorted.reverse), "must be score-descending")
+  }
 }
