@@ -14,6 +14,27 @@ object FunctionOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // map-type function surface: parse the JSON props into a typed
+    // map, extend it with map_concat, then project map_keys /
+    // map_values / element_at / size through higher-order reductions.
+    // The oracle reproduces the VALUES from JSON arithmetic directly —
+    // it checks semantics, not mechanism (DuckDB's MAP type differs).
+    "map_funcs_surface" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+        .withColumn("m2", map_concat(col("m"),
+          map(lit("b"), element_at(col("m"), "k") * 2)))
+        .select(col("event_id"),
+          size(col("m2")).cast("long").as("n_keys"),
+          expr("array_join(array_sort(map_keys(m2)), ',')").as("keys"),
+          expr("aggregate(map_values(m2), CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("vsum"))
+        .orderBy("event_id")),
+
     // E6 round trip: synthesize a deterministic signed-int32 "IP" per
     // event, render it dotted-quad, parse back — both directions checked
     // against DuckDB string/bit arithmetic
@@ -43,6 +64,14 @@ object FunctionOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "map_funcs_surface" ->
+      """SELECT event_id,
+        |       CAST(2 AS BIGINT) AS n_keys,
+        |       'b,k' AS keys,
+        |       CAST(3 * CAST(json_extract(props, '$.k') AS BIGINT) AS BIGINT)
+        |         AS vsum
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
     "ip_roundtrip" ->
       """WITH base AS (
         |  SELECT event_id,
