@@ -38,6 +38,19 @@ object RelationalOps5 {
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     }),
 
+    // per-key top-k through the CUSTOM PHYSICAL OPERATOR (bounded
+    // k-heaps behind one ClusteredDistribution exchange — see
+    // graft.plans.GroupedTopK) — same semantics as the LATERAL /
+    // window-rank forms, oracle-checked against the window SQL
+    "grouped_topk_orders" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.GroupedTopK.topKPerKey(ord, Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // native session_window (30-min gap) per user over the events
     // stream, batch form — session bounds + event counts; the oracle
     // is the classic gaps-and-islands SQL, proving the operator's gap
@@ -62,6 +75,15 @@ object RelationalOps5 {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
         |WHERE c.c_custkey <= 100
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
+    "grouped_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey <= 100)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "session_window_islands" ->
       """WITH o AS (
