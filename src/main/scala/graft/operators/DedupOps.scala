@@ -68,16 +68,37 @@ object DedupOps {
     * that attached both docs' full shingle arrays to every candidate
     * pair — |pairs| × |shingles| element compares dominated the
     * runtime (~2× slower measured at sf0.1). */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
+  /** Document-frequency cap for the exact inverted-index pair joins.
+    * A gram shared by K docs emits K·(K-1)/2 pair rows, so one
+    * stop-phrase shingle in 10⁶ docs would emit ~5·10¹¹ rows — the one
+    * quadratic blowup in the exact path. Grams with df above the cap
+    * are dropped BEFORE the pair join, which bounds total pair rows at
+    * dfCap × |inverted index| (linear in corpus size) and costs ~zero
+    * signal: a gram shared by >1000 docs is boilerplate, not evidence
+    * of near-duplication. The cap is far above the max df at every
+    * test scale (7 at sf0.01, 25 at sf0.1 — measured), so oracle
+    * results are byte-identical below it; DedupSpec pins the cap
+    * semantics on a synthetic hot-gram corpus. */
+  val HotGramDfCap = 1000L
+
+  def jaccardPairs(docs: DataFrame, dfCap: Long = HotGramDfCap): DataFrame = {
     // one row per doc (~|ghs| longs each): materialize once — it feeds
-    // both sides of the inverted-index join AND the sizes broadcast
+    // both sides of the inverted-index join AND the sizes tier
     val arrs = docShingleArrays(docs).localCheckpoint(true)
-    val inv = arrs.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val inv0 = arrs.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    // DF cut (see HotGramDfCap): the df tier and the semi-join both key
+    // on the gram hash — the same key as the pair join, so the shuffle
+    // layout is shared across all three.
+    val cold = inv0.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("gh")
+    val inv = inv0.join(cold, Seq("gh"), "left_semi")
     val counted = inv.as("a").join(inv.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
-    val sizes = arrs.select(col("doc_id"), col("n"))
+    // sizes recomputed over the CAPPED shingle space so the Jaccard
+    // denominator stays consistent with the intersection count
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     counted
       .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
       .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")

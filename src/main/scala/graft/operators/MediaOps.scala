@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decode/feature-extract as batched
   * per-partition transforms.
   *
-  * The container has no image/audio codecs, so [[FakeDecoder.decode]] is
-  * a clearly-marked deterministic stub; everything Spark-side — the
-  * schema (binary payload + typed metadata struct), the partition-wise
-  * batched execution (`mapPartitions`, the Scala analogue of
-  * `mapInPandas` batch shape), partitioning, and the downstream
-  * aggregations — is real and spec-tested.
+  * Image decode is REAL: payloads are genuine PNGs (encoded on the
+  * executors from deterministic per-doc dimensions, [[PngCodec]]) and
+  * [[decodeAll]] reads them back with the JDK-bundled `javax.imageio`
+  * readers (PNG/JPEG/BMP/GIF/TIFF) — no external codec dependency.
+  * The oracle can still hash-check the result because the GENERATOR's
+  * dimensions derive from md5 hex chars, reproducible in SQL; the
+  * decoder must recover exactly those dims from real PNG bytes for the
+  * rows to match. Audio/video remain byte-derived stubs
+  * (`media_frame_sample`) — no container parsers in the JDK.
   *
   * Scale: decode is the expensive stage, so it runs once per row inside
   * a single narrow stage (no shuffle), after column pruning has dropped
@@ -27,26 +30,29 @@ object MediaOps {
   case class DecodedMedia(media_id: Long, kind: String, byte_len: Int,
                           width: Int, height: Int, channels: Int, ok: Boolean)
 
-  /** STUB decoder — deterministic fake in place of a real image/audio
-    * codec (none available in this container). A real deployment swaps
-    * this body for e.g. a JNI JPEG decode; the signature and the
-    * partition-batched call shape are the contract. */
-  object FakeDecoder {
-    def decode(r: MediaRow): DecodedMedia = {
-      val b = r.payload
-      if (b == null || b.length < 4)
-        DecodedMedia(r.media_id, r.kind, if (b == null) 0 else b.length, 0, 0, 0, ok = false)
-      else DecodedMedia(r.media_id, r.kind, b.length,
-        width = 16 + ((b(0) & 0xff) << 2),
-        height = 16 + ((b(1) & 0xff) << 2),
-        channels = 1 + ((b(2) & 0xff) % 4),
-        ok = true)
+  /** Real PNG encode via the JDK's ImageIO — runs on executors inside
+    * mapPartitions; one solid-fill image per row (solid fill keeps the
+    * encode cheap and the file tiny without changing what the decoder
+    * must prove: dims + bands recovered from real PNG structure). */
+  object PngCodec {
+    def encode(width: Int, height: Int, gray: Boolean, rgbSeed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgbSeed & 0xff, (rgbSeed * 7) & 0xff, (rgbSeed * 13) & 0xff))
+      g.fillRect(0, 0, width, height)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
   }
 
-  /** Synthesize a media corpus from `documents`: payload = md5 bytes of
-    * the text (deterministic, opaque), kind from source. Stands in for
-    * a real (path, binary) scan such as `spark.read.format("binaryFile")`. */
+  /** Synthesize an OPAQUE-blob corpus from `documents`: payload = md5
+    * bytes of the text, kind from source. Used by the plumbing checks
+    * and the audio/video-shaped stubs; stands in for a real
+    * (path, binary) scan such as `spark.read.format("binaryFile")`. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -56,27 +62,64 @@ object MediaOps {
       .as[MediaRow]
   }
 
-  /** Partition-batched decode: one decoder instance per partition,
-    * rows streamed through it (mapInPandas batch shape). */
+  /** Synthesize a REAL-PNG corpus from `documents`: per doc, the image
+    * is `(8 + b0·2) × (8 + b1·2)` px (8..518 — some sides cross the 256
+    * resize threshold), grayscale when b2 is even else RGB, where b_k is
+    * byte k of md5(text). The dims are thus oracle-reproducible while
+    * the payload is a genuine PNG only a real decoder can read back. */
+  def pngTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        concat(lit("img/"), col("source")).as("kind"),
+        md5(col("text")).as("h"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        it.map { case (id, kind, h) =>
+          def b(i: Int) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16)
+          MediaRow(id, kind,
+            PngCodec.encode(8 + b(0) * 2, 8 + b(1) * 2, gray = b(2) % 2 == 0, rgbSeed = b(3)))
+        }
+      }
+  }
+
+  /** Partition-batched REAL decode: `javax.imageio` reads each payload
+    * (any JDK-supported format — PNG/JPEG/BMP/GIF/TIFF); width/height
+    * from the decoded image, channels from the raster's band count.
+    * Unreadable payloads → ok=false row, never an exception (a corrupt
+    * blob in 100 TB must not kill the stage). */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup cost amortized here (codec init in real life)
-      it.map(FakeDecoder.decode)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+      it.map { r =>
+        val len = if (r.payload == null) 0 else r.payload.length
+        val img =
+          try {
+            if (r.payload == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) DecodedMedia(r.media_id, r.kind, len, 0, 0, 0, ok = false)
+        else DecodedMedia(r.media_id, r.kind, len,
+          img.getWidth, img.getHeight, img.getRaster.getNumBands, ok = true)
+      }
     }
   }
 
   val queries: Map[String, Q] = Map(
-    // decode + per-kind metadata stats — oracle-checked: the stub's
-    // byte arithmetic is re-derived in SQL from md5 hex chars, proving
-    // the partition-batched decode output aggregates exactly
+    // REAL decode + per-kind metadata stats — oracle-checked: the
+    // GENERATOR's dims are re-derived in SQL from md5 hex chars; the
+    // Spark side must recover the same numbers by actually decoding
+    // PNG bytes with javax.imageio. Any decode failure breaks n_ok.
     "media_decode_stats" -> ((s, d) =>
-      decodeAll(mediaTable(s, d)).toDF()
+      decodeAll(pngTable(s, d)).toDF()
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
-          sum(col("byte_len").cast("long")).as("total_bytes"),
+          sum((col("width") * col("height")).cast("long")).as("px_sum"),
           sum(col("width").cast("long")).as("width_sum"),
           sum(col("height").cast("long")).as("height_sum"),
+          sum(col("channels").cast("long")).as("channels_sum"),
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
         .orderBy("kind")),
 
@@ -89,12 +132,12 @@ object MediaOps {
         .orderBy("media_id")),
 
     // resize planning: aspect-preserving target dims (long side → 256,
-    // never upscale) computed from the decoded metadata — the pure
-    // relational half of an image-resize stage (the pixel transform
-    // itself is the decoder stub's swap-in point). Integer math only →
-    // oracle-checked via the same md5 hex-char derivation.
+    // never upscale) computed from REAL decoded metadata — generator
+    // dims span 8..518 px so both branches (downscale and keep) are
+    // exercised. Integer math only → oracle-checked via the same md5
+    // hex-char derivation the generator uses.
     "media_resize_dims" -> ((s, d) =>
-      decodeAll(mediaTable(s, d)).toDF()
+      decodeAll(pngTable(s, d)).toDF()
         .withColumn("long_side", greatest(col("width"), col("height")))
         .withColumn("scale_num", when(col("long_side") > 256, lit(256)).otherwise(col("long_side")))
         .select(col("media_id"), col("width"), col("height"),
@@ -156,29 +199,38 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // decode parity: payload bytes are md5(text); byte k of the digest
-    // is the hex pair at chars 2k+1..2k+2, reconstructed with ascii
-    // arithmetic (DuckDB 1.0 has no hex→int cast). width = 16 + b0*4,
-    // height = 16 + b1*4 mirror FakeDecoder exactly; every payload is
-    // 16 bytes so ok is always true.
+    // decode parity: the PNG GENERATOR's dims derive from md5(text);
+    // byte k of the digest is the hex pair at chars 2k+1..2k+2,
+    // reconstructed with ascii arithmetic (DuckDB 1.0 has no hex→int
+    // cast). width = 8 + b0*2, height = 8 + b1*2, channels = 1 when b2
+    // even else 3 mirror pngTable exactly; the Spark side recovers
+    // these by really decoding the PNG, so n_ok = count(*) asserts
+    // every payload decoded.
     "media_decode_stats" ->
       """WITH m AS (SELECT 'img/' || source AS kind, md5(text) AS h FROM documents),
         |hx AS (SELECT kind,
         |  ascii(substr(h, 1, 1)) AS a1, ascii(substr(h, 2, 1)) AS a2,
-        |  ascii(substr(h, 3, 1)) AS a3, ascii(substr(h, 4, 1)) AS a4
+        |  ascii(substr(h, 3, 1)) AS a3, ascii(substr(h, 4, 1)) AS a4,
+        |  ascii(substr(h, 5, 1)) AS a5, ascii(substr(h, 6, 1)) AS a6
         |  FROM m),
         |b AS (SELECT kind,
         |  (CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
         |    + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END) AS b0,
         |  (CASE WHEN a3 >= 97 THEN a3 - 87 ELSE a3 - 48 END) * 16
-        |    + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END) AS b1
-        |  FROM hx)
+        |    + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END) AS b1,
+        |  (CASE WHEN a5 >= 97 THEN a5 - 87 ELSE a5 - 48 END) * 16
+        |    + (CASE WHEN a6 >= 97 THEN a6 - 87 ELSE a6 - 48 END) AS b2
+        |  FROM hx),
+        |d AS (SELECT kind, 8 + b0 * 2 AS w, 8 + b1 * 2 AS ht,
+        |             CASE WHEN b2 % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |      FROM b)
         |SELECT kind, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(count(*) * 16 AS BIGINT) AS total_bytes,
-        |       CAST(sum(16 + b0 * 4) AS BIGINT) AS width_sum,
-        |       CAST(sum(16 + b1 * 4) AS BIGINT) AS height_sum,
+        |       CAST(sum(w * ht) AS BIGINT) AS px_sum,
+        |       CAST(sum(w) AS BIGINT) AS width_sum,
+        |       CAST(sum(ht) AS BIGINT) AS height_sum,
+        |       CAST(sum(ch) AS BIGINT) AS channels_sum,
         |       CAST(count(*) AS BIGINT) AS n_ok
-        |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+        |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
 
     "media_payload_len" ->
       """SELECT doc_id AS media_id, 'img/' || source AS kind,
@@ -192,10 +244,10 @@ object MediaOps {
         |  ascii(substr(h, 3, 1)) AS a3, ascii(substr(h, 4, 1)) AS a4
         |  FROM m),
         |wh AS (SELECT media_id,
-        |  16 + ((CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
-        |      + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END)) * 4 AS width,
-        |  16 + ((CASE WHEN a3 >= 97 THEN a3 - 87 ELSE a3 - 48 END) * 16
-        |      + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END)) * 4 AS height
+        |  8 + ((CASE WHEN a1 >= 97 THEN a1 - 87 ELSE a1 - 48 END) * 16
+        |      + (CASE WHEN a2 >= 97 THEN a2 - 87 ELSE a2 - 48 END)) * 2 AS width,
+        |  8 + ((CASE WHEN a3 >= 97 THEN a3 - 87 ELSE a3 - 48 END) * 16
+        |      + (CASE WHEN a4 >= 97 THEN a4 - 87 ELSE a4 - 48 END)) * 2 AS height
         |  FROM hx),
         |sc AS (SELECT media_id, width, height,
         |  greatest(width, height) AS long_side,

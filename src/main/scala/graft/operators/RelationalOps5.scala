@@ -51,9 +51,11 @@ object RelationalOps5 {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
-    // the SAME top-k through Spark's built-in window stack — kept
-    // registered so every bench round times the custom heap operator
-    // against the Sort+Window form on identical data (same oracle)
+    // the SAME top-k written as the window idiom — since round 6 the
+    // GroupedTopKRewrite optimizer rule (injected via GraftExtensions)
+    // replans this Filter(rn<=3, Window(row_number)) as GroupedTopKExec
+    // automatically: SQL users get the heap operator with no API
+    // opt-in. PlanAuditSpec asserts the rewritten plan shape.
     "window_topk_orders" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")
@@ -63,6 +65,25 @@ object RelationalOps5 {
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).drop("rn")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // the Sort+Window physical form, kept benchable for the standing
+    // A/B against the heap operator: RETAINING the rank column in the
+    // output is exactly the case the rewrite must not (and does not)
+    // touch — rank values are used, so the sort is genuinely needed
+    "window_topk_ranked" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        // keep (and widen) the rank: referenced output ⇒ no rewrite
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
@@ -102,6 +123,15 @@ object RelationalOps5 {
 
     "window_topk_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey <= 100)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "window_topk_ranked" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn

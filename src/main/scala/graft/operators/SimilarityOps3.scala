@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    partitioning; only the final cosine division is floating point
   *    (one correctly-rounded IEEE op on identical operands per pair);
   *  - the pair join is the same inverted-index shape as
-  *    dedup_ngram_jaccard: cost Σ_g df(g)² — bounded by shingle
-  *    rarity, never N²; the MinHash/LSH tranche remains the
-  *    candidate-bounded path when df skews;
+  *    dedup_ngram_jaccard, with the same document-frequency cut
+  *    ([[DedupOps.HotGramDfCap]]): grams in more docs than the cap are
+  *    dropped before pairing, so pair rows are bounded by
+  *    cap × |inverted index| (linear in corpus size), never N²; the
+  *    MinHash/LSH tranche remains the candidate-bounded path;
   *  - the idf join is a broadcast of the df tier only when the
   *    vocabulary is dim-sized; here it rides the same shuffle as the
   *    pair join (both key on the gram), so AQE reuses the exchange.
@@ -35,7 +37,15 @@ object SimilarityOps3 {
       // lazy lineage recomputed the corpus explode ~5×)
       val grams = DedupOps.shingles(Tables.documents(s, d)).localCheckpoint(true)
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      // DF cut (see DedupOps.HotGramDfCap): grams above the cap are
+      // dropped from the vocabulary entirely — weights, norms, and dots
+      // all see the same capped gram space, so the result is a true
+      // cosine over the sub-vocabulary. Bounds the pair join at
+      // dfCap × |inverted index|; hot grams carry the smallest idf
+      // weights, so the signal lost is the smallest terms of the dot.
+      // Cap ≫ max df at every test scale ⇒ oracle hashes unchanged.
       val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DedupOps.HotGramDfCap)
       val w = grams.join(df, "g").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("g"), expr("1000 * n div df").as("w"))
         .localCheckpoint(true)

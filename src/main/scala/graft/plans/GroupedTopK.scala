@@ -4,11 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
 
 /** Per-key top-k as a FIRST-CLASS physical operator — the builder
   * brief's escalation rung (c): a whole-operator semantic Spark's
@@ -93,14 +95,67 @@ object GroupedTopK {
     }
   }
 
+  /** Catalyst rewrite: the SQL/DataFrame window-top-k idiom
+    *
+    *   Project(cols, Filter(rn <= k, Window([row_number() AS rn], part, ord)))
+    *
+    * (with `rn` dropped by the projection) is replaced by
+    * [[GroupedTopKNode]], so SQL users get the heap operator without
+    * API opt-in — injected session-wide via [[graft.GraftExtensions]].
+    * Fires only when:
+    *   - the Window computes EXACTLY one expression: the filtered
+    *     row_number (other window functions need the sort anyway);
+    *   - the projection does not reference the rank (rank values
+    *     unused ⇒ only membership in the top k matters);
+    *   - partition AND order specs are non-empty and deterministic
+    *     (empty partition = global top-k, which TakeOrderedAndProject
+    *     already handles better);
+    *   - 0 < k ≤ [[MaxRewriteK]] — per-key heap memory is k rows, and
+    *     beyond that the window form's spillable sort is the safer
+    *     physical choice.
+    * Tie behavior matches the window form's contract: for a non-total
+    * orderBy, WHICH tied row ranks k-th is arbitrary in both forms
+    * (sort instability vs heap arrival order). */
+  object GroupedTopKRewrite extends Rule[LogicalPlan] {
+    val MaxRewriteK = 10000
+
+    private def limitFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k)
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k - 1)
+      case EqualTo(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn && k == 1 => Some(1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k)
+      case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k - 1)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case p @ Project(projList,
+          Filter(cond,
+            Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)), part, ord, child, _)))
+          if part.nonEmpty && ord.nonEmpty &&
+            (part ++ ord).forall(_.deterministic) &&
+            !projList.exists(_.references.contains(al.toAttribute)) =>
+        limitFromCond(cond, al.exprId) match {
+          case Some(k) if k > 0 && k <= MaxRewriteK =>
+            Project(projList, GroupedTopKNode(part, ord, k, child))
+          case _ => p
+        }
+    }
+  }
+
   /** Top `k` rows per key group under `orderBy` ((column, descending)
     * pairs — the per-key analogue of `ORDER BY ... LIMIT k`). */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
                  orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark: SparkSession = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    // registration is check-then-act: guard against concurrent first
+    // calls double-registering (sessions built with GraftExtensions
+    // get the strategy injected and never hit this fallback)
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String): Attribute = analyzed.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))

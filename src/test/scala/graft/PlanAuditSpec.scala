@@ -41,6 +41,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scan.contains("PushedFilters: []"), s"q6 pushed-filter list is empty:\n$scan")
   }
 
+  test("window-top-k idiom auto-rewrites onto the heap operator; ranked form does not") {
+    // GroupedTopKRewrite (GraftExtensions): rank filtered AND dropped →
+    // GroupedTopKExec, no Window, no per-group sort
+    val rewritten = finalPlan("window_topk_orders")
+    assert(rewritten.contains("GroupedTopK"),
+      s"window_topk_orders did not rewrite onto GroupedTopKExec:\n$rewritten")
+    assert(!rewritten.contains("Window"),
+      s"window_topk_orders kept its Window after the rewrite:\n$rewritten")
+    // rank RETAINED in output → rewrite must leave the window form alone
+    val ranked = finalPlan("window_topk_ranked")
+    assert(ranked.contains("Window") && !ranked.contains("GroupedTopK"),
+      s"window_topk_ranked must keep the Sort+Window form (rank is used):\n$ranked")
+  }
+
   test("top-k queries short-circuit via TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("get_top_sources", "returned_revenue_topk")) {
       val plan = finalPlan(q)

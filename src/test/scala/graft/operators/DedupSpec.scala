@@ -138,6 +138,36 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaExprs)
   }
 
+  test("DF cap: hot grams are cut before the pair join, cold pairs survive") {
+    import spark.implicits._
+    // 20 docs all sharing ONE boilerplate shingle ("common boiler plate")
+    // plus unique trailing words; 2 docs sharing a rare full text.
+    val hot = (1L to 20L).map(i => (i, s"common boiler plate u${i}a u${i}b"))
+    val rare = Seq((100L, "rare unique phrase one two"), (101L, "rare unique phrase one two"))
+    val df = (hot ++ rare).toDF("doc_id", "text")
+    // uncapped: the hot gram links all 20 boilerplate docs pairwise
+    val uncapped = DedupOps.jaccardPairs(df, dfCap = Long.MaxValue)
+    assert(uncapped.filter(col("da") <= 20 && col("db") <= 20).count() == 190L,
+      "uncapped hot gram must emit K(K-1)/2 = 190 pairs")
+    // cap below the hot df (20): boilerplate pairs vanish, rare pair stays
+    val capped = DedupOps.jaccardPairs(df, dfCap = 10L)
+    assert(capped.filter(col("da") <= 20 && col("db") <= 20).count() == 0L,
+      "capped hot gram must emit zero pairs")
+    val rarePair = capped.filter(col("da") === 100L && col("db") === 101L).collect()
+    assert(rarePair.length == 1 && rarePair(0).getAs[Double]("j") == 1.0,
+      "rare (df=2) pair must survive the cap with jaccard 1.0")
+    // sizes are recomputed over the capped shingle space: consistent j
+    assert(rarePair(0).getAs[Long]("na") == rarePair(0).getAs[Long]("nb"))
+  }
+
+  test("DF cap: default cap is above every real-corpus df (results byte-identical)") {
+    val capped = DedupOps.jaccardPairs(docs).select("da", "db", "c", "na", "nb", "j")
+    val full = DedupOps.jaccardPairs(docs, dfCap = Long.MaxValue)
+      .select("da", "db", "c", "na", "nb", "j")
+    assert(capped.exceptAll(full).isEmpty && full.exceptAll(capped).isEmpty,
+      "HotGramDfCap must not change results at test scale")
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     import spark.implicits._
     val df = Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa"), (13L, "aaa"))

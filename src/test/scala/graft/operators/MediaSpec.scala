@@ -15,13 +15,25 @@ class MediaSpec extends SparkSpec {
   }
 
   test("decode runs partition-batched, is deterministic, and keys survive") {
-    val m = MediaOps.mediaTable(spark, sf).repartition(4)
+    val m = MediaOps.pngTable(spark, sf).repartition(4)
     val d1 = MediaOps.decodeAll(m).collect().sortBy(_.media_id)
     val d2 = MediaOps.decodeAll(m.repartition(7)).collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq, "decode must not depend on partitioning")
-    assert(d1.forall(_.ok))
-    assert(d1.forall(r => r.width >= 16 && r.height >= 16 && r.channels >= 1))
+    assert(d1.forall(_.ok), "every generated PNG must really decode")
+    assert(d1.forall(r => r.width >= 8 && r.height >= 8 &&
+      (r.channels == 1 || r.channels == 3)))
     assert(d1.map(_.media_id).toSeq == (0L until 500L))
+  }
+
+  test("ImageIO decode recovers exactly the generator's dims and bands") {
+    for ((w, h, gray) <- Seq((8, 518, true), (517, 9, false), (256, 256, true))) {
+      val png = MediaOps.PngCodec.encode(w, h, gray, rgbSeed = 42)
+      // PNG magic bytes: a REAL container, not a fake blob
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getNumBands == (if (gray) 1 else 3))
+    }
   }
 
   test("phash matches a local byte-compare recompute and stays 8-bit") {
@@ -43,9 +55,11 @@ class MediaSpec extends SparkSpec {
     val bad = Seq(
       MediaOps.MediaRow(1L, "img/x", Array[Byte](1, 2)),
       MediaOps.MediaRow(2L, "img/x", null),
-      MediaOps.MediaRow(3L, "img/x", Array.fill[Byte](16)(7))
+      MediaOps.MediaRow(3L, "img/x", Array.fill[Byte](16)(7)), // opaque junk
+      MediaOps.MediaRow(4L, "img/x", MediaOps.PngCodec.encode(10, 12, gray = false, 7))
     ).toDS()
     val out = MediaOps.decodeAll(bad).collect().sortBy(_.media_id)
-    assert(out.map(_.ok).toSeq == Seq(false, false, true))
+    assert(out.map(_.ok).toSeq == Seq(false, false, false, true))
+    assert(out(3).width == 10 && out(3).height == 12 && out(3).channels == 3)
   }
 }
