@@ -91,7 +91,11 @@ object DedupOps {
     // layout is shared across all three.
     val cold = inv0.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("gh")
-    val inv = inv0.join(cold, Seq("gh"), "left_semi")
+    // checkpoint: the capped index feeds both pair-join legs AND both
+    // broadcast sizes tiers — without it the df-cut lineage (explode +
+    // groupBy + semi-join) can be recomputed up to 4× when AQE exchange
+    // reuse doesn't cover the broadcast subqueries
+    val inv = inv0.join(cold, Seq("gh"), "left_semi").localCheckpoint(true)
     val counted = inv.as("a").join(inv.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -110,8 +114,22 @@ object DedupOps {
     * the equivalence spec (and as the shape to prefer if shingle
     * arrays ever get short enough that per-pair intersects beat the
     * pair-count shuffle). */
-  def jaccardPairsArrays(docs: DataFrame): DataFrame = {
-    val arrs = docShingleArrays(docs).localCheckpoint(true)
+  def jaccardPairsArrays(docs: DataFrame, dfCap: Long = HotGramDfCap): DataFrame = {
+    val arrs0 = docShingleArrays(docs).localCheckpoint(true)
+    // same DF cut as jaccardPairs, applied to the ARRAY representation:
+    // drop hot grams from every doc's shingle array, so the two exact
+    // formulations stay mutually A/B-consistent above the cap (advice
+    // r6: previously this path used the full shingle space and diverged
+    // from the capped jaccardPairs on a hot-gram corpus)
+    val inv0 = arrs0.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val hot = inv0.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("gh")
+    val hotArr = hot.agg(collect_set(col("gh")).as("hot"))
+    val arrs = arrs0.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"),
+        expr("array_except(ghs, hot)").as("ghs"))
+      .withColumn("n", size(col("ghs")).cast("long"))
+      .localCheckpoint(true)
     val inv = arrs.select(col("doc_id"), explode(col("ghs")).as("gh"))
     val cand = inv.as("a").join(inv.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -130,7 +148,14 @@ object DedupOps {
     * bounded by candidate count × shingles-per-doc — the rerank stage
     * of the LSH path, never N². (At corpus scale the broadcast becomes
     * a shuffle join keyed by doc_id; the row-local intersect is
-    * unchanged.) */
+    * unchanged.)
+    *
+    * NOTE: computes Jaccard over the FULL shingle space — no DF cap.
+    * That is intentional: the candidate set is already bounded (LSH
+    * buckets), so there is no pair blowup to guard against, and the
+    * rerank should score the true similarity. Its values can therefore
+    * differ from the capped [[jaccardPairs]] on a corpus with grams
+    * above [[HotGramDfCap]]. */
   def verifyJaccard(docs: DataFrame, cands: DataFrame): DataFrame = {
     // feeds BOTH broadcast sides — materialize the corpus hashing once
     val arrs = docShingleArrays(docs).localCheckpoint(true)

@@ -99,7 +99,12 @@ object MediaOps {
           try {
             if (r.payload == null) null
             else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          } catch { case _: java.io.IOException => null }
+          } catch {
+            // NonFatal, not just IOException: ImageIO plugin readers
+            // throw RuntimeExceptions (IndexOutOfBounds, NegativeArraySize,
+            // IllegalArgument) on truncated/corrupt payloads
+            case scala.util.control.NonFatal(_) => null
+          }
         if (img == null) DecodedMedia(r.media_id, r.kind, len, 0, 0, 0, ok = false)
         else DecodedMedia(r.media_id, r.kind, len,
           img.getWidth, img.getHeight, img.getRaster.getNumBands, ok = true)

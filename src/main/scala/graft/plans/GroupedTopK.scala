@@ -75,6 +75,12 @@ object GroupedTopK {
           override def compare(a: InternalRow, b: InternalRow): Int =
             ordering.compare(b, a)
         }
+        // the retained set (#keys × k rows per partition) is accounted
+        // against the task's execution-memory pool, so a high-cardinality
+        // key can't silently OOM the executor: acquisition pressure first
+        // forces other consumers to spill, and exhaustion fails THIS task
+        // with a clean memory error instead of killing the JVM
+        val book = HeapBook.forCurrentTask()
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
         while (iter.hasNext) {
           val row = iter.next()
@@ -82,16 +88,70 @@ object GroupedTopK {
           var heap = heaps.get(key)
           if (heap == null) {
             heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, revCmp)
-            heaps.put(key.copy(), heap)
+            val kc = key.copy()
+            book.retain(kc.getSizeInBytes + HeapBook.PerEntryOverhead)
+            heaps.put(kc, heap)
           }
-          if (heap.size() < kLocal) heap.add(row.copy())
-          else if (ordering.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(row.copy())
+          if (heap.size() < kLocal) {
+            val rc = row.copy()
+            book.retain(HeapBook.rowBytes(rc))
+            heap.add(rc)
+          } else if (ordering.compare(row, heap.peek()) < 0) {
+            val out = heap.poll()
+            book.release(HeapBook.rowBytes(out))
+            val rc = row.copy()
+            book.retain(HeapBook.rowBytes(rc))
+            heap.add(rc)
           }
         }
         import scala.jdk.CollectionConverters._
         heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
       }
+    }
+  }
+
+  /** Execution-memory bookkeeping for the per-partition heap state: a
+    * non-spillable [[org.apache.spark.memory.MemoryConsumer]] that
+    * acquires from the task memory pool as rows are retained and frees
+    * on eviction / task end. It cannot spill (heaps must stay resident
+    * for the final emit), but registering makes the usage VISIBLE to
+    * Spark's memory manager — the two failure modes become (a) other
+    * spillable consumers shrink, or (b) this task fails with an
+    * attributed memory error — instead of an unattributed executor OOM. */
+  private[plans] class HeapBook(tmm: org.apache.spark.memory.TaskMemoryManager)
+    extends org.apache.spark.memory.MemoryConsumer(
+      tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+    override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+    private var pending = 0L // acquire in chunks to amortize pool locking
+    def retain(bytes: Long): Unit = {
+      pending += bytes
+      if (pending >= HeapBook.ChunkBytes) { acquireChunk(pending); pending = 0L }
+    }
+    def release(bytes: Long): Unit = pending -= bytes // netted against future retains
+    private def acquireChunk(bytes: Long): Unit = {
+      val got = acquireMemory(bytes)
+      if (got < bytes) {
+        freeMemory(got)
+        throw new org.apache.spark.SparkException(
+          s"GroupedTopKExec: cannot reserve $bytes bytes of execution memory for per-key " +
+            s"top-k heaps (used=${getUsed}); key cardinality × k exceeds the task budget — " +
+            "disable the rewrite (spark.graft.groupedTopK.rewrite=false) to fall back to " +
+            "the spillable window sort")
+      }
+    }
+  }
+  private[plans] object HeapBook {
+    val PerEntryOverhead = 64L // HashMap node + PriorityQueue slot + object headers
+    val ChunkBytes = 1L << 20
+    def rowBytes(r: InternalRow): Long = r match {
+      case u: UnsafeRow => u.getSizeInBytes + PerEntryOverhead
+      case _ => 256L
+    }
+    def forCurrentTask(): HeapBook = {
+      val tc = org.apache.spark.TaskContext.get()
+      val book = new HeapBook(org.apache.spark.GraftTaskShim.taskMemoryManager(tc))
+      tc.addTaskCompletionListener[Unit](_ => book.freeMemory(book.getUsed))
+      book
     }
   }
 
@@ -117,6 +177,11 @@ object GroupedTopK {
     * orderBy, WHICH tied row ranks k-th is arbitrary in both forms
     * (sort instability vs heap arrival order). */
   object GroupedTopKRewrite extends Rule[LogicalPlan] {
+    /** Runtime kill switch (`SET spark.graft.groupedTopK.rewrite=false`):
+      * the heap operator holds its retained set resident (accounted, but
+      * non-spillable — see [[HeapBook]]), so a session can opt back into
+      * Spark's spillable window sort per-query without a redeploy. */
+    val EnabledKey = "spark.graft.groupedTopK.rewrite"
     val MaxRewriteK = 10000
 
     private def limitFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
@@ -128,7 +193,9 @@ object GroupedTopK {
       case _ => None
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+      else plan.transformUp {
       case p @ Project(projList,
           Filter(cond,
             Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)), part, ord, child, _)))

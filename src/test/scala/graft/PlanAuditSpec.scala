@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
       s"window_topk_ranked must keep the Sort+Window form (rank is used):\n$ranked")
   }
 
+  test("grouped-top-k rewrite honors its conf kill switch") {
+    val key = plans.GroupedTopK.GroupedTopKRewrite.EnabledKey
+    spark.conf.set(key, "false")
+    try {
+      val plan = finalPlan("window_topk_orders")
+      assert(plan.contains("Window") && !plan.contains("GroupedTopK"),
+        s"rewrite fired despite $key=false:\n$plan")
+    } finally spark.conf.unset(key)
+    val back = finalPlan("window_topk_orders")
+    assert(back.contains("GroupedTopK"), "rewrite must re-enable after unset")
+  }
+
   test("top-k queries short-circuit via TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("get_top_sources", "returned_revenue_topk")) {
       val plan = finalPlan(q)

@@ -168,6 +168,20 @@ class DedupSpec extends SparkSpec {
       "HotGramDfCap must not change results at test scale")
   }
 
+  test("DF cap: both exact formulations apply the same cut (A/B consistent above cap)") {
+    import spark.implicits._
+    // hot-gram corpus (advice r6): above the cap the pair-count and
+    // array-intersect formulations must still agree — both drop the
+    // same hot grams and recompute sizes over the capped space
+    val hot = (1L to 20L).map(i => (i, s"common boiler plate u${i}a u${i}b"))
+    val rare = Seq((100L, "rare unique phrase one two"), (101L, "rare unique phrase one two"))
+    val df = (hot ++ rare).toDF("doc_id", "text")
+    val a = DedupOps.jaccardPairs(df, dfCap = 10L).select("da", "db", "c", "na", "nb", "j")
+    val b = DedupOps.jaccardPairsArrays(df, dfCap = 10L).select("da", "db", "c", "na", "nb", "j")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "capped jaccardPairs and jaccardPairsArrays diverged on a hot-gram corpus")
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     import spark.implicits._
     val df = Seq((10L, "aaa"), (11L, "bbb"), (12L, "aaa"), (13L, "aaa"))
