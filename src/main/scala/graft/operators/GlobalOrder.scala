@@ -31,6 +31,29 @@ object GlobalOrder {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Appends a global running sum of `valueCol` (long) ordered by
+    * `order` — `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`
+    * without the single-partition global window: range-partitioned
+    * total sort, per-partition partial sums (one O(#partitions)
+    * driver pass), then a narrow map adds each partition's offset.
+    * Same two-pass shape as [[withRowIndex]]/zipWithIndex. */
+  def withRunningSum(df: DataFrame, valueCol: String, out: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val withCum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets.value(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(withCum, schema)
+  }
+
   /** Exact `ntile(k) OVER (ORDER BY order)` without the global-window
     * single partition: the first (n mod k) buckets take ceil(n/k) rows,
     * the rest floor(n/k) — the SQL-standard split, bit-identical to

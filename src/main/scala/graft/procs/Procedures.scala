@@ -124,24 +124,24 @@ object Procedures {
     if (n <= targetRows) 0L
     else {
       val toDelete = n - targetRows
-      val w = Window.orderBy("sec")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // coarse: cumulative rows per second bucket (bounded by the
-      // retention horizon in practice, tiny relative to rows)
-      val bySec = df.select(expr("unix_micros(ts) div 1000000").as("sec"))
-        .groupBy("sec").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(w))
+      // coarse: cumulative rows per second bucket via the range-sorted
+      // running-sum primitive — no unpartitioned Window anywhere, so
+      // the cutoff search stays distribution-safe even on a store whose
+      // retention horizon spans years of distinct seconds
+      val bySec = graft.operators.GlobalOrder.withRunningSum(
+        df.select(expr("unix_micros(ts) div 1000000").as("sec"))
+          .groupBy("sec").agg(count(lit(1)).as("c")),
+        "c", "cum", col("sec"))
       val boundary = bySec.filter(col("cum") >= toDelete)
         .orderBy("sec").limit(1).collect()(0)
       val boundarySec = boundary.getLong(0)
       val before = boundary.getLong(2) - boundary.getLong(1) // cum - c
       // fine: exact timestamps within the boundary second only
-      val wts = Window.orderBy("tus")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inSec = df.filter(expr(s"unix_micros(ts) div 1000000 = $boundarySec"))
-        .select(unix_micros(col("ts")).as("tus"))
-        .groupBy("tus").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wts))
+      val inSec = graft.operators.GlobalOrder.withRunningSum(
+        df.filter(expr(s"unix_micros(ts) div 1000000 = $boundarySec"))
+          .select(unix_micros(col("ts")).as("tus"))
+          .groupBy("tus").agg(count(lit(1)).as("c")),
+        "c", "cum", col("tus"))
       val cutTs = inSec.filter(col("cum") >= toDelete - before)
         .orderBy("tus").limit(1).collect()(0).getLong(0)
       // ties at the boundary may delete past the target (VoltDB had the

@@ -31,6 +31,25 @@ object SystemProcs {
     "stats_partition_rows" -> ((s, d) =>
       statisticsTable(
         graft.Tables.events(s, d).repartition(8, col("user_id")))
-        .orderBy("partition_id"))
+        .orderBy("partition_id")),
+
+    // rows-only: @Statistics PROCEDUREPROFILE parity (reference
+    // web/js/voltdb-dashboard.js:102-107) — invocation counts are
+    // deterministic (2 per procedure here), latency micros are not,
+    // so the row is semantics-spec'd (ProceduresSpec), not oracled
+    "proc_profile" -> ((s, d) => {
+      val srv = new graft.server.QueryServer(s, d)
+      val calls = Seq(
+        "GetTopUsers" -> Seq("60", "10"),
+        "GetTopDests" -> Seq("60", "10"),
+        "GetTopSources" -> Seq("10"),
+        "GetTopSrcDests" -> Seq("10"),
+        "GetEventsByCluster" -> Seq("60"))
+      calls.foreach { case (p, a) => srv.call(p, a); srv.call(p, a) }
+      import s.implicits._
+      srv.procedureProfile
+        .toDF("procedure", "invocations", "p50_us", "p95_us", "max_us")
+        .orderBy("procedure")
+    })
   )
 }

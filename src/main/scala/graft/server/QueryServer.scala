@@ -52,12 +52,68 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   /** (hits, misses) since start — observability + spec hook. */
   def cacheStats: (Long, Long) = (hitCount.get(), missCount.get())
 
+  /** Hard cap on rows per response. Registered procedures are top-k
+    * small by construction, but a future mis-registered procedure must
+    * not be able to flood the driver through `collect()` — the limit
+    * rides the PLAN (`limit(max+1)`), so the executors never ship more
+    * than max+1 rows; the +1 detects truncation for the error payload. */
+  private val maxResponseRows =
+    spark.conf.getOption("spark.graft.server.maxResponseRows").map(_.toInt).getOrElse(10000)
+
   private def render(proc: String, args: Seq[String]): String = {
-    val rows = registry(proc)(args).toJSON.collect()
-    rows.mkString("""{"status":1,"results":[""", ",", "]}")
+    val rows = registry(proc)(args).limit(maxResponseRows + 1).toJSON.collect()
+    if (rows.length > maxResponseRows)
+      s"""{"status":-1,"error":${jsonStr(
+        s"procedure '$proc' exceeds maxResponseRows=$maxResponseRows; refine the query or raise spark.graft.server.maxResponseRows")}}"""
+    else rows.mkString("""{"status":1,"results":[""", ",", "]}")
+  }
+
+  /** Per-procedure invocation profile — the reference dashboard's
+    * `@Statistics PROCEDUREPROFILE` surface (invocations + latency
+    * percentiles per procedure). Updated on every call (cached or
+    * not: the profile measures what callers experience). Bounded
+    * reservoir per procedure (latest `profileWindow` samples). */
+  private val profileWindow = 1024
+  private val profiles =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[Long]]()
+  private val invocations =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def recordCall(proc: String, nanos: Long): Unit = {
+    invocations.computeIfAbsent(proc, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    val dq = profiles.computeIfAbsent(proc, _ => new java.util.ArrayDeque[Long]())
+    dq.synchronized {
+      dq.addLast(nanos)
+      if (dq.size() > profileWindow) dq.removeFirst()
+    }
+  }
+
+  /** (procedure, invocations, p50/p95/max latency micros) rows. */
+  def procedureProfile: Seq[(String, Long, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    invocations.asScala.toSeq.sortBy(_._1).map { case (proc, n) =>
+      val samples = Option(profiles.get(proc)).map { dq =>
+        dq.synchronized { dq.iterator().asScala.toArray }
+      }.getOrElse(Array.empty[Long]).sorted
+      def pct(p: Double): Long =
+        if (samples.isEmpty) 0L
+        else samples(math.min(samples.length - 1, (p * samples.length).toInt)) / 1000
+      (proc, n.get(), pct(0.50), pct(0.95),
+        if (samples.isEmpty) 0L else samples.last / 1000)
+    }
   }
 
   private def cached(proc: String, args: Seq[String]): String = {
+    val t0 = System.nanoTime()
+    try cached0(proc, args)
+    finally recordCall(proc, System.nanoTime() - t0)
+  }
+
+  /** Programmatic call path (same registry/cache/profile as HTTP). */
+  def call(proc: String, args: Seq[String]): String = cached(proc, args)
+
+  private def cached0(proc: String, args: Seq[String]): String = {
     val key = (proc, args)
     val hit = cache.get(key)
     if (hit != null) { hitCount.incrementAndGet(); hit }
@@ -106,7 +162,15 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             (if (kv.length > 1) java.net.URLDecoder.decode(kv(1), "UTF-8") else ""))
         .toMap
       val proc = params.getOrElse("Procedure", "")
-      registry.get(proc) match {
+      // system procedure: the dashboard's @Statistics PROCEDUREPROFILE
+      // call shape (reference web/js/voltdb-dashboard.js:102-107) —
+      // served straight from driver counters, no Spark job
+      if (proc == "@Statistics") {
+        val rows = procedureProfile.map { case (p, n, p50, p95, mx) =>
+          s"""{"PROCEDURE":${jsonStr(p)},"INVOCATIONS":$n,"P50_US":$p50,"P95_US":$p95,"MAX_US":$mx}"""
+        }
+        (200, rows.mkString("""{"status":1,"results":[""", ",", "]}"))
+      } else registry.get(proc) match {
         case None => (404,
           s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$proc'")}}""")
         case Some(_) =>

@@ -143,4 +143,54 @@ class ProceduresSpec extends SparkSpec {
       assert(srv.cacheStats == ((2L, 2L)), s"post-refresh repeat must hit, got ${srv.cacheStats}")
     } finally srv.stop()
   }
+
+  test("responses are row-capped: an over-limit procedure returns an error, not a flood") {
+    spark.conf.set("spark.graft.server.maxResponseRows", "5")
+    try {
+      val srv = new graft.server.QueryServer(spark, sf)
+      val port = srv.start()
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        def get(url: String) = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        // 10 requested rows > cap of 5 (40-day window covers every
+        // user, so the top-10 is fully populated) → error, no flood
+        val over = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=GetTopUsers&Parameters=%5B3456000,10%5D")
+        assert(over.body().contains("maxResponseRows"), s"expected cap error, got ${over.body()}")
+        // within the cap still serves normally
+        val under = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=GetTopUsers&Parameters=%5B3456000,3%5D")
+        assert(under.statusCode() == 200 && under.body().startsWith("""{"status":1"""))
+      } finally srv.stop()
+    } finally spark.conf.unset("spark.graft.server.maxResponseRows")
+  }
+
+  test("procedure profile counts invocations and orders latency percentiles (A9 PROCEDUREPROFILE)") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    srv.call("GetTopSources", Seq("3"))
+    srv.call("GetTopSources", Seq("3"))
+    srv.call("GetTopSources", Seq("3"))
+    srv.call("GetTopDests", Seq("60", "5"))
+    val prof = srv.procedureProfile.map(r => r._1 -> r).toMap
+    assert(prof("GetTopSources")._2 == 3L, s"expected 3 invocations, got $prof")
+    assert(prof("GetTopDests")._2 == 1L)
+    val (_, _, p50, p95, mx) = prof("GetTopSources")
+    assert(p50 <= p95 && p95 <= mx && mx > 0,
+      s"latency percentiles must be ordered and non-zero: p50=$p50 p95=$p95 max=$mx")
+    // the registered rows-only query exposes the same surface
+    val dfProf = SystemProcs.queries("proc_profile")(spark, sf).collect()
+    assert(dfProf.length == 5 && dfProf.forall(_.getLong(1) == 2L),
+      "proc_profile must report 2 invocations for each of the 5 dashboard procs")
+    // @Statistics over HTTP: driver-counter read, no Spark job
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val stats = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/api/1.0/?Procedure=%40Statistics&Parameters=%5B%22PROCEDUREPROFILE%22%5D")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(stats.statusCode() == 200 && stats.body().contains("\"INVOCATIONS\":3"),
+        s"@Statistics must report the profile: ${stats.body()}")
+    } finally srv.stop()
+  }
 }
