@@ -190,6 +190,25 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     ex.close()
   })
 
+  // static dashboard (reference web/index.html + js/demo.js parity):
+  // one self-contained page polling the five procs + @Statistics at
+  // 1 Hz through the same JSON API — served from the bundled resource,
+  // no filesystem dependency
+  server.createContext("/", (ex: HttpExchange) => {
+    if (ex.getRequestURI.getPath != "/" && ex.getRequestURI.getPath != "/index.html") {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    } else {
+      val in = getClass.getResourceAsStream("/graft/dashboard.html")
+      val bytes =
+        if (in == null) "<html><body>dashboard resource missing</body></html>".getBytes(StandardCharsets.UTF_8)
+        else try in.readAllBytes() finally in.close()
+      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 }

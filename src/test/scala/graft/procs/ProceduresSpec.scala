@@ -112,6 +112,11 @@ class ProceduresSpec extends SparkSpec {
       assert(topUsers.statusCode() == 200 && topUsers.body().startsWith("""{"status":1"""))
       val bad = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=Nope&Parameters=[]")
       assert(bad.statusCode() == 404)
+      // static dashboard page rides the same server (web/index.html parity)
+      val dash = get(s"http://127.0.0.1:$port/")
+      assert(dash.statusCode() == 200 && dash.body().contains("events_chart") &&
+        dash.body().contains("PROCEDUREPROFILE"),
+        "dashboard page must serve the polling panels")
     } finally srv.stop()
   }
 
