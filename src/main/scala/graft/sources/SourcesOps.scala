@@ -125,6 +125,26 @@ object SourcesOps {
         .orderBy("l_returnflag")
     }),
 
+    // S6 — REAL Avro round trip (the reference's export format,
+    // deployment-hadoop.xml.template:5-10 / harvest.pig:25): standard
+    // Avro object-container files written and re-read with the Avro
+    // Java API ([[AvroIO]] — no spark-avro datasource in the sandbox,
+    // but avro itself ships on Spark's classpath). The oracle reads the
+    // SOURCE table, so a hash match proves the full encode→container→
+    // decode trip preserves longs, strings, doubles, and µs timestamps.
+    "avro_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_avro")
+      val src = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .filter(col("o_orderkey") % 100 === 0)
+      AvroIO.write(src, dir)
+      AvroIO.read(s, dir, src.schema)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date_str"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON round trip (the HTTP API's wire format, S10)
     "json_roundtrip" -> ((s, d) => {
       val dir = tmp("graft_json")
@@ -161,6 +181,11 @@ object SourcesOps {
 
     "json_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "avro_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_str
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
   )
 }
