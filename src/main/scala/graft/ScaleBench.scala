@@ -40,7 +40,10 @@ object ScaleBench {
     "q1_pricing", "ingest_pipeline", "get_top_users",
     "dedup_minhash_lsh", "dedup_cluster", "ann_pq",
     "sparse_cosine_topk", "source_overlap",
-    "dedup_ngram_jaccard", "session_export", "nation_trade_pagerank")
+    "dedup_ngram_jaccard", "session_export", "nation_trade_pagerank",
+    // the two the full-registry sweep caught quadratic (51-62× at 10×)
+    // before the blocked EmbeddingNeighbors kernel replaced their plans
+    "dedup_embedding_near", "hard_negatives")
 
   val IdStride = 100000000L // > every base id space
 

@@ -510,23 +510,16 @@ object DedupOps {
     // then mirrored; argmax-per-vector is a map-side max(struct) agg —
     // no 4M-row window sort. At cluster scale this is the exact-path
     // baseline the LSH variant bounds.
-    "dedup_embedding_near" -> ((s, d) => {
-      graft.functions.VectorFunctions.registerAll(s)
-      val q = quantized(Tables.embeddings(s, d))
-      val a = q.select(col("vec_id").as("va"), col("q").as("qa"), col("n").as("na"))
-      val b = q.select(col("vec_id").as("vb"), col("q").as("qb"), col("n").as("nb"))
-      val pairs = a.join(b, col("va") < col("vb"))
-        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("qa"), col("qb")))
-        .withColumn("sim", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
-        .select("va", "vb", "sim")
-      val undirected = pairs.unionAll(
-        pairs.select(col("vb").as("va"), col("va").as("vb"), col("sim")))
-      undirected
-        .groupBy(col("va"))
-        .agg(max(struct(col("sim"), (-col("vb")).as("nvb"))).as("m"))
-        .select(col("va").as("vec_id"), (-col("m.nvb")).as("best_match"), col("m.sim").as("sim"))
-        .orderBy("vec_id")
-    })
+    // blocked exact kernel (EmbeddingNeighbors): the expression-join
+    // form shuffled N²/2 pair rows into the argmax and blew up 51× at
+    // the 10× scale sweep; the blocked form shuffles N·blocks partial
+    // bests and runs the dots in tight primitive loops — same exact
+    // semantics, same oracle hashes
+    "dedup_embedding_near" -> ((s, d) =>
+      EmbeddingNeighbors.bestNeighbor(
+        Tables.embeddings(s, d), crossLabelOnly = false)
+        .select(col("vec_id"), col("cand").as("best_match"), col("sim"))
+        .orderBy("vec_id"))
   )
 
   val oracles: Map[String, String] = Map(

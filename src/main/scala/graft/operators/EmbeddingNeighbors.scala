@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact best-neighbor search over an embedding column, blocked.
+  *
+  * The naive exact form (`a JOIN b ON va < vb` + per-pair dot
+  * expression + argmax agg) is correct but its PLAN is quadratic in
+  * rows shuffled: N²/2 `(va, vb, sim)` rows feed the argmax exchange,
+  * and each dot pays expression-eval overhead per pair. Measured at
+  * the 10× scale sweep it blew up 51-62× for 10× data
+  * (BENCH_SCALE_FULL.json, pre-fix).
+  *
+  * This kernel keeps the EXACT semantics (every cross pair's cosine is
+  * still computed — inherent to exactness; the approximate escape
+  * hatches are the ANN/LSH operators) but fixes the plan:
+  *  - vectors are hash-grouped into ~[[DefaultBlocks]] blocks; block
+  *    PAIRS (B(B+1)/2 of them) become the unit of work;
+  *  - each task runs a dense block×block loop over primitive arrays
+  *    (quantized longs, no per-pair codegen dispatch, no row copies)
+  *    and keeps one running best per vector per block pair;
+  *  - only those partial bests — N·B rows total instead of N²/2 —
+  *    shuffle into the final argmax.
+  * Tie-breaking matches the expression form exactly: highest sim,
+  * then lowest candidate id (`max(struct(sim, -cand))`), and the sim
+  * arithmetic is the identical IEEE sequence (integer dot, long
+  * norm product, toDouble, sqrt, divide), so oracle hashes are
+  * unchanged.
+  *
+  * At 1000 executors each block pair is an independent task over two
+  * ~N/B-vector tiles: compute scales out, shuffle stays linear in N.
+  */
+object EmbeddingNeighbors {
+  val DefaultBlocks = 16
+
+  /** (block, vec_id, label, q, n) tiles, sorted by vec_id within.
+    * Public: the Dataset encoder's generated code can't touch a
+    * private class. */
+  case class Tile(b: Int, ids: Array[Long], labels: Array[Int],
+                  qs: Array[Array[Long]], ns: Array[Long])
+
+  /** Per-vector exact best cross neighbor. `crossLabelOnly=true` is
+    * hard-negative mining (best neighbor with a DIFFERENT label);
+    * false is near-dup search (best neighbor, any label). Output:
+    * (vec_id, cand, sim) — one row per vector that has ≥1 candidate. */
+  def bestNeighbor(emb: DataFrame, crossLabelOnly: Boolean,
+                   numBlocks: Int = DefaultBlocks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
+      .join(emb.select(col("vec_id"), coalesce(col("label"), lit(0)).as("label")), "vec_id")
+    val tiles: Dataset[Tile] = q
+      .select(pmod(hash(col("vec_id")), lit(numBlocks)).cast("int").as("b"),
+        col("vec_id"), col("label"), col("q"), col("n"))
+      .as[(Int, Long, Int, Seq[Long], Long)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        Tile(b, rows.map(_._2), rows.map(_._3), rows.map(_._4.toArray), rows.map(_._5))
+      }
+    val pairs = tiles.as("x").joinWith(tiles.as("y"), col("x.b") <= col("y.b"))
+    val partials = pairs.flatMap { case (x, y) =>
+      val sameTile = x.b == y.b
+      val nx = x.ids.length; val ny = y.ids.length
+      // running best per vector of each tile for THIS block pair
+      val bxSim = Array.fill(nx)(Double.NegativeInfinity); val bxId = new Array[Long](nx)
+      val bySim = Array.fill(ny)(Double.NegativeInfinity); val byId = new Array[Long](ny)
+      var i = 0
+      while (i < nx) {
+        val qi = x.qs(i); val ni = x.ns(i); val li = x.labels(i)
+        var j = if (sameTile) i + 1 else 0 // same tile: upper triangle once
+        while (j < ny) {
+          if (!crossLabelOnly || li != y.labels(j)) {
+            val qj = y.qs(j)
+            var d = 0L; var k = 0
+            val len = math.min(qi.length, qj.length)
+            while (k < len) { d += qi(k) * qj(k); k += 1 }
+            // EXACT same IEEE sequence as the expression form:
+            // dot / sqrt(double(na * nb))
+            val sim = d / math.sqrt((ni * y.ns(j)).toDouble)
+            if (sim > bxSim(i) || (sim == bxSim(i) && y.ids(j) < bxId(i))) {
+              bxSim(i) = sim; bxId(i) = y.ids(j)
+            }
+            if (sim > bySim(j) || (sim == bySim(j) && x.ids(i) < byId(j))) {
+              bySim(j) = sim; byId(j) = x.ids(i)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // emit both sides' partials; for sameTile the i<j loop updated
+      // bx (as i) AND by (as j) from the two triangle roles, and the
+      // final argmax merges them — no pair is ever scored twice
+      val xs = (0 until nx).iterator.filter(bxSim(_) > Double.NegativeInfinity)
+        .map(i => (x.ids(i), bxId(i), bxSim(i)))
+      val ys = (0 until ny).iterator.filter(bySim(_) > Double.NegativeInfinity)
+        .map(j => (y.ids(j), byId(j), bySim(j)))
+      xs ++ ys
+    }.toDF("vec_id", "cand", "sim")
+    partials
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cand"), col("m.sim").as("sim"))
+  }
+}

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *    so that side broadcasts, and the per-doc rate is a map-side
   *    re-aggregation on doc_id — the same key the explode started
   *    from, so AQE sees a co-partitioned agg;
-  *  - hard_negatives is the exact O(N²) baseline kept deliberately
-  *    (same contract as dedup_embedding_near): the ANN/IVF/PQ queries
-  *    are its bounded-scale path, and its integer dot products go
-  *    through the codegen dot_i64 kernel;
+  *  - hard_negatives is the exact baseline kept deliberately (same
+  *    contract as dedup_embedding_near): exact = all cross pairs
+  *    scored (the ANN/IVF/PQ queries are its bounded-scale path), but
+  *    the PLAN is the blocked [[EmbeddingNeighbors]] kernel — N·blocks
+  *    partial-best rows shuffled, not N² pair rows (the pair-join form
+  *    measured 62× at the 10× sweep and was replaced);
   *  - zorder_key is a pure map stage — the interleaved key is what a
   *    writer would RANGE-partition + sort by so multi-dimensional
   *    point/range predicates prune at the parquet row-group level.
@@ -91,30 +93,14 @@ object TrainingOps3 {
     // hard-negative mining: per vector, the most-similar vector with a
     // DIFFERENT label (exact quantized integer math through the
     // codegen dot kernel; ties broken to the lowest vec_id)
-    "hard_negatives" -> ((s, d) => {
-      graft.functions.VectorFunctions.registerAll(s)
-      val q = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
-        .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
-      val a = q.select(col("vec_id").as("va"), col("label").as("la"),
-        col("q").as("qa"), col("n").as("na"))
-      val b = q.select(col("vec_id").as("vb"), col("label").as("lb"),
-        col("q").as("qb"), col("n").as("nb"))
-      // upper triangle once, mirrored — each cross-label pair's dot
-      // product is computed a single time
-      val pairs = a.join(b, col("va") < col("vb") && col("la") =!= col("lb"))
-        .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("qa"), col("qb")))
-        .withColumn("sim", col("dot") / sqrt((col("na") * col("nb")).cast("double")))
-        .select("va", "vb", "sim")
-      val undirected = pairs.unionAll(
-        pairs.select(col("vb").as("va"), col("va").as("vb"), col("sim")))
-      undirected.groupBy("va")
-        .agg(max(struct(col("sim"), (-col("vb")).as("nvb"))).as("m"))
-        .select(col("va").as("vec_id"), (-col("m.nvb")).as("hard_negative"),
-          col("m.sim").as("sim"))
-        .orderBy("vec_id")
-    }),
+    // blocked exact kernel (EmbeddingNeighbors, crossLabelOnly):
+    // replaces the N²-row pair-join plan that blew up 62× at the 10×
+    // scale sweep — same exact semantics and oracle hashes
+    "hard_negatives" -> ((s, d) =>
+      EmbeddingNeighbors.bestNeighbor(
+        Tables.embeddings(s, d), crossLabelOnly = true)
+        .select(col("vec_id"), col("cand").as("hard_negative"), col("sim"))
+        .orderBy("vec_id")),
 
     // quantized-norm audit: histogram of exact integer L2² norms —
     // catches un-normalized or degenerate embedding batches before

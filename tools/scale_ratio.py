@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Full-registry scale analysis: per-query 10x/1x ratios from two
+BENCH_FULL maps (written by graft.Bench against the 1x and 10x dirs).
+Writes BENCH_SCALE_FULL.json and prints the worst scalers."""
+import json, sys
+
+one = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/BENCH_FULL_1x.json"))
+ten = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/BENCH_FULL_10x.json"))
+out = {}
+for q, t1 in sorted(one.items()):
+    t10 = ten.get(q)
+    if t10 is None:
+        continue
+    ratio = round(t10 / t1, 2) if t1 > 0 and t10 > 0 else -1
+    out[q] = {"x1": t1, "x10": t10, "ratio": ratio}
+ranked = sorted((v["ratio"], q) for q, v in out.items() if v["ratio"] > 0)
+res = {
+    "metric": "scale_curve_full_registry",
+    "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
+             "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
+             "single-run timings on a shared box carry +/-50% noise"),
+    "n_queries": len(out),
+    "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
+    "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
+    "queries": out,
+}
+json.dump(res, open("BENCH_SCALE_FULL.json", "w"), indent=1)
+print("median ratio:", res["median_ratio"])
+for r, q in ranked[-15:][::-1]:
+    print(f"{r:7.2f}  {q}  ({out[q]['x1']:.2f}s -> {out[q]['x10']:.2f}s)")
