@@ -99,6 +99,35 @@ object AvroIO {
     }
   }
 
+  /** Streaming export — the reference's actual pipeline shape (export
+    * stream → Avro files → harvest job): each micro-batch commits into
+    * its own `batch-<id>/` subdirectory through the same task-local
+    * rename discipline. A batch REPLAYED after a failure first clears
+    * its own directory, so at-rest contents stay exactly-once per
+    * batch id; harvest readers ([[readAll]]) only ever see complete
+    * containers. */
+  def streamTo(df: DataFrame, dir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val out = new File(dir, s"batch-$id")
+        if (out.exists()) VersionedStore.deleteRecursive(out) // failed attempt's leftovers
+        write(batch.toDF(), out.toString)
+      }
+      .start()
+
+  /** Harvest-side scan over every committed batch directory. */
+  def readAll(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val batches = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getAbsolutePath).sorted
+    batches.map(b => read(spark, b, schema))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
+  }
+
   /** Reads the container files under `dir` back into a DataFrame with
     * `schema` (one task per file). */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {

@@ -39,6 +39,26 @@ class AvroIOSpec extends SparkSpec {
     assert(gotTs.getNanos == 789123000, s"lost sub-ms precision: ${gotTs.getNanos}")
   }
 
+  test("streaming export: micro-batches land as per-batch avro dirs, harvest reads them all") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val dir = tmpDir("avro_stream")
+    val q = AvroIO.streamTo(in.toDS().toDF("id", "tag"), dir, tmpDir("avro_ckpt"))
+    try {
+      in.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+      in.addData(Seq((3L, "c"))); q.processAllAvailable()
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("tag", StringType, nullable = true)))
+      val got = AvroIO.readAll(spark, dir, schema).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), s"harvest mismatch: $got")
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.sameElements(Array("batch-0", "batch-1")), dirs.mkString(","))
+    } finally q.stop()
+  }
+
   test("write commits via rename: only complete .avro containers are visible") {
     import spark.implicits._
     val dir = tmpDir("avro_commit")
