@@ -79,8 +79,13 @@ object ScaleBench {
           val ok = try { runFully(SparkEntry.queries(name)(spark, dir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[scale] $name x$f FAILED: ${e.getMessage}"); false }
+          // stop the clock BEFORE cleanup: unpersist + System.gc() are
+          // harness overhead, and billing them would inflate the x1
+          // baseline proportionally more than x10 — understating the
+          // very ratios this bench publishes
+          val dt = (System.nanoTime() - t0) / 1e9
           cleanup()
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          if (ok) dt else -1.0
         }
         System.err.println(s"[scale] $name x$f -> ${ts.map(t => f"$t%.2f").mkString(",")}")
         f -> (if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)

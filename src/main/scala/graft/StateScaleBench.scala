@@ -17,8 +17,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *    1M (user, type) keys × 2 events 10 s apart in-batch — exactly one
   *    session start per key must emit (parity asserted, not assumed);
   *  - corpus dedup ([[CorpusDedupStream]], flatMapGroupsWithState,
-  *    never-expiring state): 1.2M docs over 1M distinct contents —
-  *    exactly 200k duplicate verdicts (parity asserted).
+  *    never-expiring state): 1.18M docs over 1M distinct contents
+  *    (batches 1-9 re-send 20% of the prior batch) — exactly 180k
+  *    duplicate verdicts (parity asserted).
   *
   * Output: `BENCH_STATE.json` — events/s, state rows, RocksDB memory/
   * SST metrics at peak cardinality.

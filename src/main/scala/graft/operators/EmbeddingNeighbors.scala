@@ -40,18 +40,33 @@ object EmbeddingNeighbors {
   case class Tile(b: Int, ids: Array[Long], labels: Array[Int],
                   qs: Array[Array[Long]], ns: Array[Long])
 
+  /** Target vectors per tile: bounds the per-row payload a tile packs
+    * (mapGroups holds one tile per task), so block count SCALES with N
+    * instead of tile size scaling with N — at 4096 × 128-dim longs a
+    * tile is ~4 MB regardless of corpus size. */
+  val TargetPerTile = 4096L
+
   /** Per-vector exact best cross neighbor. `crossLabelOnly=true` is
     * hard-negative mining (best neighbor with a DIFFERENT label);
     * false is near-dup search (best neighbor, any label). Output:
-    * (vec_id, cand, sim) — one row per vector that has ≥1 candidate. */
+    * (vec_id, cand, sim) — one row per vector that has ≥1 candidate.
+    *
+    * NaN parity: a zero-norm vector (all components quantize to 0)
+    * yields sim = 0/0 = NaN for its pairs. The replaced expression form
+    * ranked those through Spark's NaN-sorts-greatest ordering, so the
+    * loop comparator does the same (NaN beats every finite sim; NaN
+    * ties break to the lower candidate id). */
   def bestNeighbor(emb: DataFrame, crossLabelOnly: Boolean,
-                   numBlocks: Int = DefaultBlocks): DataFrame = {
+                   numBlocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
       .join(emb.select(col("vec_id"), coalesce(col("label"), lit(0)).as("label")), "vec_id")
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else math.max(DefaultBlocks, (q.count() / TargetPerTile).toInt + 1)
     val tiles: Dataset[Tile] = q
-      .select(pmod(hash(col("vec_id")), lit(numBlocks)).cast("int").as("b"),
+      .select(pmod(hash(col("vec_id")), lit(blocks)).cast("int").as("b"),
         col("vec_id"), col("label"), col("q"), col("n"))
       .as[(Int, Long, Int, Seq[Long], Long)]
       .groupByKey(_._1)
@@ -61,6 +76,12 @@ object EmbeddingNeighbors {
       }
     val pairs = tiles.as("x").joinWith(tiles.as("y"), col("x.b") <= col("y.b"))
     val partials = pairs.flatMap { case (x, y) =>
+      // Double.compare ranks NaN above every finite/inf value — the
+      // same total order Spark's max(struct(sim, ...)) used
+      @inline def beats(s: Double, c: Long, bs: Double, bc: Long): Boolean = {
+        val cmp = java.lang.Double.compare(s, bs)
+        cmp > 0 || (cmp == 0 && c < bc)
+      }
       val sameTile = x.b == y.b
       val nx = x.ids.length; val ny = y.ids.length
       // running best per vector of each tile for THIS block pair
@@ -79,10 +100,10 @@ object EmbeddingNeighbors {
             // EXACT same IEEE sequence as the expression form:
             // dot / sqrt(double(na * nb))
             val sim = d / math.sqrt((ni * y.ns(j)).toDouble)
-            if (sim > bxSim(i) || (sim == bxSim(i) && y.ids(j) < bxId(i))) {
+            if (beats(sim, y.ids(j), bxSim(i), bxId(i))) {
               bxSim(i) = sim; bxId(i) = y.ids(j)
             }
-            if (sim > bySim(j) || (sim == bySim(j) && x.ids(i) < byId(j))) {
+            if (beats(sim, x.ids(i), bySim(j), byId(j))) {
               bySim(j) = sim; byId(j) = x.ids(i)
             }
           }
@@ -93,9 +114,13 @@ object EmbeddingNeighbors {
       // emit both sides' partials; for sameTile the i<j loop updated
       // bx (as i) AND by (as j) from the two triangle roles, and the
       // final argmax merges them — no pair is ever scored twice
-      val xs = (0 until nx).iterator.filter(bxSim(_) > Double.NegativeInfinity)
+      // "has a candidate" must survive NaN bests: primitive `>` is
+      // false for NaN, Double.compare ranks it above the sentinel
+      @inline def seen(s: Double) =
+        java.lang.Double.compare(s, Double.NegativeInfinity) != 0
+      val xs = (0 until nx).iterator.filter(i => seen(bxSim(i)))
         .map(i => (x.ids(i), bxId(i), bxSim(i)))
-      val ys = (0 until ny).iterator.filter(bySim(_) > Double.NegativeInfinity)
+      val ys = (0 until ny).iterator.filter(j => seen(bySim(j)))
         .map(j => (y.ids(j), byId(j), bySim(j)))
       xs ++ ys
     }.toDF("vec_id", "cand", "sim")

@@ -39,7 +39,10 @@ object GlobalOrder {
     * Same two-pass shape as [[withRowIndex]]/zipWithIndex. */
   def withRunningSum(df: DataFrame, valueCol: String, out: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
+    // localCheckpoint: the sorted relation feeds TWO jobs (partial-sum
+    // collect, then the offset-adding map) — without it the second job
+    // re-sorts every partition
+    val sorted = df.orderBy(order: _*).localCheckpoint(true)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd

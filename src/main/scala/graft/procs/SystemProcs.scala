@@ -39,16 +39,22 @@ object SystemProcs {
     // so the row is semantics-spec'd (ProceduresSpec), not oracled
     "proc_profile" -> ((s, d) => {
       val srv = new graft.server.QueryServer(s, d)
-      val calls = Seq(
-        "GetTopUsers" -> Seq("60", "10"),
-        "GetTopDests" -> Seq("60", "10"),
-        "GetTopSources" -> Seq("10"),
-        "GetTopSrcDests" -> Seq("10"),
-        "GetEventsByCluster" -> Seq("60"))
-      calls.foreach { case (p, a) => srv.call(p, a); srv.call(p, a) }
+      // profile rows are driver-side counters — collect them and STOP
+      // the server (constructor binds a socket) before building the DF,
+      // or every registry sweep leaks a listener for the JVM lifetime
+      val prof =
+        try {
+          val calls = Seq(
+            "GetTopUsers" -> Seq("60", "10"),
+            "GetTopDests" -> Seq("60", "10"),
+            "GetTopSources" -> Seq("10"),
+            "GetTopSrcDests" -> Seq("10"),
+            "GetEventsByCluster" -> Seq("60"))
+          calls.foreach { case (p, a) => srv.call(p, a); srv.call(p, a) }
+          srv.procedureProfile
+        } finally srv.stop()
       import s.implicits._
-      srv.procedureProfile
-        .toDF("procedure", "invocations", "p50_us", "p95_us", "max_us")
+      prof.toDF("procedure", "invocations", "p50_us", "p95_us", "max_us")
         .orderBy("procedure")
     })
   )

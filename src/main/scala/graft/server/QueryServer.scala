@@ -106,12 +106,24 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private def cached(proc: String, args: Seq[String]): String = {
     val t0 = System.nanoTime()
+    val timed = registry.contains(proc) // unknown procs must not pollute the profile
     try cached0(proc, args)
-    finally recordCall(proc, System.nanoTime() - t0)
+    finally if (timed) recordCall(proc, System.nanoTime() - t0)
   }
 
-  /** Programmatic call path (same registry/cache/profile as HTTP). */
-  def call(proc: String, args: Seq[String]): String = cached(proc, args)
+  /** Renders the `@Statistics PROCEDUREPROFILE` payload (driver
+    * counters only — no Spark job). */
+  private def statisticsPayload: String = {
+    val rows = procedureProfile.map { case (p, n, p50, p95, mx) =>
+      s"""{"PROCEDURE":${jsonStr(p)},"INVOCATIONS":$n,"P50_US":$p50,"P95_US":$p95,"MAX_US":$mx}"""
+    }
+    rows.mkString("""{"status":1,"results":[""", ",", "]}")
+  }
+
+  /** Programmatic call path (same registry/cache/profile/system-proc
+    * handling as HTTP). */
+  def call(proc: String, args: Seq[String]): String =
+    if (proc == "@Statistics") statisticsPayload else cached(proc, args)
 
   private def cached0(proc: String, args: Seq[String]): String = {
     val key = (proc, args)
@@ -165,12 +177,8 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       // system procedure: the dashboard's @Statistics PROCEDUREPROFILE
       // call shape (reference web/js/voltdb-dashboard.js:102-107) —
       // served straight from driver counters, no Spark job
-      if (proc == "@Statistics") {
-        val rows = procedureProfile.map { case (p, n, p50, p95, mx) =>
-          s"""{"PROCEDURE":${jsonStr(p)},"INVOCATIONS":$n,"P50_US":$p50,"P95_US":$p95,"MAX_US":$mx}"""
-        }
-        (200, rows.mkString("""{"status":1,"results":[""", ",", "]}"))
-      } else registry.get(proc) match {
+      if (proc == "@Statistics") (200, statisticsPayload)
+      else registry.get(proc) match {
         case None => (404,
           s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$proc'")}}""")
         case Some(_) =>

@@ -65,9 +65,14 @@ object AvroIO {
     val schemaJson = avroSchema(sparkSchema).toString // Schema isn't serializable pre-1.9 style; ship JSON
     new File(dir).mkdirs()
     df.rdd.foreachPartition { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val schema = new Schema.Parser().parse(schemaJson)
-      val tmp = new File(dir, f".part-$pid%05d.avro.tmp")
+      // attempt-unique tmp: a speculative attempt (or a retry racing a
+      // zombie original) must never interleave appends into the same
+      // file — each attempt writes its own tmp and the atomic replace
+      // below makes whichever commits last win with a COMPLETE container
+      val tmp = new File(dir, f".part-$pid%05d-a${tc.taskAttemptId()}.avro.tmp")
       val dst = new File(dir, f"part-$pid%05d.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
@@ -94,8 +99,11 @@ object AvroIO {
           w.append(rec)
         }
       } finally w.close()
-      // task-local commit: the container only becomes visible complete
-      if (!tmp.renameTo(dst)) throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      // task-local commit: the container only becomes visible complete;
+      // REPLACE_EXISTING keeps duplicate attempts idempotent (same rows)
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Blocked exact best-neighbor kernel: block-count invariance, label
+  * filtering, and NaN (zero-norm) parity with the expression form it
+  * replaced. */
+class EmbeddingNeighborsSpec extends SparkSpec {
+
+  private def mkEmb(rows: Seq[(Long, Seq[Float], Int)]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("results are invariant to block count (1, 3, 16 blocks identical)") {
+    val emb = mkEmb((0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(k => ((i + k * 7) % 13).toFloat / 13f), (i % 3).toInt)
+    })
+    val forms = Seq(1, 3, 16).map(b =>
+      EmbeddingNeighbors.bestNeighbor(emb, crossLabelOnly = false, numBlocks = b)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(forms(0) == forms(1) && forms(1) == forms(2),
+      "block partitioning must not change exact results")
+  }
+
+  test("crossLabelOnly: best neighbor always carries a different label") {
+    val emb = mkEmb((0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(k => ((i * 3 + k) % 11).toFloat / 11f), (i % 2).toInt)
+    })
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = EmbeddingNeighbors.bestNeighbor(emb, crossLabelOnly = true).collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        s"vec ${r.getLong(0)} matched same-label ${r.getLong(1)}")
+    }
+  }
+
+  test("zero-norm vectors rank NaN-greatest (parity with the replaced max(struct) plan)") {
+    // vec 0 is all-zero after floor(x*1000) quantization -> every pair
+    // with it has sim 0/0 = NaN; Spark's max(struct) ordering put NaN
+    // above every finite sim, so vec 1/2's best match must be vec 0,
+    // and vec 0 itself reports a NaN best (tie-broken to lowest id)
+    val emb = mkEmb(Seq(
+      (0L, Seq.fill(4)(0.0001f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 1),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 2)))
+    val got = EmbeddingNeighbors.bestNeighbor(emb, crossLabelOnly = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 0L && got(1L)._2.isNaN, s"vec 1 best: ${got(1L)}")
+    assert(got(2L)._1 == 0L && got(2L)._2.isNaN, s"vec 2 best: ${got(2L)}")
+    assert(got(0L)._1 == 1L && got(0L)._2.isNaN, s"vec 0 best: ${got(0L)}")
+  }
+}
