@@ -102,6 +102,48 @@ object TrainingOps3 {
         .select(col("vec_id"), col("cand").as("hard_negative"), col("sim"))
         .orderBy("vec_id")),
 
+    // SemDeDup-shaped semantic dedup: within each cluster (the label
+    // column stands in for the k-means assignment so the op stays
+    // oracle-checkable — swap in kmeans_assign's cluster for the
+    // seeded-model variant), greedily drop any vector whose cosine to
+    // a LOWER-id same-cluster vector reaches tau. Conservative
+    // superset of representative-only SemDeDup (also drops near-dups
+    // of already-dropped vectors) — deterministic, order-free, and
+    // per-cluster LOCAL: each task holds one cluster's vectors and
+    // does the m² loop in primitive arrays, the exact cost model the
+    // SemDeDup paper's clustering exists to bound (no cross-cluster
+    // pairs ever materialize).
+    "semdedup_keep" -> ((s, d) => {
+      import s.implicits._
+      val tau = 0.35
+      val q = DedupOps.quantized(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .select(col("label"), col("vec_id"), col("q"), col("n"))
+        .as[(Int, Long, Seq[Long], Long)]
+      q.groupByKey(_._1).flatMapGroups { (label, it) =>
+        val vs = it.toArray.sortBy(_._2)
+        val qs = vs.map(_._3.toArray)
+        vs.indices.iterator.map { j =>
+          val id = vs(j)._2; val nj = vs(j)._4; val qj = qs(j)
+          // max cosine to any lower-id cluster-mate (-1.0 for the first)
+          var best = -1.0
+          var i = 0
+          while (i < j) {
+            val qi = qs(i)
+            var dsum = 0L; var k = 0
+            val len = math.min(qi.length, qj.length)
+            while (k < len) { dsum += qi(k) * qj(k); k += 1 }
+            val sim = dsum / math.sqrt((vs(i)._4 * nj).toDouble)
+            if (sim > best) best = sim
+            i += 1
+          }
+          (id, label, best < tau, best)
+        }
+      }.toDF("vec_id", "label", "keep", "prior_sim")
+        .orderBy("vec_id")
+    }),
+
     // quantized-norm audit: histogram of exact integer L2² norms —
     // catches un-normalized or degenerate embedding batches before
     // they poison cosine-based dedup/ANN (for unit vectors every
@@ -253,6 +295,29 @@ object TrainingOps3 {
         |         FROM sims)
         |SELECT va AS vec_id, vb AS hard_negative, sim
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "semdedup_keep" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |                          AND a.label = b.label
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT va, vb,
+        |                CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |         FROM dots
+        |         JOIN norms na ON na.vec_id = va
+        |         JOIN norms nb ON nb.vec_id = vb),
+        |prior AS (SELECT vb AS vec_id, max(sim) AS ps FROM sims GROUP BY vb)
+        |SELECT emb.vec_id, emb.label,
+        |       COALESCE(prior.ps, -1.0) < 0.35 AS keep,
+        |       COALESCE(prior.ps, -1.0) AS prior_sim
+        |FROM embeddings emb LEFT JOIN prior ON prior.vec_id = emb.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
 
     "emb_norm_hist" ->
       """WITH e AS (
