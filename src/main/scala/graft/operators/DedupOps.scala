@@ -42,8 +42,15 @@ object DedupOps {
     * input split, but this map stage carries all the hashing work —
     * round-robin it across the cluster first. */
   def docShingleArrays(docs: DataFrame): DataFrame =
-    tokenized(docs)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docShingleArraysNoRepartition(
+      tokenized(docs).repartition(docs.sparkSession.sparkContext.defaultParallelism),
+      preTokenized = true)
+
+  /** Same map stage without the spread-the-scan repartition — for
+    * streaming inputs (already micro-batch partitioned) and callers
+    * that manage their own partitioning. */
+  def docShingleArraysNoRepartition(docs: DataFrame, preTokenized: Boolean = false): DataFrame =
+    (if (preTokenized) docs else tokenized(docs))
       .select(col("doc_id"),
         expr(s"array_distinct(transform($gramArrayExpr, g -> xxhash64(g)))").as("ghs"))
       .withColumn("n", size(col("ghs")).cast("long"))
