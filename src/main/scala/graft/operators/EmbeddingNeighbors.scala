@@ -64,7 +64,9 @@ object EmbeddingNeighbors {
       .join(emb.select(col("vec_id"), coalesce(col("label"), lit(0)).as("label")), "vec_id")
     val blocks =
       if (numBlocks > 0) numBlocks
-      else math.max(DefaultBlocks, (q.count() / TargetPerTile).toInt + 1)
+      // count the bare input, not q: the vec_id join is 1:1, so this is
+      // a pruned parquet count instead of a second quantize+join pass
+      else math.max(DefaultBlocks, (emb.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
     val tiles: Dataset[Tile] = q
       .select(pmod(hash(col("vec_id")), lit(blocks)).cast("int").as("b"),
         col("vec_id"), col("label"), col("q"), col("n"))

@@ -23,7 +23,9 @@ object GlobalOrder {
   /** Appends a 0-based global row index ordered by `order`. */
   def withRowIndex(df: DataFrame, out: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
+    // localCheckpoint: zipWithIndex launches a partition-size count job
+    // before the consuming job — without it both re-sort every partition
+    val sorted = df.orderBy(order: _*).localCheckpoint(true)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)

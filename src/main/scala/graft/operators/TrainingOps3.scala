@@ -116,17 +116,26 @@ object TrainingOps3 {
     "semdedup_keep" -> ((s, d) => {
       import s.implicits._
       val tau = 0.35
+      // NULL labels mirror SQL join semantics (NULL = NULL matches
+      // nothing): each null-label vector gets a singleton cluster key,
+      // so it pairs with no one and survives — exactly the oracle's
+      // LEFT JOIN outcome. The original (nullable) label is carried
+      // through to the output untouched.
       val q = DedupOps.quantized(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
         .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
-        .select(col("label"), col("vec_id"), col("q"), col("n"))
-        .as[(Int, Long, Seq[Long], Long)]
-      q.groupByKey(_._1).flatMapGroups { (label, it) =>
+        .select(
+          coalesce(col("label").cast("long"), -col("vec_id") - 1).as("ckey"),
+          col("vec_id"), col("label").cast("int").as("label"), col("q"), col("n"))
+        .as[(Long, Long, Option[Int], Seq[Long], Long)]
+      q.groupByKey(_._1).flatMapGroups { (_, it) =>
         val vs = it.toArray.sortBy(_._2)
-        val qs = vs.map(_._3.toArray)
+        val qs = vs.map(_._4.toArray)
         vs.indices.iterator.map { j =>
-          val id = vs(j)._2; val nj = vs(j)._4; val qj = qs(j)
-          // max cosine to any lower-id cluster-mate (-1.0 for the first)
+          val id = vs(j)._2; val nj = vs(j)._5; val qj = qs(j)
+          // max cosine to any lower-id cluster-mate (-1.0 for the
+          // first); Double.compare ranks NaN (zero-norm) greatest —
+          // the same order the oracle's max() uses
           var best = -1.0
           var i = 0
           while (i < j) {
@@ -134,11 +143,13 @@ object TrainingOps3 {
             var dsum = 0L; var k = 0
             val len = math.min(qi.length, qj.length)
             while (k < len) { dsum += qi(k) * qj(k); k += 1 }
-            val sim = dsum / math.sqrt((vs(i)._4 * nj).toDouble)
-            if (sim > best) best = sim
+            val sim = dsum / math.sqrt((vs(i)._5 * nj).toDouble)
+            if (java.lang.Double.compare(sim, best) > 0) best = sim
             i += 1
           }
-          (id, label, best < tau, best)
+          // NaN < tau is false in BOTH engines: a zero-norm vector
+          // with lower-id mates drops, matching the oracle
+          (id, vs(j)._3, best < tau, best)
         }
       }.toDF("vec_id", "label", "keep", "prior_sim")
         .orderBy("vec_id")

@@ -78,32 +78,40 @@ object AvroIO {
       w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
       w.create(schema, tmp)
       try {
-        it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          var i = 0
-          while (i < sparkSchema.length) {
-            val v = row.get(i)
-            rec.put(i, v match {
-              case null => null
-              case t: java.sql.Timestamp =>
-                java.lang.Long.valueOf(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-              case ldt: java.time.LocalDateTime =>
-                java.lang.Long.valueOf(
-                  ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
-              case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case other => other
-            })
-            i += 1
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            var i = 0
+            while (i < sparkSchema.length) {
+              val v = row.get(i)
+              rec.put(i, v match {
+                case null => null
+                case t: java.sql.Timestamp =>
+                  java.lang.Long.valueOf(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+                case ldt: java.time.LocalDateTime =>
+                  java.lang.Long.valueOf(
+                    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+                case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case other => other
+              })
+              i += 1
+            }
+            w.append(rec)
           }
-          w.append(rec)
-        }
-      } finally w.close()
-      // task-local commit: the container only becomes visible complete;
-      // REPLACE_EXISTING keeps duplicate attempts idempotent (same rows)
-      java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally w.close()
+        // task-local commit: the container only becomes visible
+        // complete. ATOMIC_MOVE on POSIX is rename(2), which replaces
+        // an existing dst — so a duplicate attempt re-commits the same
+        // rows; on a filesystem where atomic replace is unsupported the
+        // move throws and Spark just retries the task
+        java.nio.file.Files.move(tmp.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // a failed attempt must not strand its partial container —
+        // attempt-unique names mean no retry will ever overwrite it
+        case scala.util.control.NonFatal(e) => tmp.delete(); throw e
+      }
     }
   }
 

@@ -62,15 +62,20 @@ object NearDupStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, it, state) =>
           // deterministic arrival order inside the batch: min id first
-          val arrivals = it.map(_.doc_id).toArray.sorted.distinct
           val prior = state.getOption.map(_.members).getOrElse(Nil)
+          val priorSet = scala.collection.mutable.HashSet.from(prior)
+          // at-least-once delivery: a re-sent doc is already a member —
+          // re-appending would grow state by 16 entries per re-delivery
+          // and duplicate every future candidate against it
+          val arrivals = it.map(_.doc_id).toArray.sorted.distinct
+            .filterNot(priorSet.contains)
           val out = scala.collection.mutable.ArrayBuffer.empty[Candidate]
           var seen = prior
           arrivals.foreach { id =>
             seen.foreach { p => if (p != id) out += Candidate(id, p) }
             seen = id :: seen
           }
-          state.update(BucketState(seen))
+          if (arrivals.nonEmpty) state.update(BucketState(seen))
           out.iterator
       }
   }

@@ -38,6 +38,12 @@ class NearDupStreamSpec extends SparkSpec {
       assert(streamed == truth,
         s"streaming candidates diverged from batch: missing=${(truth -- streamed).take(5)} " +
           s"extra=${(streamed -- truth).take(5)}")
+      // at-least-once delivery: re-sending an entire batch must add NO
+      // rows (members are not re-appended, candidates not re-emitted)
+      val before = spark.sql("select count(*) from neardup_cands").collect()(0).getLong(0)
+      in.addData(rows.take(rows.length / 3).toSeq); q.processAllAvailable()
+      val after = spark.sql("select count(*) from neardup_cands").collect()(0).getLong(0)
+      assert(after == before, s"re-delivery emitted ${after - before} duplicate candidates")
     } finally q.stop()
   }
 }
