@@ -50,6 +50,32 @@ object NearDupStream {
       .as[BandedDoc]
   }
 
+  /** Full streaming near-dup pipeline: candidates → exact Jaccard
+    * rerank per micro-batch. Each batch of candidate pairs broadcast-
+    * joins the corpus snapshot's shingle arrays and keeps pairs at or
+    * above `minJaccard` — the same
+    * [[DedupOps.verifyJaccard]] rerank the batch LSH path uses, so the
+    * confirmed-pair stream is the arrival-time version of
+    * `minhashCandidates → verifyJaccard`. `corpusSnapshot` must cover
+    * every doc that has entered the stream (at-rest store or the
+    * original table): the rerank needs both sides' shingles, and the
+    * bucket state only holds ids. */
+  def confirmedPairs(docs: DataFrame, corpusSnapshot: DataFrame, minJaccard: Double,
+                     dir: String, checkpoint: String)(implicit spark: SparkSession)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    candidates(docs).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cands = batch.select(col("doc_id").as("da"), col("prior_doc").as("db")).distinct()
+        DedupOps.verifyJaccard(corpusSnapshot, cands)
+          .filter(col("jaccard") >= minJaccard)
+          .write.mode("overwrite").parquet(s"$dir/batch-$id")
+      }
+      .start()
+  }
+
   /** Streaming candidates: one output row per (new doc, bucket-mate),
     * distinct across the doc's 16 bands (a pair sharing 3 buckets
     * emits once per micro-batch — dedupe downstream if exact-once
