@@ -128,34 +128,39 @@ object TrainingOps3 {
           coalesce(col("label").cast("long"), -col("vec_id") - 1).as("ckey"),
           col("vec_id"), col("label").cast("int").as("label"), col("q"), col("n"))
         .as[(Long, Long, Option[Int], Seq[Long], Long)]
-      q.groupByKey(_._1).flatMapGroups { (_, it) =>
-        val vs = it.toArray.sortBy(_._2)
-        val qs = vs.map(_._4.toArray)
-        vs.indices.iterator.map { j =>
-          val id = vs(j)._2; val nj = vs(j)._5; val qj = qs(j)
-          // max cosine to any lower-id cluster-mate (-1.0 for the
-          // first); Double.compare ranks NaN (zero-norm) greatest —
-          // the same order the oracle's max() uses
-          var best = -1.0
-          var i = 0
-          while (i < j) {
-            val qi = qs(i)
-            var dsum = 0L; var k = 0
-            val len = math.min(qi.length, qj.length)
-            while (k < len) { dsum += qi(k) * qj(k); k += 1 }
-            val sim = dsum / math.sqrt((vs(i)._5 * nj).toDouble)
-            if (java.lang.Double.compare(sim, best) > 0) best = sim
-            i += 1
-          }
-          // NaN < tau is false in BOTH engines: a zero-norm vector
-          // with lower-id mates drops, matching the oracle
-          (id, vs(j)._3, best < tau, best)
-        }
-      }.toDF("vec_id", "label", "keep", "prior_sim")
+      semdedupWithin(q).toDF("vec_id", "label", "keep", "prior_sim")
+        .orderBy("vec_id")
+    }),
+
+    // the paper-faithful variant: clusters come from k-means over the
+    // embedding vectors themselves (seeded spark.ml fit), then the same
+    // greedy within-cluster drop. Engine-specific clustering ⇒
+    // rows-only in the driver gate; SemDedupSpec brute-verifies every
+    // verdict against the produced clustering and pins determinism.
+    "semdedup_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val dim = 64 // driver testdata embedding width (TESTDATA/FIXTURES)
+      val withVec = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array.tabulate(dim)(i => s"_e$i")).setOutputCol("features")
+        .transform(emb.select(
+          (col("vec_id") +: (0 until dim).map(i =>
+            coalesce(col("embedding")(i), lit(0f)).cast("double").as(s"_e$i"))): _*))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(10).setSeed(42L).setMaxIter(10).setInitMode("random")
+        .fit(withVec)
+      val clustered = model.transform(withVec).select(col("vec_id"), col("prediction").as("cluster"))
+      val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
+        .join(clustered, "vec_id")
+        .select(col("cluster").cast("long").as("ckey"), col("vec_id"),
+          col("cluster").cast("int").as("cluster"), col("q"), col("n"))
+        .as[(Long, Long, Option[Int], Seq[Long], Long)]
+      semdedupWithin(q).toDF("vec_id", "cluster", "keep", "prior_sim")
         .orderBy("vec_id")
     }),
 
     // quantized-norm audit: histogram of exact integer L2² norms —
+    // (see semdedupWithin below for the shared greedy kernel)
     // catches un-normalized or degenerate embedding batches before
     // they poison cosine-based dedup/ANN (for unit vectors every
     // bucket sits near 1e6 / 1000 = 1000)
@@ -245,6 +250,43 @@ object TrainingOps3 {
         .select("event_id", "zkey")
         .orderBy("event_id"))
   )
+
+  /** Greedy within-cluster drop shared by the semdedup variants.
+    * Input (ckey, vec_id, tag, q, n) — `tag` is whatever id column the
+    * caller wants echoed (label / cluster). Output
+    * (vec_id, tag, keep, prior_sim): keep=false iff some LOWER-id
+    * cluster-mate reaches `tau` cosine; prior_sim is the max such
+    * cosine (-1.0 when the vector has no lower-id mates).
+    * Double.compare maxing ranks NaN (zero-norm) greatest, matching
+    * SQL max(); per-cluster work is local to one task in primitive
+    * arrays — the m² loop the clustering exists to bound. */
+  def semdedupWithin(clustered: org.apache.spark.sql.Dataset[(Long, Long, Option[Int], Seq[Long], Long)],
+                     tau: Double = 0.35)
+  : org.apache.spark.sql.Dataset[(Long, Option[Int], Boolean, Double)] = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    clustered.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val vs = it.toArray.sortBy(_._2)
+      val qs = vs.map(_._4.toArray)
+      vs.indices.iterator.map { j =>
+        val id = vs(j)._2; val nj = vs(j)._5; val qj = qs(j)
+        var best = -1.0
+        var i = 0
+        while (i < j) {
+          val qi = qs(i)
+          var dsum = 0L; var k = 0
+          val len = math.min(qi.length, qj.length)
+          while (k < len) { dsum += qi(k) * qj(k); k += 1 }
+          val sim = dsum / math.sqrt((vs(i)._5 * nj).toDouble)
+          if (java.lang.Double.compare(sim, best) > 0) best = sim
+          i += 1
+        }
+        // NaN < tau is false in both engines: zero-norm vectors with
+        // lower-id mates drop, matching the SQL oracle
+        (id, vs(j)._3, best < tau, best)
+      }
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "vocab_oov_rate" ->
