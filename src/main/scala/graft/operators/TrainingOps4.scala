@@ -87,6 +87,19 @@ object TrainingOps4 {
         .orderBy(col("n").desc, col("pair"))
         .limit(25)),
 
+    // Iterative BPE merge TRAINING (Sennrich et al.): the corpus is
+    // scanned ONCE into a word histogram (the classic trainer shape —
+    // all later rounds run over the vocab, which is distinct-words
+    // sized, not corpus sized), then each round censuses adjacent
+    // symbol pairs weighted by word frequency, picks the max (ties →
+    // lexicographic pair, fully deterministic), and fuses it
+    // left-to-right through every vocab entry. Output: one row per
+    // learned merge. Iterative ⇒ no SQL oracle (rows-only); BpeTrainSpec
+    // pins a hand-computed golden corpus, the non-increasing max-count
+    // invariant, and first-merge agreement with bpe_pair_freq.
+    "bpe_train_merges" -> ((s, d) =>
+      bpeTrainMerges(Tables.documents(s, d), merges = 10)),
+
     // higher-order array-function surface over the embedding column:
     // transform / filter / aggregate / sort_array / slice / reverse,
     // all on the exact quantized integer form — semantics pinned
@@ -107,6 +120,58 @@ object TrainingOps4 {
           expr("element_at(reverse(q), 1)").as("rev_head"))
         .orderBy("vec_id"))
   )
+
+  /** Learn `merges` BPE merges from whitespace words. Each word is a
+    * character-symbol array weighted by its corpus frequency; a round
+    * is census → argmax → fuse. The vocab relation is
+    * localCheckpoint'ed per round (iterative-Spark lineage discipline)
+    * and every shuffle is vocab-sized. Returns
+    * (rank, left, right, merged, pair_count) rows in merge order. */
+  def bpeTrainMerges(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .filter(length(col("t")) >= 1)
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .select(expr("split(t, '')").as("syms"), col("freq"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < merges && !done) {
+      val top = vocab
+        .flatMap { case (syms, freq) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), freq))
+        }
+        .toDF("l", "r", "freq")
+        .groupBy("l", "r").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (ml, mr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((r + 1, ml, mr, ml + mr, n))
+        val old = vocab
+        vocab = vocab.map { case (syms, freq) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == ml && syms(i + 1) == mr) {
+              out += ml + mr; i += 2 // greedy left-to-right fuse
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, freq)
+        }.localCheckpoint(true) // truncate lineage each round
+        old.unpersist()
+        r += 1
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
 
   val oracles: Map[String, String] = Map(
     "doc_chunks" ->
