@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *    shuffle into the final argmax.
   * Tie-breaking matches the expression form exactly: highest sim,
   * then lowest candidate id (`max(struct(sim, -cand))`), and the sim
-  * arithmetic is the identical IEEE sequence (integer dot, long
-  * norm product, toDouble, sqrt, divide), so oracle hashes are
-  * unchanged.
+  * arithmetic yields the identical IEEE value (integer dot; norms are
+  * exact as doubles so the double norm product is the same correctly-
+  * rounded value the long multiply gave, minus its silent-wrap
+  * failure mode; sqrt, divide), so oracle hashes are unchanged.
   *
   * At 1000 executors each block pair is an independent task over two
   * ~N/B-vector tiles: compute scales out, shuffle stays linear in N.
@@ -60,13 +61,23 @@ object EmbeddingNeighbors {
                    numBlocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
-      .join(emb.select(col("vec_id"), coalesce(col("label"), lit(0)).as("label")), "vec_id")
+    // Null-label semantics match the SQL oracle's `a.label <> b.label`:
+    // a NULL comparison is never true, so null-label vectors take part
+    // in NO cross-label pair (neither as source nor as candidate) —
+    // drop them up front. For plain near-dup search labels are unused.
+    val src =
+      if (crossLabelOnly) emb.filter(col("label").isNotNull)
+      else emb
+    val lab =
+      if (crossLabelOnly) src.select(col("vec_id"), col("label").cast("int").as("label"))
+      else src.select(col("vec_id"), lit(0).as("label"))
+    val q = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
+      .join(lab, "vec_id")
     val blocks =
       if (numBlocks > 0) numBlocks
       // count the bare input, not q: the vec_id join is 1:1, so this is
       // a pruned parquet count instead of a second quantize+join pass
-      else math.max(DefaultBlocks, (emb.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
+      else math.max(DefaultBlocks, (src.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
     val tiles: Dataset[Tile] = q
       .select(pmod(hash(col("vec_id")), lit(blocks)).cast("int").as("b"),
         col("vec_id"), col("label"), col("q"), col("n"))
@@ -76,8 +87,32 @@ object EmbeddingNeighbors {
         val rows = it.toArray.sortBy(_._2)
         Tile(b, rows.map(_._2), rows.map(_._3), rows.map(_._4.toArray), rows.map(_._5))
       }
-    val pairs = tiles.as("x").joinWith(tiles.as("y"), col("x.b") <= col("y.b"))
-    val partials = pairs.flatMap { case (x, y) =>
+    // All B(B+1)/2 block pairs via an explicit pair-id hash shuffle:
+    // each tile fans out once per pair it belongs to, keyed by
+    // (lo*blocks + hi), and lands ONLY on the tasks that score it —
+    // versus the previous `x.b <= y.b` joinWith, which planned as a
+    // BroadcastNestedLoopJoin shipping the ENTIRE tiled corpus to
+    // every task (and recomputed the quantize+groupByKey stage for
+    // both join sides). Bytes moved: O(N·B), one equi-shuffle, no
+    // broadcast of the corpus, tiles computed exactly once.
+    val nb = blocks
+    val partials = tiles
+      .flatMap(t => Iterator.range(0, nb).map { o =>
+        val lo = math.min(t.b, o); val hi = math.max(t.b, o)
+        (lo * nb + hi, t)
+      })
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val ts = it.map(_._2).toArray
+        // diagonal pair (b,b) arrives as one tile; off-diagonal as
+        // two. A single tile under an OFF-diagonal key means the
+        // partner block hashed empty — nothing to score (the true
+        // diagonal group covers the tile's own pairs).
+        val x = ts(0)
+        val y = if (ts.length > 1) ts(1) else ts(0)
+        if (ts.length == 1 && pid != x.b * nb + x.b)
+          Iterator.empty[(Long, Long, Double)]
+        else {
       // Double.compare ranks NaN above every finite/inf value — the
       // same total order Spark's max(struct(sim, ...)) used
       @inline def beats(s: Double, c: Long, bs: Double, bc: Long): Boolean = {
@@ -99,9 +134,13 @@ object EmbeddingNeighbors {
             var d = 0L; var k = 0
             val len = math.min(qi.length, qj.length)
             while (k < len) { d += qi(k) * qj(k); k += 1 }
-            // EXACT same IEEE sequence as the expression form:
-            // dot / sqrt(double(na * nb))
-            val sim = d / math.sqrt((ni * y.ns(j)).toDouble)
+            // EXACT same IEEE value as the expression form's
+            // dot / sqrt(double(na * nb)): each norm is < 2^53 so
+            // toDouble is exact and the product is the one correctly-
+            // rounded double either way — but the double multiply
+            // cannot wrap, where the raw long multiply silently
+            // overflowed for large-magnitude unnormalized embeddings
+            val sim = d / math.sqrt(ni.toDouble * y.ns(j).toDouble)
             if (beats(sim, y.ids(j), bxSim(i), bxId(i))) {
               bxSim(i) = sim; bxId(i) = y.ids(j)
             }
@@ -125,6 +164,7 @@ object EmbeddingNeighbors {
       val ys = (0 until ny).iterator.filter(j => seen(bySim(j)))
         .map(j => (y.ids(j), byId(j), bySim(j)))
       xs ++ ys
+        }
     }.toDF("vec_id", "cand", "sim")
     partials
       .groupBy("vec_id")

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, Row, functions}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Distributed global-order primitives.
   *
@@ -41,20 +41,42 @@ object GlobalOrder {
     * Same two-pass shape as [[withRowIndex]]/zipWithIndex. */
   def withRunningSum(df: DataFrame, valueCol: String, out: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
+    // Generic-primitive guard: accept any integral value column by
+    // widening it to long up front (so an IntegerType caller doesn't
+    // hit a ClassCastException in getLong), and reject non-integral
+    // types loudly instead of silently truncating doubles/decimals.
+    // Nulls are rejected per-row below — SQL's running sum SKIPS
+    // nulls, which a caller should make explicit with coalesce rather
+    // than inherit silently from a low-level primitive.
+    val vType = df.schema(valueCol).dataType
+    require(
+      vType == LongType || vType == IntegerType ||
+        vType == ShortType || vType == ByteType,
+      s"withRunningSum requires an integral value column; '$valueCol' is " +
+        s"${vType.simpleString} — cast (and for fractional types, round) it explicitly first")
+    val widened =
+      if (vType == LongType) df
+      else df.withColumn(valueCol, functions.col(valueCol).cast(LongType))
     // localCheckpoint: the sorted relation feeds TWO jobs (partial-sum
     // collect, then the offset-adding map) — without it the second job
     // re-sorts every partition
-    val sorted = df.orderBy(order: _*).localCheckpoint(true)
+    val sorted = widened.orderBy(order: _*).localCheckpoint(true)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
+    def value(r: Row): Long = {
+      if (r.isNullAt(vIdx))
+        throw new IllegalArgumentException(
+          s"withRunningSum: null in '$valueCol' — coalesce it before calling")
+      r.getLong(vIdx)
+    }
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.foldLeft(0L)((a, r) => a + r.getLong(vIdx))))
+      Iterator((i, it.foldLeft(0L)((a, r) => a + value(r))))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
     val withCum = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets.value(i)
-      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r => acc += value(r); Row.fromSeq(r.toSeq :+ acc) }
     }
     spark.createDataFrame(withCum, schema)
   }

@@ -37,6 +37,28 @@ class EmbeddingNeighborsSpec extends SparkSpec {
     }
   }
 
+  test("crossLabelOnly: null-label vectors join NO pair (SQL <> semantics)") {
+    import spark.implicits._
+    // vec 2 (null label) is the nearest vector to everything; under
+    // `a.label <> b.label` SQL semantics it must appear in no pair —
+    // neither as a source row nor as anyone's candidate
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), Some(0)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), Some(1)),
+      (2L, Seq(0.95f, 0.05f, 0f, 0f), None),
+      (3L, Seq(0f, 1f, 0f, 0f), Some(0))
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingNeighbors.bestNeighbor(emb, crossLabelOnly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(2L), "null-label vector must emit no source row")
+    assert(!got.values.exists(_ == 2L), "null-label vector must never be a candidate")
+    assert(got(0L) == 1L && got(3L) == 1L && got(1L) == 0L, s"got $got")
+    // near-dup mode ignores labels entirely: all four vectors pair up
+    val all = EmbeddingNeighbors.bestNeighbor(emb, crossLabelOnly = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.keySet == Set(0L, 1L, 2L, 3L) && all(0L) == 2L)
+  }
+
   test("zero-norm vectors rank NaN-greatest (parity with the replaced max(struct) plan)") {
     // vec 0 is all-zero after floor(x*1000) quantization -> every pair
     // with it has sim 0/0 = NaN; Spark's max(struct) ordering put NaN

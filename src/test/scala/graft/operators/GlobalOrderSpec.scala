@@ -31,6 +31,30 @@ class GlobalOrderSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSum widens integral types and rejects fractional/null input") {
+    import spark.implicits._
+    // IntegerType input: previously a ClassCastException in getLong;
+    // now widened to long up front and matches the window running sum
+    val ints = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v")
+    val got = GlobalOrder.withRunningSum(ints, "v", "cum", col("k"))
+      .orderBy("k").select("cum").as[Long].collect().toSeq
+    assert(got == Seq(10L, 30L, 60L))
+    // fractional types: loud require, not silent truncation
+    val dbl = Seq((1, 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.withRunningSum(dbl, "v", "cum", col("k"))
+    }
+    assert(e.getMessage.contains("integral"))
+    // nulls: loud per-row rejection, not an NPE deep in foldLeft
+    val nulls = Seq((1, Some(10L)), (2, None)).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      GlobalOrder.withRunningSum(nulls, "v", "cum", col("k")).collect()
+    }
+    val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("coalesce")), s"unexpected failure chain: $msgs")
+  }
+
   test("ntileGlobal handles fewer rows than buckets") {
     val tiny = Tables.region(spark, sf).select("r_regionkey")
     val viaWindow = tiny.withColumn("b", ntile(9).over(Window.orderBy("r_regionkey")))
