@@ -64,24 +64,22 @@ object SimilarityOps {
         .limit(10)
     }),
 
-    // per-label centroid-probed search (IVF-style): group mean as
-    // coarse quantizer, rank labels' members for the query — exercises
-    // two-stage (coarse → fine) ANN; rows-only (double math)
+    // per-label centroid-probed search (IVF): the inverted lists live
+    // AT REST partitioned by cell (AnnIndex.ivf), the coarse stage
+    // ranks the tiny centroids table, and the fine stage reads ONLY
+    // the nprobe=2 probed cells via partition pruning — at 100 TB the
+    // scan touches 2/#cells of the corpus, not a broadcast-join filter
+    // over every row. Rows-only (double math); same ranking math and
+    // output as the r7 inline form.
     "ann_ivf_probe" -> ((s, d) => {
-      graft.functions.VecFunctions.registerAll(s)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // coarse: centroid per label in ONE pass via the element-wise
-      // vec_sum aggregate (no posexplode to (label, dim, x) triples)
-      val cents = emb.groupBy("label")
-        .agg(graft.functions.VecFunctions.vec_sum(col("v")).as("vsum"),
-          count(lit(1)).as("cnt"))
-        .select(col("label"), expr(
-          "transform(vsum, x -> x / CAST(cnt AS DOUBLE))").as("centroid"))
-      val query = emb.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"))
-      // probe: top-2 labels by centroid cosine
+      val (lists, cents) = AnnIndex.ivf(s, d)
+      // query vector from the SOURCE table (pushed-down point lookup)
+      // — probing the partitioned lists for it would scan every cell
+      val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      // probe: top-2 cells by centroid cosine — a bounded driver
+      // probe (2 rows) so the list scan below is a literal IN over
+      // the partition column, prunable at planning time
       val probed = cents.crossJoin(broadcast(query))
         .withColumn("cd", expr(
           "aggregate(zip_with(centroid, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
@@ -89,9 +87,9 @@ object SimilarityOps {
         .withColumn("csim", col("cd") / sqrt(col("cn")))
         .orderBy(col("csim").desc, col("label"))
         .limit(2)
-        .select("label")
-      // fine: exact rank within probed labels only
-      emb.join(broadcast(probed), Seq("label"))
+        .select("label").collect().map(_.get(0)).filter(_ != null).toSeq
+      // fine: exact rank inside the probed inverted lists only
+      lists.filter(col("label").isin(probed: _*))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(query))
         .withColumn("dot", expr(
@@ -104,20 +102,26 @@ object SimilarityOps {
         .limit(10)
     }),
 
-    // LSH-bucketed ANN: SRP signature join (query bucket ± hamming-1
-    // probes), exact rerank inside candidates — rows-only
+    // LSH-bucketed ANN over the at-rest SRP index: the query's 137
+    // hamming-≤2 probe buckets are enumerated driver-side and the
+    // signature scan partition-prunes to exactly those directories —
+    // 137/65 536 of the corpus at scale — replacing the r7 form's
+    // per-row `bit_count(sig ^ qb) <= 2` pass over EVERY signature.
+    // Candidate set is identical (same buckets), so the exact rerank
+    // returns the same rows. Rows-only + recall spec.
     "ann_lsh" -> ((s, d) => {
-      val sigs = srpSignature(Tables.embeddings(s, d))
-      val qsig = sigs.filter(col("vec_id") === 0)
-        .select(col("srp_bucket").as("qb"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
-      // multi-probe: exact bucket or hamming distance ≤ 2
-      val cands = sigs.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qsig))
-        .withColumn("hd", expr(
-          "bit_count(srp_bucket ^ qb)"))
-        .filter(col("hd") <= 2)
-      cands
+      val idx = AnnIndex.srp(s, d)
+      // query-vector signature: one tiny job over one pushed-down row
+      val q = srpSignature(
+          Tables.embeddings(s, d).filter(col("vec_id") === 0), AnnIndex.SrpBits)
+        .select(col("srp_bucket").cast("int"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .head()
+      val buckets = AnnIndex.hamming2Buckets(q.getInt(0))
+      val qv = lit(q.getSeq[Double](1).toArray)
+      idx.filter(col("srp_bucket").isin(buckets: _*))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qv", qv)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("dot", expr(
           "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))

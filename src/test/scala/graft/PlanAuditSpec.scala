@@ -67,6 +67,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(back.contains("GroupedTopK"), "rewrite must re-enable after unset")
   }
 
+  test("ANN probes partition-prune the at-rest index (no full signature/list scan)") {
+    // ann_lsh: the SRP index scan must carry the 137-bucket hamming-≤2
+    // IN set as a PARTITION filter — the probe reads those directories
+    // only, never the other 65k buckets' files
+    val lsh = finalPlan("ann_lsh")
+    assert(lsh.contains("PartitionFilters: [srp_bucket"),
+      s"ann_lsh scans the whole signature table (no partition filter):\n$lsh")
+    // ann_ivf_probe: the inverted-list scan prunes to the nprobe=2 cells
+    val ivf = finalPlan("ann_ivf_probe")
+    assert(ivf.contains("PartitionFilters: [label"),
+      s"ann_ivf_probe scans every inverted list (no partition filter):\n$ivf")
+  }
+
   test("top-k queries short-circuit via TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("get_top_sources", "returned_revenue_topk")) {
       val plan = finalPlan(q)
