@@ -48,6 +48,45 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("degenerate bucket saturates at the cap: bounded state, bounded pairs, overflow markers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // 10k byte-identical docs: every one lands in the SAME 16 band
+    // buckets — the pathological mass-near-dup case. With cap=8 each
+    // bucket must store only the first 8 arrivals, emit exactly
+    // C(8,2)=28 member pairs, and mark every later arrival with the
+    // overflow sentinel instead of pairing (per band).
+    val cap = 8
+    val n = 10000
+    val docs = (0L until n).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val in = MemoryStream[(Long, String)]
+    val q = NearDupStream.candidates(in.toDS().toDF("doc_id", "text"), maxBucketMembers = cap)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_sat")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup_sat_ck").toString)
+      .start()
+    try {
+      // two micro-batches: saturation must persist across batches
+      docs.grouped(n / 2).foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      val bands = 16
+      val pairs = spark.sql(
+        s"select count(*) from neardup_sat where prior_doc >= 0").collect()(0).getLong(0)
+      val markers = spark.sql(
+        s"select count(*) from neardup_sat where prior_doc = ${NearDupStream.OverflowPrior}")
+        .collect()(0).getLong(0)
+      assert(pairs == bands.toLong * cap * (cap - 1) / 2,
+        s"saturated buckets must emit exactly C($cap,2) pairs per band, got $pairs")
+      assert(markers == bands.toLong * (n - cap),
+        s"every overflow arrival must emit one marker per band, got $markers")
+      // stored members are the first `cap` ids (deterministic min-id order)
+      val pairedIds = spark.sql("select doc_id from neardup_sat where prior_doc >= 0")
+        .as[Long].collect().toSet
+      assert(pairedIds == (1L until cap.toLong).toSet,
+        s"stored members must be the lowest ids, got $pairedIds")
+    } finally q.stop()
+  }
+
   test("streaming confirmed pairs == batch LSH + exact rerank (j >= 0.8)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
