@@ -55,6 +55,7 @@ object SparkEntry {
       AnalyticsOps2.queries ++
       SetOps.queries ++
       PipelineOps.queries ++
+      graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
@@ -95,4 +96,6 @@ object SparkEntry {
       AnalyticsOps2.oracles ++
       SetOps.oracles ++
       PipelineOps.oracles
+      // EventGen has no oracle (JVM mixing is not SQL-expressible);
+      // gen_events is distribution-checked in EventGenSpec
 }

@@ -1,18 +1,33 @@
 package graft
 
 import graft.operators.IngestOps
-import graft.streaming.SessionDedup
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.EventGen
+import graft.streaming.{IngestPipeline, SessionDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Ingest-throughput bench vs the reference's headline operating point
   * (BASELINE.md: 20,000 events/s sustained through enrichment + scoring
   * + session check + view maintenance on one node).
   *
-  * Two modes over the sf0.1 events (100k rows):
-  *  - batch: the full IngestOps.pipeline, amortized events/s;
-  *  - micro-batch streaming: MemoryStream → session dedup + per-second
-  *    view, 10 batches, steady-state events/s.
+  * Legs:
+  *  - batch: the full IngestOps.pipeline over the sf dir's events,
+  *    amortized events/s (same headline as Bench's ingest_eps);
+  *  - file-source streaming at 1× and 10× the sf dir's event count:
+  *    seeded reference-distribution events ([[EventGen]] — same
+  *    schema, dims, and draw logic as the reference's LogGenerator)
+  *    land as parquet tranches in a drop directory, then ONE
+  *    checkpointed query (Trigger.AvailableNow + maxFilesPerTrigger)
+  *    runs enrich → score → 30-s session gate → parquet sink in
+  *    micro-batches. No driver-side collect anywhere: the generator
+  *    writes distributed, the source is the checkpointed file stream,
+  *    so the same harness measures any SF — the 10× leg is the
+  *    "sf1" point that re-verifies the state bench's flat-throughput
+  *    claim end to end (state keys grow 10×, eps must hold).
+  *
+  * Writes BENCH_STREAM.json: {"batch_eps":…,"stream_eps_1x":…,
+  * "stream_eps_10x":…,"n_1x":…} for round-over-round tracking.
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
@@ -25,41 +40,104 @@ object ThroughputBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // toRdd.count forces the pipeline's own plan — a plain count()
     // would let Catalyst prune the scoring/session projections
-    def runFully(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.toRdd.count()
+    def runFully(df: DataFrame): Long = df.queryExecution.toRdd.count()
     // warm-up (codegen + file index)
     runFully(IngestOps.pipeline(spark, sfDir))
 
     val t0 = System.nanoTime()
     val n = runFully(IngestOps.pipeline(spark, sfDir))
     val batchSec = (System.nanoTime() - t0) / 1e9
-    println(f"[throughput] batch: $n events in $batchSec%.2f s = ${n / batchSec}%.0f events/s")
+    val batchEps = n / batchSec
+    println(f"[throughput] batch: $n events in $batchSec%.2f s = $batchEps%.0f events/s")
 
-    // the session-dedup state exchange keys on (user_id, event_type):
-    // a few hundred live keys — 8 state-store partitions amortize the
-    // per-batch commit overhead far better than one per core (state
-    // partitioning is a streaming-query-lifetime choice, sized to key
-    // cardinality × state size, not to core count)
+    // the session-gate state exchange keys on (src, dest): state
+    // partitioning is a streaming-query-lifetime choice sized to key
+    // cardinality × state size, not core count — 8 partitions
+    // amortize per-batch commit overhead at these cardinalities
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val evs = Tables.events(spark, sfDir)
-      .select("event_id", "user_id", "event_type", "ts", "value")
-      .as[SessionDedup.Ev].collect().toSeq
-      .sortBy(e => SessionDedup.micros(e.ts))
-    val input = MemoryStream[SessionDedup.Ev]
-    val q = SessionDedup.dedup(input.toDS())(spark)
-      .writeStream.outputMode("append").format("memory").queryName("tp_export").start()
-    val batches = evs.grouped(math.max(1, evs.size / 5)).toSeq
-    input.addData(batches.head); q.processAllAvailable() // warm
-    val t1 = System.nanoTime()
-    batches.tail.foreach { b => input.addData(b); q.processAllAvailable() }
-    val streamSec = (System.nanoTime() - t1) / 1e9
-    val streamed = evs.size - batches.head.size
-    println(f"[throughput] streaming: $streamed events in $streamSec%.2f s = ${streamed / streamSec}%.0f events/s (${batches.size - 1} micro-batches)")
-    q.stop(); spark.stop()
+    // one micro-batch = ~20k events = ONE SECOND of the reference's
+    // 20k events/s operating point, at both scales — so events/s here
+    // reads directly as "reference-seconds of traffic cleared per
+    // wall-clock second" and the 1×/10× pair isolates state growth
+    // (10× the live session keys) from batch-size effects
+    def tranchesFor(rows: Long): Int = math.max(2, (rows / 20000L).toInt)
+    val eps1 = fileSourceEps(spark, n, tranches = tranchesFor(n), tag = "1x")
+    println(f"[throughput] stream 1x file-source steady-state: $eps1%.0f events/s")
+    val eps10 = fileSourceEps(spark, n * 10, tranches = tranchesFor(n * 10), tag = "10x")
+    println(f"[throughput] stream 10x file-source steady-state: $eps10%.0f events/s")
+
+    val json = f"""{"batch_eps":$batchEps%.0f,"stream_eps_1x":$eps1%.0f,"stream_eps_10x":$eps10%.0f,"n_1x":$n}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"[throughput] $json")
+    spark.stop()
+  }
+
+  /** Generator → drop dir → one checkpointed AvailableNow query through
+    * the full hot path (enrich, score, gate) → parquet sink. Returns
+    * events/s over the query's wall time (generation/landing excluded:
+    * the feeder isn't the system under test). */
+  def fileSourceEps(spark: SparkSession, n: Long, tranches: Int, tag: String): Double = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val base = java.nio.file.Files.createTempDirectory(s"graft_tp_$tag").toString
+    val drop = s"$base/drop"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+
+    // land the feed as `tranches` parquet tranches, each written
+    // distributed (4 files per tranche → 4-file micro-batches)
+    val per = n / tranches
+    def land(t: Int): Unit = {
+      val lo = t * per
+      val hi = if (t == tranches - 1) n else (t + 1) * per
+      EventGen.events(spark, hi - lo, seed = 42L + t)
+        .withColumn("event_id", col("event_id") + lit(lo))
+        .withColumn("ts", expr(s"timestamp_micros(ts_micros + $lo)"))
+        .drop("ts_micros")
+        .repartition(4)
+        .write.mode("append").parquet(drop)
+    }
+    land(0)
+    val schema = spark.read.parquet(drop).schema
+
+    def runOnce(): Double = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4).parquet(drop)
+      // the reference hot path: 3 broadcast dim lookups (J5), k-means
+      // scoring (J3/M2), 30-s session gate (J4/ST4) — one query, every
+      // stage's columns surviving to the sink
+      val enriched = IngestPipeline.enrich(stream, EventGen.dests(spark), EventGen.agents(spark))
+      val scored = enriched.withColumn("cluster",
+        graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
+          pmod(col("src").cast("double"), lit(100.0)), col("value").cast("double")).cast("int"))
+      val rich = scored.select(
+        col("event_id"), col("src").cast("long").as("user_id"),
+        col("dest").as("event_type"), col("ts"), col("value").cast("double").as("value"),
+        col("dest_id"), col("referral_id"), col("agent_id"), col("cluster"))
+        .as[SessionDedup.RichEv]
+      val gated = SessionDedup.dedupRich(rich)
+      val t0 = System.nanoTime()
+      val q = gated.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm run over tranche 0 only: query/codegen/state-store init is
+    // the scheduled loop's once-per-deployment cost, not throughput.
+    // The checkpoint then hands the timed run exactly the unseen
+    // tranches (the FileIngestLoopSpec exactly-once contract).
+    runOnce()
+    (1 until tranches).foreach(land)
+    val sec = runOnce()
+    val timed = n - per
+    val eps = timed / sec
+    val exported = spark.read.parquet(sink).count()
+    println(f"[throughput] $tag: $timed timed events ($exported total exported session-openers), $sec%.2f s")
+    eps
   }
 }

@@ -50,6 +50,36 @@ object SessionDedup {
     (flags, last)
   }
 
+  /** Shared gap-gate state machine: one micro-batch of one (src,dest)
+    * key through the 30-s rule. Generic over the row type so the bare
+    * and enriched export shapes run the IDENTICAL session logic. */
+  private def gapGate[T](it: Iterator[T], state: GroupState[SessionState],
+                         ts: T => Long, id: T => Long): Iterator[T] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // events within a micro-batch are not ordered: sort by
+      // (ts, event_id) to apply the gap rule in arrival order
+      val sorted = it.toSeq.sortBy(e => (ts(e), id(e)))
+      val (flags, lastOpt) =
+        sessionStarts(state.getOption.map(_.lastTsMicros), sorted.map(ts))
+      val out = sorted.zip(flags).collect { case (e, true) => e }
+      lastOpt.foreach { last =>
+        state.update(SessionState(last))
+        // evict state once the watermark passes last_ts + gap;
+        // ceil the µs→ms conversion (floor could evict up to
+        // 1 ms early and emit an event whose gap is <= 30 s);
+        // clamp above the current watermark — for very late
+        // events last+gap can already be behind it, and Spark
+        // rejects (kills the query on) a timeout <= watermark
+        val target = Math.floorDiv(last + 999, 1000) + GapMicros / 1000
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(target, floor))
+      }
+      out.iterator
+    }
+
   /** Streaming form. Input must carry a watermark on `ts` when used
     * with a real source (for timeout-based state eviction). */
   def dedup(events: Dataset[Ev])(implicit spark: SparkSession): Dataset[Ev] = {
@@ -61,31 +91,34 @@ object SessionDedup {
       .flatMapGroupsWithState[SessionState, Ev](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            // events within a micro-batch are not ordered: sort by
-            // (ts, event_id) to apply the gap rule in arrival order
-            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            val (flags, lastOpt) =
-              sessionStarts(state.getOption.map(_.lastTsMicros),
-                sorted.map(e => micros(e.ts)))
-            val out = sorted.zip(flags).collect { case (e, true) => e }
-            lastOpt.foreach { last =>
-              state.update(SessionState(last))
-              // evict state once the watermark passes last_ts + gap;
-              // ceil the µs→ms conversion (floor could evict up to
-              // 1 ms early and emit an event whose gap is <= 30 s);
-              // clamp above the current watermark — for very late
-              // events last+gap can already be behind it, and Spark
-              // rejects (kills the query on) a timeout <= watermark
-              val target = Math.floorDiv(last + 999, 1000) + GapMicros / 1000
-              val floor = state.getCurrentWatermarkMs() + 1
-              state.setTimeoutTimestamp(math.max(target, floor))
-            }
-            out.iterator
-          }
+          gapGate[Ev](it, state, e => micros(e.ts), _.event_id)
+      }
+  }
+
+  /** Enriched export row — what the reference actually exports
+    * (`db/ddl.sql` export stream carries the resolved dim ids and the
+    * cluster score, not the raw strings). */
+  case class RichEv(event_id: Long, user_id: Long, event_type: String,
+                    ts: java.sql.Timestamp, value: Double,
+                    dest_id: Option[Long], referral_id: Option[Long],
+                    agent_id: Option[Long], cluster: Int)
+
+  /** Gap gate over the enriched shape: identical session semantics to
+    * [[dedup]] (shared [[gapGate]] body), but the emitted rows keep
+    * their enrichment/scoring columns — so a full ingest pipeline
+    * (enrich → score → gate → sink) stays one streaming query with
+    * every stage's columns surviving to the sink (nothing for the
+    * optimizer to prune away). */
+  def dedupRich(events: Dataset[RichEv])(implicit spark: SparkSession): Dataset[RichEv] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .as[RichEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[SessionState, RichEv](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, it, state: GroupState[SessionState]) =>
+          gapGate[RichEv](it, state, e => micros(e.ts), _.event_id)
       }
   }
 }

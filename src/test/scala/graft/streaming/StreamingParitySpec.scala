@@ -68,6 +68,30 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupRich (enriched shape) gates the same events as dedup (shared gapGate)") {
+    import spark.implicits._
+    implicit val sparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents()
+    val richIn = MemoryStream[SessionDedup.RichEv]
+    val q = SessionDedup.dedupRich(richIn.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("rich_stream").start()
+    try {
+      val rich = evs.map(e => SessionDedup.RichEv(e.event_id, e.user_id, e.event_type,
+        e.ts, e.value, Some(e.event_id % 50), None, Some(e.event_id % 75), 3))
+      rich.grouped(rich.size / 3 + 1).foreach { b => richIn.addData(b); q.processAllAvailable() }
+      val got = spark.table("rich_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      val want = ClickstreamOps.queries("session_export")(spark, sf)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want),
+        s"enriched gate diverged from the batch gate: ${got.length} vs ${want.length}")
+      // enrichment columns survive the gate to the sink
+      val row = spark.table("rich_stream").first()
+      assert(row.schema.fieldNames.contains("dest_id") && row.schema.fieldNames.contains("cluster"))
+    } finally q.stop()
+  }
+
   test("streaming 30s-gap session dedup == batch lag-based session_export") {
     import spark.implicits._
     implicit val sparkSession = spark
