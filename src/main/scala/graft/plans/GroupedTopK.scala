@@ -183,6 +183,47 @@ object GroupedTopK {
       * Spark's spillable window sort per-query without a redeploy. */
     val EnabledKey = "spark.graft.groupedTopK.rewrite"
     val MaxRewriteK = 10000
+    /** Planning-time budget for the per-task retained heap set; when
+      * the child's statistics estimate MORE than this, the rewrite
+      * declines and the query keeps Spark's spillable window sort —
+      * the failure mode becomes "didn't rewrite", never a mid-job
+      * task kill from [[HeapBook]] exhaustion. */
+    val MaxHeapBytesKey = "spark.graft.groupedTopK.maxHeapBytesPerTask"
+    val DefaultMaxHeapBytesPerTask: Long = 256L << 20
+
+    /** Estimated per-task heap bytes vs budget, from whatever logical
+      * stats exist (coarse by design — this is a veto, not a cost
+      * model):
+      *  - key distinct-counts known (CBO / ANALYZE): retained rows =
+      *    min(#keys × k, rows);
+      *  - only rowCount known (e.g. range, local relations): worst
+      *    case every row is its own key → retained = rows;
+      *  - bytes only (un-analyzed scans): worst case the whole child
+      *    stays resident → compare sizeInBytes directly.
+      * The conservative direction is deliberate: an unknown key
+      * cardinality at 100 TB is exactly when a non-spillable resident
+      * heap is the wrong physical choice. */
+    private def withinHeapBudget(part: Seq[Expression], k: Int, child: LogicalPlan): Boolean = {
+      val budget = BigInt(conf.getConfString(
+        MaxHeapBytesKey, DefaultMaxHeapBytesPerTask.toString).toLong)
+      val stats = child.stats
+      val tasks = BigInt(math.max(1, conf.numShufflePartitions))
+      val avgRow: BigInt = stats.rowCount.filter(_ > 0)
+        .map(rc => (stats.sizeInBytes / rc).max(BigInt(24))).getOrElse(BigInt(128))
+      val keyAttrs = part.collect { case a: Attribute => a }
+      val distinctKeys: Option[BigInt] =
+        if (keyAttrs.length == part.length && keyAttrs.forall(a =>
+          stats.attributeStats.get(a).exists(_.distinctCount.isDefined)))
+          Some(keyAttrs.map(a => stats.attributeStats(a).distinctCount.get).product)
+        else None
+      (distinctKeys, stats.rowCount) match {
+        case (Some(keys), rc) =>
+          val retained = rc.fold(keys * k)(r => (keys * k).min(r))
+          retained * avgRow / tasks <= budget
+        case (None, Some(rc)) => rc * avgRow / tasks <= budget
+        case (None, None) => stats.sizeInBytes / tasks <= budget
+      }
+    }
 
     private def limitFromCond(cond: Expression, rn: ExprId): Option[Int] = cond match {
       case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k)
@@ -203,7 +244,8 @@ object GroupedTopK {
             (part ++ ord).forall(_.deterministic) &&
             !projList.exists(_.references.contains(al.toAttribute)) =>
         limitFromCond(cond, al.exprId) match {
-          case Some(k) if k > 0 && k <= MaxRewriteK =>
+          case Some(k) if k > 0 && k <= MaxRewriteK &&
+              withinHeapBudget(part, k, child) =>
             Project(projList, GroupedTopKNode(part, ord, k, child))
           case _ => p
         }

@@ -49,4 +49,28 @@ class SemDedupSpec extends SparkSpec {
     val b = SparkEntry.queries("semdedup_kmeans")(spark, sf).collect().map(_.toString)
     assert(a.sameElements(b), "seeded k-means semdedup must be reproducible")
   }
+
+  test("semdedup_kmeans matches the committed golden assignments (pin across Spark upgrades)") {
+    // The no-oracle CORRECTNESS row is rows-only; this golden file is
+    // its determinism pin: if a Spark/spark.ml upgrade changes the
+    // seeded KMeans trajectory (init sampling, tie-breaks), this fails
+    // LOUDLY and the golden must be consciously regenerated, instead
+    // of the row silently meaning something new. Full double bits via
+    // Double.toString round-trip.
+    val goldenSrc = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/semdedup_kmeans_sf0.001.csv"))
+    val golden = try goldenSrc.getLines().drop(1).map { line =>
+      val Array(v, c, k, s) = line.split(",", 4)
+      (v.toLong, c.toInt, k.toBoolean, s)
+    }.toSeq finally goldenSrc.close()
+    val got = SparkEntry.queries("semdedup_kmeans")(spark, "/root/testdata/sf0.001")
+      .collect().map { r =>
+        val sim = if (r.isNullAt(3)) "null" else r.getDouble(3).toString
+        (r.getLong(0), r.getInt(1), r.getBoolean(2), sim)
+      }.toSeq
+    assert(got.size == golden.size, s"row count ${got.size} vs golden ${golden.size}")
+    got.zip(golden).foreach { case (g, w) =>
+      assert(g == w, s"golden mismatch at vec ${w._1}: got $g want $w")
+    }
+  }
 }

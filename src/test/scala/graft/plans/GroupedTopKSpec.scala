@@ -45,4 +45,35 @@ class GroupedTopKSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Sort"),
       s"the heap operator must not fall back to sort/window:\n$plan")
   }
+
+  test("rewrite declines on estimated high key-cardinality (stats veto, window fallback)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // every id its own key, 10 billion rows: range() carries exact
+    // rowCount stats, so the estimated retained heap (rows × avgRow /
+    // tasks) dwarfs the per-task budget — the rewrite must decline and
+    // keep the spillable window form. Plan-only check (nothing runs).
+    def planFor(n: Long): String = {
+      val df = spark.range(n).withColumn("grp", col("id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("grp").orderBy("id"))) // high-cardinality key
+        .filter(col("rn") <= 3).select("id", "grp")
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val big = planFor(10L * 1000 * 1000 * 1000)
+    assert(big.contains("Window") && !big.contains("GroupedTopK"),
+      s"rewrite must decline when stats exceed the heap budget:\n$big")
+    // same shape, small input: well inside the budget, rewrite fires
+    val small = planFor(10000L)
+    assert(small.contains("GroupedTopK") && !small.contains("Window"),
+      s"rewrite must still fire inside the budget:\n$small")
+    // the budget is a conf: shrinking it to 1 byte vetoes even tiny inputs
+    val key = GroupedTopK.GroupedTopKRewrite.MaxHeapBytesKey
+    spark.conf.set(key, "1")
+    try {
+      val tiny = planFor(10000L)
+      assert(tiny.contains("Window") && !tiny.contains("GroupedTopK"),
+        s"budget conf not honored:\n$tiny")
+    } finally spark.conf.unset(key)
+  }
 }
