@@ -32,7 +32,16 @@ object Bench {
     // and the timing degenerates to a scan-count
     def runFully(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c + SPARK_GRAFT_REPS=n: targeted regression
+    // chasing (re-time a handful of queries n times on a quiet box)
+    // without paying for the whole registry. Headline/driver runs leave
+    // both unset and are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = Seq.fill(reps)(selected).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { runFully(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
@@ -47,6 +56,8 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       System.gc()
+      if (only.isDefined)
+        System.err.println(f"[bench-only] $name ${if (ok) dt else -1.0}%.3f s")
       // a failed query must not masquerade as a fast one: report -1
       name -> (if (ok) dt else -1.0)
     }.toMap
