@@ -43,6 +43,7 @@ object SparkEntry {
       TrainingOps2.queries ++
       TrainingOps3.queries ++
       TrainingOps4.queries ++
+      TrainingOps5.queries ++
       GraphOps.queries ++
       AnalyticsOps3.queries ++
       SimilarityOps2.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       TrainingOps2.oracles ++
       TrainingOps3.oracles ++
       TrainingOps4.oracles ++
+      TrainingOps5.oracles ++
       GraphOps.oracles ++
       AnalyticsOps3.oracles ++
       SimilarityOps2.oracles ++

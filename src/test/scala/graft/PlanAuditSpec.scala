@@ -205,4 +205,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pagerank degenerated to a cartesian:\n$plan")
   }
+
+  test("semantic decontamination broadcasts the eval split (corpus scanned once)") {
+    // the deliberate cross join must ride a BROADCAST of the tiny eval
+    // side — a CartesianProduct here would shuffle the full corpus
+    // against the eval set at 100 TB
+    val plan = finalPlan("decontaminate_semantic")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"decontaminate_semantic lost its eval-side broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"decontaminate_semantic degenerated to a cartesian:\n$plan")
+  }
+
+  test("boilerplate mask keys every shuffle on the gram/doc (no pair join, no cartesian)") {
+    val plan = finalPlan("boilerplate_mask")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate_mask grew a pair/cartesian join:\n$plan")
+    // partial aggregation on both tiers (df census + mask count)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"boilerplate_mask lost map-side partial aggregation:\n$plan")
+  }
 }
