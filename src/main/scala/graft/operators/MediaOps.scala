@@ -73,6 +73,13 @@ object MediaOps {
       .select(col("doc_id").as("media_id"),
         concat(lit("img/"), col("source")).as("kind"),
         md5(col("text")).as("h"))
+      // the corpus parquet is one small file = one input split, but
+      // this map stage carries ALL the PNG encode work (deflate of up
+      // to 518×518×3 rasters) — spread it across the cluster first,
+      // same discipline as DedupOps.docShingleArrays. Measured at
+      // sf0.1: media_resize_dims 11.1 s → sub-second wall once the
+      // encode+decode runs on every core instead of one.
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
