@@ -39,6 +39,8 @@ object SparkEntry {
       TextOps2.queries ++
       TextOps3.queries ++
       TextOps4.queries ++
+      TextOps5.queries ++
+      EmbeddingAnalysis.queries ++
       TrainingOps.queries ++
       TrainingOps2.queries ++
       TrainingOps3.queries ++
@@ -81,6 +83,8 @@ object SparkEntry {
       TextOps2.oracles ++
       TextOps3.oracles ++
       TextOps4.oracles ++
+      TextOps5.oracles ++
+      EmbeddingAnalysis.oracles ++
       TrainingOps.oracles ++
       TrainingOps2.oracles ++
       TrainingOps3.oracles ++

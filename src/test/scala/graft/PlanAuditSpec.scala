@@ -225,4 +225,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"boilerplate_mask lost map-side partial aggregation:\n$plan")
   }
+
+  test("bm25 never explodes tokens into a shuffle — stats broadcast + top-k short circuit") {
+    val plan = finalPlan("bm25_topk")
+    // the only join is the 1-row stats broadcast; ranking short-circuits
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25_topk lost its top-k short circuit:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"bm25_topk grew a real join (stats must broadcast):\n$plan")
+    assert(!plan.contains("Generate"),
+      s"bm25_topk exploded tokens into the plan (tf/dl must stay row-local):\n$plan")
+  }
+
+  test("covariance collapses the d² explode into a partial aggregate (no join, no pair shuffle)") {
+    val plan = finalPlan("emb_covariance")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"emb_covariance grew a join (outer product must be row-local):\n$plan")
+    // partial/final HashAggregate pair: the shuffle carries only
+    // #partitions × d(d+1)/2 group rows, never N·d²
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"emb_covariance lost map-side partial aggregation:\n$plan")
+  }
 }
