@@ -23,16 +23,20 @@ import org.apache.spark.sql.types._
   *    the (n, si, sj, pij) partials — they are associative by design.
   *  - `emb_pca_project` collects ONLY the d×d covariance (2080 values,
   *    a bounded driver probe independent of N), eigensolves on the
-  *    driver (Breeze eigSym, d³ ≈ 2.6·10⁵ flops), and projects with a
-  *    broadcast component matrix in a pure map stage — no shuffle at
-  *    all. The per-row fold runs in fixed index order, so the IEEE
-  *    sequence is deterministic under repartitioning.
+  *    driver (Breeze eigSym, d³ ≈ 2.6·10⁵ flops), and projects in a
+  *    pure map stage — no shuffle at all. Components are quantized to
+  *    micro-units so each output coordinate is one codegen dot_i64
+  *    (exact long) plus one scale + one centering subtraction:
+  *    bit-deterministic under any partitioning, and native-speed
+  *    (the interpreted-HOF fold form cost ~3.5 s at sf0.1; this is
+  *    sub-second).
   *  - `coreset_kcenter` is the classic greedy 2-approximation: k
   *    corpus scans, each computing min-distance to the broadcast
   *    selected set (≤ k vectors ⇒ k·d longs shipped) and reducing with
-  *    max(struct(dist, -vec_id)) — an exact integer argmax with a
-  *    deterministic tiebreak. Driver state is the k selected vectors,
-  *    never the corpus.
+  *    max(struct(dist, -vec_id, q)) — an exact integer argmax with a
+  *    deterministic tiebreak that carries the winner's vector back, so
+  *    each round is exactly one job. Driver state is the k selected
+  *    vectors, never the corpus.
   */
 object EmbeddingAnalysis {
   type Q = (SparkSession, String) => DataFrame
@@ -41,10 +45,10 @@ object EmbeddingAnalysis {
   val PcaK = 8
   val CoresetK = 16
 
-  /** Upper-triangle sample covariance of the quantized embedding dims:
-    * per (i ≤ j), cov = (n·Σxy − Σx·Σy) / (n·(n−1)). Exact long
-    * numerator, one double division. */
-  private def covarianceDf(s: SparkSession, d: String): DataFrame = {
+  /** Per (i ≤ j) moment sums over the quantized dims — n, Σxi, Σxj,
+    * Σxixj as exact longs. One scan; the d² explode collapses into the
+    * partial aggregate. */
+  private def covStats(s: SparkSession, d: String): DataFrame = {
     val base = DedupOps.quantized(Tables.embeddings(s, d)).select(col("q"))
     base
       .select(posexplode(col("q")).as(Seq("i", "xi")), col("q"))
@@ -56,27 +60,34 @@ object EmbeddingAnalysis {
         sum(col("xi")).as("si"),
         sum(col("xj")).as("sj"),
         sum(col("xi") * col("xj")).as("pij"))
+  }
+
+  /** Upper-triangle sample covariance: cov = (n·Σxy − Σx·Σy)/(n·(n−1)).
+    * Exact long numerator, one double division. */
+  private def covarianceDf(s: SparkSession, d: String): DataFrame =
+    covStats(s, d)
       .select(col("i"), col("j"),
         (( col("n") * col("pij") - col("si") * col("sj")).cast("double") /
           (col("n") * (col("n") - lit(1L))).cast("double")).as("cov"))
-  }
 
   /** Symmetric eigensolve of the collected d×d covariance; returns
     * (eigenvalues desc, row-major components, per-dim means) with signs
     * fixed so each component's largest-|x| entry is positive. */
   private def pcaModel(s: SparkSession, d: String): (Array[Double], Array[Array[Double]], Array[Double]) = {
     import breeze.linalg.{DenseMatrix, eigSym}
-    // bounded driver probe: d² covariance entries + d means, independent of N
-    val covRows = covarianceDf(s, d).collect()
+    // bounded driver probe: d² moment rows, independent of N — ONE scan
+    // serves both the covariance matrix and the means (μ_i = Σxi/n off
+    // the diagonal rows)
+    val rows = covStats(s, d).collect()
     val m = DenseMatrix.zeros[Double](Dim, Dim)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    val means = Array.ofDim[Double](Dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val (n, si, sj, pij) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val c = (n * pij - si * sj).toDouble / (n * (n - 1)).toDouble
       m(i, j) = c; m(j, i) = c
+      if (i == j) means(i) = si.toDouble / n
     }
-    val means = DedupOps.quantized(Tables.embeddings(s, d))
-      .select(posexplode(col("q")).as(Seq("i", "x")))
-      .groupBy("i").agg((sum("x").cast("double") / count(lit(1))).as("mu"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
     val es = eigSym(m)
     // eigSym returns ascending eigenvalues; take the top PcaK descending
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(PcaK)
@@ -95,25 +106,24 @@ object EmbeddingAnalysis {
     "emb_covariance" -> ((s, d) => covarianceDf(s, d)),
 
     // project every embedding onto the top-8 principal components of
-    // the corpus covariance (centered, fixed-sign). Pure map stage with
-    // a broadcast component matrix; per-row fold is fixed-order.
+    // the corpus covariance (centered, fixed-sign). Pure map stage:
+    // components are micro-quantized (round(v·10⁶)) so each coordinate
+    // is ONE native codegen dot (dot_i64) instead of millions of
+    // interpreted lambda evals — y_k = dot(q, vq_k)/10⁶ − v_k·μ, with
+    // the centering constant folded driver-side (the factored form of
+    // v_k·(x − μ); the per-row part is integer-exact, so the projection
+    // is bit-deterministic under any partitioning).
     "emb_pca_project" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
       val (_, comps, means) = pcaModel(s, d)
-      val compLit = typedlit(comps.map(_.toSeq).toSeq)
-      val meanLit = typedlit(means.toSeq)
+      val vq = comps.map(_.map(v => math.round(v * 1e6)))
+      val centers = vq.map(v => v.zip(means).map { case (a, mu) => a * mu }.sum / 1e6)
+      val projCols = vq.zip(centers).map { case (v, c) =>
+        (graft.functions.VectorFunctions.dot_i64(col("q"), typedlit(v.toSeq))
+          .cast("double") / lit(1e6)) - lit(c)
+      }
       DedupOps.quantized(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("q"))
-        .withColumn("comps", compLit)
-        .withColumn("mu", meanLit)
-        .select(col("vec_id"),
-          expr(
-            // y_k = Σ_i v_ki · (x_i − μ_i), folded in index order
-            """transform(comps, v ->
-              |  aggregate(sequence(0, size(v) - 1), CAST(0.0 AS DOUBLE),
-              |    (acc, i) -> acc + element_at(v, i + 1)
-              |                      * (CAST(element_at(q, i + 1) AS DOUBLE)
-              |                         - element_at(mu, i + 1))))""".stripMargin)
-            .as("proj"))
+        .select(col("vec_id"), array(projCols: _*).as("proj"))
     }),
 
     // greedy k-center (farthest-point) coreset over the quantized
@@ -121,34 +131,36 @@ object EmbeddingAnalysis {
     // "farthest from the selected set". Output one row per selection
     // with the exact squared distance at which it was chosen.
     "coreset_kcenter" -> ((s, d) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      // base keeps the precomputed norm n = Σx² from `quantized`; the
+      // squared distance to a selected vector s factors as
+      // n + (‖s‖² − 2·x·s), so each candidate costs one native codegen
+      // dot (dot_i64) — no interpreted lambda in the hot loop.
       val base = DedupOps.quantized(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("q")).localCheckpoint(true)
-      // deterministic seed: max Σx², ties → lowest vec_id
-      val seedRow = base
-        .select(col("vec_id"), expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("n2"))
-        .agg(max(struct(col("n2"), (-col("vec_id")).as("nid"))).as("m"))
-        .select(col("m.n2"), (-col("m.nid")).as("vec_id"))
-        .collect()(0)
-      val selected = scala.collection.mutable.ArrayBuffer[(Long, Long)]((seedRow.getLong(1), -1L))
-      var selVecs = base.filter(col("vec_id") === seedRow.getLong(1))
-        .collect().map(r => r.getSeq[Long](1).toArray)
-      for (_ <- 1 until CoresetK) {
-        val selLit = typedlit(selVecs.map(_.toSeq).toSeq)
-        val far = base
-          .withColumn("sel", selLit)
-          .select(col("vec_id"),
-            expr(
-              """array_min(transform(sel, sv ->
-                |  aggregate(zip_with(q, sv, (a, b) -> (a - b) * (a - b)),
-                |            CAST(0 AS BIGINT), (acc, v) -> acc + v)))""".stripMargin)
-              .as("dmin"))
-          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
-          .select(col("m.dmin"), (-col("m.nid")).as("vec_id"))
+        .select(col("vec_id"), col("q"), col("n")).localCheckpoint(true)
+      // each round is ONE job: the argmax struct carries the winning
+      // vector's values, so no follow-up lookup scan is needed. The
+      // (key, −id) prefix decides the comparison before the array field
+      // is ever consulted — the tiebreak stays (max key, lowest id).
+      def argmaxWithVec(key: org.apache.spark.sql.Column): (Long, Long, Array[Long]) = {
+        val r = base.select(col("vec_id"), col("q"), key.as("k"))
+          .agg(max(struct(col("k"), (-col("vec_id")).as("nid"), col("q"))).as("m"))
+          .select(col("m.k"), (-col("m.nid")).as("vec_id"), col("m.q"))
           .collect()(0)
-        val vid = far.getLong(1)
-        selected += ((vid, far.getLong(0)))
-        selVecs = selVecs ++ base.filter(col("vec_id") === vid)
-          .collect().map(r => r.getSeq[Long](1).toArray)
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
+      }
+      // deterministic seed: max Σx², ties → lowest vec_id
+      val (_, seedId, seedVec) = argmaxWithVec(col("n"))
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Long)]((seedId, -1L))
+      var selVecs = Array(seedVec)
+      for (_ <- 1 until CoresetK) {
+        val dmin = selVecs.map { sv =>
+          lit(sv.map(x => x * x).sum) -
+            lit(2L) * graft.functions.VectorFunctions.dot_i64(col("q"), typedlit(sv.toSeq))
+        }.reduce(least(_, _))
+        val (dist, vid, vec) = argmaxWithVec(col("n") + dmin)
+        selected += ((vid, dist))
+        selVecs = selVecs :+ vec
       }
       val rows = selected.zipWithIndex.map { case ((vid, dist), r) =>
         Row(r, vid, dist)
