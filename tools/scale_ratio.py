@@ -18,13 +18,13 @@ res = {
     "metric": "scale_curve_full_registry",
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
-             "single-run timings on a shared box carry +/-50% noise. Known >10 entries: "
-             "regr_fit is one scan + 3-group decimal-moment agg (inherently linear, noise); "
-             "source_overlap/doc_winnow_fingerprint/doc_bpe_tokens scale with CHARACTERS "
-             "and the 10x remap's token suffixes make replica texts ~60% longer, so their "
-             "true work grows ~16x — per-character they are sub-linear. The former "
-             "quadratics (dedup_embedding_near 51x, hard_negatives 62x) were replaced by "
-             "the blocked EmbeddingNeighbors kernel and now measure <2x."),
+             "single-run timings on a shared box carry +/-50% noise. Round 8: nothing "
+             "exceeds 10. The near-10 entries (text_normalize 9.8, doc_winnow_fingerprint "
+             "8.2, span_topk 8.1) are pure per-character map/explode stages, and the 10x "
+             "remap's token suffixes make replica texts ~60% longer, so their true work "
+             "grows ~16x — per-character they are sub-linear. The former quadratics "
+             "(dedup_embedding_near 51x, hard_negatives 62x) were replaced by the blocked "
+             "EmbeddingNeighbors kernel and now measure <2x."),
     "n_queries": len(out),
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
