@@ -70,6 +70,24 @@ object EmbeddingAnalysis {
         (( col("n") * col("pij") - col("si") * col("sj")).cast("double") /
           (col("n") * (col("n") - lit(1L))).cast("double")).as("cov"))
 
+  /** Full eigen-spectrum (all d eigenvalues, descending) of the
+    * collected covariance — the PCA "training" counterpart of
+    * kmeans_train_centers. The trace identity Σλ = Σ var(dim) ties the
+    * driver eigensolve back to the oracle-checked covariance (asserted
+    * in EmbeddingAnalysisSpec). */
+  private def eigenSpectrum(s: SparkSession, d: String): Array[Double] = {
+    import breeze.linalg.{DenseMatrix, eigSym}
+    val rows = covStats(s, d).collect()
+    val m = DenseMatrix.zeros[Double](Dim, Dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val (n, si, sj, pij) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val c = (n * pij - si * sj).toDouble / (n * (n - 1)).toDouble
+      m(i, j) = c; m(j, i) = c
+    }
+    eigSym(m).eigenvalues.toArray.sorted(Ordering[Double].reverse)
+  }
+
   /** Symmetric eigensolve of the collected d×d covariance; returns
     * (eigenvalues desc, row-major components, per-dim means) with signs
     * fixed so each component's largest-|x| entry is positive. */
@@ -104,6 +122,21 @@ object EmbeddingAnalysis {
     // upper-triangle covariance of the quantized embedding dims —
     // 2080 exact rows, oracle-checked
     "emb_covariance" -> ((s, d) => covarianceDf(s, d)),
+
+    // full PCA spectrum: per component, eigenvalue + explained-variance
+    // ratio (λ_k / Σλ). Driver eigensolve of the bounded covariance
+    // probe; spec ties Σλ to the oracle-checked covariance trace.
+    "emb_pca_explained" -> ((s, d) => {
+      val ev = eigenSpectrum(s, d)
+      val tot = ev.sum
+      val rows = ev.zipWithIndex.map { case (v, k) => Row(k, v, v / tot) }
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(
+          StructField("component", IntegerType, nullable = false),
+          StructField("eigenvalue", DoubleType, nullable = false),
+          StructField("explained_ratio", DoubleType, nullable = false))))
+    }),
 
     // project every embedding onto the top-8 principal components of
     // the corpus covariance (centered, fixed-sign). Pure map stage:

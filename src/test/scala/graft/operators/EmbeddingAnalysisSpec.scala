@@ -30,6 +30,24 @@ class EmbeddingAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("emb_pca_explained: trace identity ties the eigensolve to the covariance") {
+    val d = EmbeddingAnalysis.Dim
+    val spec = EmbeddingAnalysis.queries("emb_pca_explained")(spark, sf)
+      .orderBy("component").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(spec.length == d)
+    // eigenvalues descending; ratios sum to 1
+    spec.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ =>
+    }
+    assert(math.abs(spec.map(_._3).sum - 1.0) < 1e-9)
+    // Σλ == trace(cov) — the oracle-checked diagonal variances
+    val trace = EmbeddingAnalysis.queries("emb_covariance")(spark, sf)
+      .filter(col("i") === col("j")).agg(sum("cov")).collect()(0).getDouble(0)
+    val lamSum = spec.map(_._2).sum
+    assert(math.abs(lamSum - trace) / trace < 1e-10, s"sum(lambda)=$lamSum trace=$trace")
+  }
+
   test("emb_pca_project: deterministic, variance-ordered, orthonormal model") {
     val proj = EmbeddingAnalysis.queries("emb_pca_project")(spark, sf001)
     val rows = proj.collect()
