@@ -40,6 +40,7 @@ object SparkEntry {
       TextOps3.queries ++
       TextOps4.queries ++
       TextOps5.queries ++
+      PiiOps.queries ++
       EmbeddingAnalysis.queries ++
       TrainingOps.queries ++
       TrainingOps2.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       TextOps3.oracles ++
       TextOps4.oracles ++
       TextOps5.oracles ++
+      PiiOps.oracles ++
       EmbeddingAnalysis.oracles ++
       TrainingOps.oracles ++
       TrainingOps2.oracles ++

@@ -246,4 +246,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"emb_covariance lost map-side partial aggregation:\n$plan")
   }
+
+  test("PII scrub is a map stage: redact shuffles only for the order, stats pre-aggregate") {
+    val red = finalPlan("pii_redact").split("== Initial Plan ==").head
+    // the five regexp_replace calls are row-local; the one exchange is
+    // the presentation orderBy's range partitioning
+    assert("Exchange".r.findAllIn(red).size <= 1,
+      s"pii_redact grew a shuffle beyond the final sort:\n$red")
+    assert(!red.contains("Join"), s"pii_redact grew a join:\n$red")
+    val stats = finalPlan("pii_stats").split("== Initial Plan ==").head
+    // partial/final pair on source: the shuffle carries per-source
+    // pre-aggregated rows, never documents
+    assert("HashAggregate".r.findAllIn(stats).size >= 2,
+      s"pii_stats lost map-side partial aggregation:\n$stats")
+  }
 }
