@@ -70,42 +70,37 @@ object EmbeddingAnalysis {
         (( col("n") * col("pij") - col("si") * col("sj")).cast("double") /
           (col("n") * (col("n") - lit(1L))).cast("double")).as("cov"))
 
-  /** Full eigen-spectrum (all d eigenvalues, descending) of the
-    * collected covariance — the PCA "training" counterpart of
-    * kmeans_train_centers. The trace identity Σλ = Σ var(dim) ties the
-    * driver eigensolve back to the oracle-checked covariance (asserted
-    * in EmbeddingAnalysisSpec). */
-  private def eigenSpectrum(s: SparkSession, d: String): Array[Double] = {
-    import breeze.linalg.{DenseMatrix, eigSym}
-    val rows = covStats(s, d).collect()
-    val m = DenseMatrix.zeros[Double](Dim, Dim)
-    rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val (n, si, sj, pij) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      val c = (n * pij - si * sj).toDouble / (n * (n - 1)).toDouble
-      m(i, j) = c; m(j, i) = c
-    }
-    eigSym(m).eigenvalues.toArray.sorted(Ordering[Double].reverse)
-  }
-
-  /** Symmetric eigensolve of the collected d×d covariance; returns
-    * (eigenvalues desc, row-major components, per-dim means) with signs
-    * fixed so each component's largest-|x| entry is positive. */
-  private def pcaModel(s: SparkSession, d: String): (Array[Double], Array[Array[Double]], Array[Double]) = {
-    import breeze.linalg.{DenseMatrix, eigSym}
-    // bounded driver probe: d² moment rows, independent of N — ONE scan
-    // serves both the covariance matrix and the means (μ_i = Σxi/n off
-    // the diagonal rows)
-    val rows = covStats(s, d).collect()
-    val m = DenseMatrix.zeros[Double](Dim, Dim)
+  /** Collects the bounded covariance probe (d² moment rows, independent
+    * of N — ONE scan serves the matrix AND the means, μ_i = Σxi/n off
+    * the diagonal rows) into a dense symmetric matrix. Shared by the
+    * spectrum and projection eigensolves so they cannot drift. */
+  private def covMatrix(s: SparkSession, d: String): (breeze.linalg.DenseMatrix[Double], Array[Double]) = {
+    val m = breeze.linalg.DenseMatrix.zeros[Double](Dim, Dim)
     val means = Array.ofDim[Double](Dim)
-    rows.foreach { r =>
+    covStats(s, d).collect().foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
       val (n, si, sj, pij) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       val c = (n * pij - si * sj).toDouble / (n * (n - 1)).toDouble
       m(i, j) = c; m(j, i) = c
       if (i == j) means(i) = si.toDouble / n
     }
+    (m, means)
+  }
+
+  /** Full eigen-spectrum (all d eigenvalues, descending) — the PCA
+    * "training" counterpart of kmeans_train_centers. The trace identity
+    * Σλ = Σ var(dim) ties the driver eigensolve back to the
+    * oracle-checked covariance (asserted in EmbeddingAnalysisSpec). */
+  private def eigenSpectrum(s: SparkSession, d: String): Array[Double] =
+    breeze.linalg.eigSym(covMatrix(s, d)._1)
+      .eigenvalues.toArray.sorted(Ordering[Double].reverse)
+
+  /** Symmetric eigensolve of the collected d×d covariance; returns
+    * (eigenvalues desc, row-major components, per-dim means) with signs
+    * fixed so each component's largest-|x| entry is positive. */
+  private def pcaModel(s: SparkSession, d: String): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import breeze.linalg.eigSym
+    val (m, means) = covMatrix(s, d)
     val es = eigSym(m)
     // eigSym returns ascending eigenvalues; take the top PcaK descending
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(PcaK)
