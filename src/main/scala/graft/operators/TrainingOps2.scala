@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *  - `dsir_weights` — DSIR-flavored importance weights (Xie et al.
   *    2023): per-doc mean ratio of target-distribution to corpus
   *    unigram probability, target = the held-out eval split;
+  *  - `mix_temperature` — temperature-scaled source shares (the
+  *    XLM-R/mT5 α-rebalancing that upsamples rare sources toward
+  *    uniform); α = 0.5, i.e. sqrt scaling, so the only float op is
+  *    IEEE-correctly-rounded sqrt and the micro-quantized weights
+  *    stay integer-exact ⇒ oracle-exact;
   *  - `span_topk` — most-repeated 8-token spans corpus-wide (the
   *    boilerplate census that seeds span-level dedup rules);
   *  - `blocklist_filter` — per-source keep/block counts against a term
@@ -106,6 +111,25 @@ object TrainingOps2 {
         .orderBy("doc_id")
     }),
 
+    // temperature-rebalanced source shares: w_i = sqrt(n_i) (α = 0.5),
+    // micro-quantized to integer units so the normalization is exact
+    // integer division — nat_ppm vs temp_ppm shows the upsampling of
+    // rare sources, exp_docs is the per-source allocation of a 10k-doc
+    // training budget under the rebalanced mixture. O(sources) rows;
+    // the census is one partial-agg group-by, the total a broadcast.
+    "mix_temperature" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wq", expr("cast(floor(sqrt(cast(n_docs as double)) * 1000000) as bigint)"))
+      val total = perSrc.agg(sum("n_docs").as("n_all"), sum("wq").as("w_all"))
+      perSrc.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"),
+          expr("n_docs * 1000000 div n_all").as("nat_ppm"),
+          expr("wq * 1000000 div w_all").as("temp_ppm"),
+          expr("wq * 10000 div w_all").as("exp_docs"))
+        .orderBy("source")
+    }),
+
     // boilerplate census: the 8-token spans repeated most across the
     // corpus (occurrences + distinct docs). TakeOrdered top-k — tie
     // break on the span text keeps the limit deterministic.
@@ -146,6 +170,19 @@ object TrainingOps2 {
         |SELECT source, n_tok, t // k AS budget,
         |       least(1000000, (t // k) * 1000000 // n_tok) AS rate_ppm
         |FROM tok, tot ORDER BY source""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH src AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(1) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+        |               CAST(sum(wq) AS BIGINT) AS w_all FROM src)
+        |SELECT source, n_docs,
+        |       n_docs * 1000000 // n_all AS nat_ppm,
+        |       wq * 1000000 // w_all AS temp_ppm,
+        |       wq * 10000 // w_all AS exp_docs
+        |FROM src, tot ORDER BY source""".stripMargin,
 
     "sample_mixture" ->
       """WITH tok AS (

@@ -49,4 +49,23 @@ class TrainingOps2Spec extends SparkSpec {
     assert(df.agg(sum("n_total")).head.getLong(0) == Tables.documents(spark, sf).count())
     assert(df.agg(sum("n_blocked")).head.getLong(0) > 0)
   }
+
+  test("temperature mix: shares normalize, sqrt compresses toward uniform, order kept") {
+    val rows = TrainingOps2.queries("mix_temperature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val k = rows.length
+    // integer-floor shares sum to within k ppm of exactly 1e6
+    for (tot <- Seq(rows.map(_._3).sum, rows.map(_._4).sum))
+      assert(tot > 1000000L - k && tot <= 1000000L, s"share sum $tot")
+    assert(rows.map(_._5).sum <= 10000L)
+    // α=0.5 compresses: for any pair with n_i < n_j the temp share
+    // ratio strictly exceeds the natural ratio (rare sources upsampled)
+    for (Seq(a, b) <- rows.toSeq.combinations(2) if a._2 != b._2) {
+      val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
+      assert(lo._4 * hi._3 >= lo._3 * hi._4,
+        s"temp share must compress ${lo._1} vs ${hi._1}")
+      // ordering by size is preserved (monotone rebalance, not inversion)
+      assert(lo._4 <= hi._4)
+    }
+  }
 }
