@@ -29,8 +29,12 @@ object PiiScrubStream {
     * text): per-class counts + total + scrubbed text. */
   def scrub(docs: DataFrame): DataFrame = {
     val counts = PiiOps.countCols(col("text"))
-    val total = PiiOps.Patterns
-      .map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _)
+    // null text ⇒ per-class counts are null; coalesce the TOTAL to 0 so
+    // `route` still conserves the stream (a null-text doc is a clean
+    // passthrough, not a silently dropped row)
+    val total = coalesce(
+      PiiOps.Patterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _),
+      lit(0L))
     docs
       .select(Seq(col("doc_id"), col("source"), col("text")) ++ counts: _*)
       .withColumn("n_pii", total)

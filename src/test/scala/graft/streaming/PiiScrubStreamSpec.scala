@@ -50,11 +50,13 @@ class PiiScrubStreamSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.isEmpty,
         "PII scrub must not allocate a state store")
     } finally q.stop()
-    val batch = PiiScrubStream.scrub(docs.toDF())
+    // + a null-text doc: must route clean, never vanish from both sinks
+    val batch = PiiScrubStream.scrub(
+      (docs :+ ScrubDoc(6, "c", null)).toDF())
     val plan = batch.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scrub plans a shuffle:\n$plan")
     val (clean, dirty) = PiiScrubStream.route(batch)
-    assert(clean.count() == 1 && dirty.count() == 4)
+    assert(clean.count() == 2 && dirty.count() == 4)
     // scrubbed text carries no residual matches: re-scrub is a fixpoint
     val rescrub = PiiScrubStream.scrub(
       dirty.select(col("doc_id"), col("source"), col("text_scrubbed").as("text")))
