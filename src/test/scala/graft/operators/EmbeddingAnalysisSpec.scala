@@ -46,6 +46,12 @@ class EmbeddingAnalysisSpec extends SparkSpec {
       .filter(col("i") === col("j")).agg(sum("cov")).collect()(0).getDouble(0)
     val lamSum = spec.map(_._2).sum
     assert(math.abs(lamSum - trace) / trace < 1e-10, s"sum(lambda)=$lamSum trace=$trace")
+    // golden pin (sf0.001 fixture): drift detector across Spark/Breeze
+    // upgrades — the eigensolve itself, not just its trace
+    val golden = Seq(28950.61134088082, 26972.963604008113, 25873.890822274523)
+    golden.zip(spec.map(_._2)).foreach { case (want, got) =>
+      assert(math.abs(got - want) / want < 1e-9, s"eigenvalue drift: $got vs $want")
+    }
   }
 
   test("emb_pca_project: deterministic, variance-ordered, orthonormal model") {
