@@ -82,7 +82,9 @@ object Bench {
       "decontaminate_exact", "sample_mixture", "ann_pq",
       "funnel_conversion", "contamination_ngram_rate", "training_order",
       "nation_trade_pagerank", "ewma_anomaly", "dedup_blocks")
-    try {
+    // targeted (SPARK_GRAFT_ONLY) runs must not clobber the committed
+    // full-registry map with a 2-query one
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (jmap(results.toSeq.sortBy(_._1)) + "\n").getBytes("UTF-8"))
