@@ -84,12 +84,16 @@ object PiiOps {
 
     // per-doc redaction: total hits + the redacted text's md5/length
     // (full-text hash ⇒ the oracle bit-compares the whole rewrite).
+    // The 5-regex chain is materialized ONCE per row in its own
+    // projection — not left to codegen subexpression elimination.
     "pii_redact" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           countCols(col("text")).reduce(_ + _).as("n_pii"),
-          md5(redactCol(col("text"))).as("redacted_md5"),
-          length(redactCol(col("text"))).cast("long").as("redacted_len"))
+          redactCol(col("text")).as("red"))
+        .select(col("doc_id"), col("n_pii"),
+          md5(col("red")).as("redacted_md5"),
+          length(col("red")).cast("long").as("redacted_len"))
         .orderBy("doc_id"))
   )
 
