@@ -65,7 +65,11 @@ object PiiOps {
   def piiSignals(docs: DataFrame): DataFrame =
     docs.select(Seq(col("doc_id"), col("source")) ++ countCols(col("text")): _*)
 
-  private def totalExpr: Column =
+  /** Sum of the per-class counts (null when text is null — the
+    * oracle-facing queries keep that NULL for DuckDB parity). The ONE
+    * definition shared by pii_stats, pii_redact, and the streaming
+    * scrub, so a sixth pattern class needs no sync anywhere. */
+  def totalExpr: Column =
     Patterns.map { case (name, _, _) => col(s"n_$name") }.reduce(_ + _)
 
   val queries: Map[String, Q] = Map(
@@ -88,9 +92,9 @@ object PiiOps {
     // projection — not left to codegen subexpression elimination.
     "pii_redact" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          countCols(col("text")).reduce(_ + _).as("n_pii"),
-          redactCol(col("text")).as("red"))
+        .select(Seq(col("doc_id"), col("text"),
+          redactCol(col("text")).as("red")) ++ countCols(col("text")): _*)
+        .select(col("doc_id"), totalExpr.as("n_pii"), col("red"))
         .select(col("doc_id"), col("n_pii"),
           md5(col("red")).as("redacted_md5"),
           length(col("red")).cast("long").as("redacted_len"))

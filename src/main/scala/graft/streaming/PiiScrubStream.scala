@@ -29,19 +29,22 @@ object PiiScrubStream {
     * text): per-class counts + total + scrubbed text. */
   def scrub(docs: DataFrame): DataFrame = {
     val counts = PiiOps.countCols(col("text"))
-    // null text ⇒ per-class counts are null; coalesce the TOTAL to 0 so
-    // `route` still conserves the stream (a null-text doc is a clean
-    // passthrough, not a silently dropped row)
-    val total = coalesce(
-      PiiOps.Patterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _),
-      lit(0L))
+    // null text ⇒ a clean passthrough, never a dropped row: pin the
+    // TOTAL to 0 explicitly on null text (not just coalesce — under
+    // spark.sql.legacy.sizeOfNull the per-class size() yields -1, and
+    // a -5 total would match NEITHER route branch)
+    val total = when(col("text").isNull, lit(0L))
+      .otherwise(coalesce(PiiOps.totalExpr, lit(0L)))
     docs
       .select(Seq(col("doc_id"), col("source"), col("text")) ++ counts: _*)
       .withColumn("n_pii", total)
       .withColumn("text_scrubbed", PiiOps.redactCol(col("text")))
   }
 
-  /** Sink-side split: (clean passthrough, scrubbed-with-audit-trail). */
+  /** Sink-side split: (clean passthrough, scrubbed-with-audit-trail).
+    * In a dual-sink `foreachBatch`, persist the scrubbed batch BEFORE
+    * routing — both sinks otherwise re-run the 10-regex chain per row
+    * (filters share the one unmaterialized projection). */
   def route(scrubbed: DataFrame): (DataFrame, DataFrame) =
     (scrubbed.filter(col("n_pii") === 0), scrubbed.filter(col("n_pii") > 0))
 }

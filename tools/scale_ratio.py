@@ -21,8 +21,8 @@ res = {
              "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
              "full cold passes (one pass showed transient 5-10x stalls on boilerplate_mask/"
              "asof_next_event that the second pass and warm targeted reps both refute). "
-             "Round 8 full 201-query registry: nothing exceeds 10. The near-10 entry "
-             "(doc_winnow_fingerprint 8.7) and text_normalize 9.2 are pure per-character "
+             "Round 8 full 202-query registry: nothing exceeds 10. The near-10 entries "
+             "(doc_winnow_fingerprint 8.71, text_normalize 9.37) are pure per-character "
              "map/explode stages, and the 10x remap's token suffixes make replica texts "
              "~60% longer, so their true work grows ~16x — per-character they are "
              "sub-linear. The former quadratics (dedup_embedding_near 51x, hard_negatives "
