@@ -59,6 +59,7 @@ object SparkEntry {
       AnalyticsOps2.queries ++
       SetOps.queries ++
       PipelineOps.queries ++
+      RetrievalOps.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -103,7 +104,8 @@ object SparkEntry {
       AnalyticsOps.oracles ++
       AnalyticsOps2.oracles ++
       SetOps.oracles ++
-      PipelineOps.oracles
+      PipelineOps.oracles ++
+      RetrievalOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -31,23 +31,30 @@ object TextOps5 {
   /** Fixed retrieval query; BM25 k1 = 1.2, b = 0.75. */
   val QueryTerms: Seq[String] = Seq("vector", "merge", "customer", "window")
 
+  /** (doc_id, score) for every document vs [[QueryTerms]] — the shared
+    * BM25 relation behind `bm25_topk` and the hybrid RRF fusion. Plan
+    * shape as documented above: two corpus scans, one broadcast stats
+    * row, zero wide shuffles. */
+  def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr(Seq("doc_id", "size(toks) AS dl") ++
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          s"size(filter(toks, x -> x = '$t')) AS tf${i + 1}"
+        }: _*)
+    val stats = f.selectExpr(
+      Seq("count(1) AS n", "sum(dl) AS total") ++
+        QueryTerms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}"): _*)
+    f.crossJoin(broadcast(stats))
+      .selectExpr("doc_id", s"(${bm25Score}) AS score")
+  }
+
   val queries: Map[String, Q] = Map(
-    "bm25_topk" -> ((s, d) => {
-      val f = Tables.documents(s, d)
-        .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr(Seq("doc_id", "size(toks) AS dl") ++
-          QueryTerms.zipWithIndex.map { case (t, i) =>
-            s"size(filter(toks, x -> x = '$t')) AS tf${i + 1}"
-          }: _*)
-      val stats = f.selectExpr(
-        Seq("count(1) AS n", "sum(dl) AS total") ++
-          QueryTerms.indices.map(i =>
-            s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}"): _*)
-      f.crossJoin(broadcast(stats))
-        .selectExpr("doc_id", s"(${bm25Score}) AS score")
+    "bm25_topk" -> ((s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     "text_normalize" -> ((s, d) =>
       Tables.documents(s, d).selectExpr(
@@ -59,8 +66,10 @@ object TextOps5 {
   /** BM25 with rational idf; per-term contributions in fixed order.
     * Constants are CAST(… AS DOUBLE) so BOTH engines run the identical
     * IEEE op sequence — a bare 0.5 literal is DECIMAL in Spark SQL but
-    * DOUBLE arithmetic in DuckDB, which silently diverges the scores. */
-  private def bm25Score: String = {
+    * DOUBLE arithmetic in DuckDB, which silently diverges the scores.
+    * Public so RetrievalOps can compose the SAME expression into the
+    * hybrid-RRF oracle — one definition, zero drift. */
+  def bm25Score: String = {
     def c(x: String) = s"CAST($x AS DOUBLE)"
     QueryTerms.indices.map { i =>
       val tf = s"tf${i + 1}"; val df = s"df${i + 1}"
@@ -69,22 +78,26 @@ object TextOps5 {
     }.mkString(" + ")
   }
 
+  /** DuckDB CTE chain `t, f, st` reproducing [[bm25Scored]]'s inputs —
+    * shared verbatim between the bm25_topk oracle and RetrievalOps'
+    * hybrid-RRF oracle. */
+  def bm25OracleCtes: String = {
+    val tfs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(", ")
+    val dfs = QueryTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, len(toks) AS dl, $tfs FROM t),
+      |st AS (SELECT count(1) AS n, CAST(sum(dl) AS BIGINT) AS total, $dfs FROM f)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "bm25_topk" -> {
-      val tfs = QueryTerms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(toks, x -> x = '$t')) AS tf${i + 1}"
-      }.mkString(",\n        |         ")
-      val dfs = QueryTerms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |f AS (SELECT doc_id, len(toks) AS dl,
-        |         $tfs
-        |      FROM t),
-        |st AS (SELECT count(1) AS n, CAST(sum(dl) AS BIGINT) AS total, $dfs FROM f)
+    "bm25_topk" ->
+      s"""WITH $bm25OracleCtes
         |SELECT doc_id, ($bm25Score) AS score
         |FROM f, st
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -247,6 +247,26 @@ class PlanAuditSpec extends SparkSpec {
       s"emb_covariance lost map-side partial aggregation:\n$plan")
   }
 
+  test("hybrid RRF legs reduce via TakeOrderedAndProject before the bounded fusion") {
+    val plan = finalPlan("hybrid_rrf_topk")
+    // both candidate legs must short-circuit to their Depth rows — the
+    // single-partition rank windows and the fusion join then run on
+    // ≤50-row inputs (constant epilogue), never on the corpus
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      s"hybrid_rrf_topk lost a leg's top-k short circuit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid_rrf_topk grew a cartesian (stats/query must broadcast):\n$plan")
+  }
+
+  test("per-source dedup stats pre-aggregate after the hash-partitioned window") {
+    val plan = finalPlan("dedup_rate_by_source")
+    // canonical-min is a window PARTITIONED by text (hash shuffle, no
+    // global sort); the source rollup keeps its partial/final pair
+    assert(!plan.contains("Join"), s"dedup_rate_by_source grew a join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"dedup_rate_by_source lost map-side partial aggregation:\n$plan")
+  }
+
   test("PII scrub is a map stage: redact shuffles only for the order, stats pre-aggregate") {
     val red = finalPlan("pii_redact").split("== Initial Plan ==").head
     // the five regexp_replace calls are row-local; the one exchange is
