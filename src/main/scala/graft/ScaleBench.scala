@@ -145,8 +145,10 @@ object ScaleBench {
             s"slice(embedding, 1, ${i % 8}))"))
     }, "embeddings")
 
-    // events: raw read keeps ts as a nanosecond long (same layout
-    // Tables.events expects); ids shift per replica, time range kept
+    // events: raw passthrough read — ts stays in whatever encoding the
+    // driver generated (nanos long under nanosAsLong, or µs NTZ);
+    // Tables.events adapts to either on read-back. ids shift per
+    // replica, time range kept
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
     writeTo(replicate(ev) { (d, i) =>

@@ -23,17 +23,31 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a nanosecond long
-    * (legacy.parquet.nanosAsLong) and narrow to microsecond
-    * TimestampType. The generated data is µs-resolution, so `div 1000`
-    * is lossless, and DuckDB's own read of the same file also lands on
-    * µs TIMESTAMP — oracle parity holds.
-    */
+  /** `events.ts` has shipped in two parquet encodings across driver
+    * testdata generations, so the loader adapts by the resolved type:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]), so we read it as a nanosecond long
+    *    (legacy.parquet.nanosAsLong) and narrow to microsecond
+    *    TimestampType — the data is µs-resolution, `div 1000` is
+    *    lossless;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): resolves natively as
+    *    TIMESTAMP_NTZ; cast to TimestampType under the UTC session so
+    *    every downstream consumer (watermarks, INT96 verify dumps,
+    *    window arithmetic) sees the exact same µs instants as before.
+    *
+    * DuckDB reads either encoding as naive µs TIMESTAMP — oracle
+    * parity holds for both. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
