@@ -60,6 +60,7 @@ object SparkEntry {
       SetOps.queries ++
       PipelineOps.queries ++
       RetrievalOps.queries ++
+      SelectionOps.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -105,7 +106,8 @@ object SparkEntry {
       AnalyticsOps2.oracles ++
       SetOps.oracles ++
       PipelineOps.oracles ++
-      RetrievalOps.oracles
+      RetrievalOps.oracles ++
+      SelectionOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

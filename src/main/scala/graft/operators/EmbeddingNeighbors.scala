@@ -171,4 +171,110 @@ object EmbeddingNeighbors {
       .agg(max(struct(col("sim"), (-col("cand")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cand"), col("m.sim").as("sim"))
   }
+
+  /** Per-vector exact k-nearest-neighbor graph over the corpus — the
+    * top-k generalization of [[bestNeighbor]] on the same tiled plan.
+    *
+    * Top-k is mergeable: each block-pair task keeps a k-slot running
+    * best list per vector of both tiles (insertion into a sorted
+    * primitive buffer — k is small), so the shuffle into the final
+    * merge carries ≤ N·B·k partial rows instead of the N²/2 pair rows
+    * of the expression-join form. The merge is one ROW_NUMBER window
+    * per vec_id over those partials — the same (sim DESC, cand ASC)
+    * total order the per-tile comparator uses, NaN ranking greatest on
+    * both sides (and in the DuckDB oracle), so ordering is engine-exact.
+    *
+    * Output: (vec_id, rn, cand, sim) with rn ∈ [1, k] — one row per
+    * (vector, neighbor rank) that exists; vectors in corpora smaller
+    * than k+1 emit fewer rows, never padding. */
+  def topKNeighbors(emb: DataFrame, k: Int, numBlocks: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else math.max(DefaultBlocks, (emb.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
+    val tiles: Dataset[Tile] = q
+      .select(pmod(hash(col("vec_id")), lit(blocks)).cast("int").as("b"),
+        col("vec_id"), lit(0).as("label"), col("q"), col("n"))
+      .as[(Int, Long, Int, Seq[Long], Long)]
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        Tile(b, rows.map(_._2), rows.map(_._3), rows.map(_._4.toArray), rows.map(_._5))
+      }
+    val nb = blocks
+    val kk = k
+    val partials = tiles
+      .flatMap(t => Iterator.range(0, nb).map { o =>
+        val lo = math.min(t.b, o); val hi = math.max(t.b, o)
+        (lo * nb + hi, t)
+      })
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val ts = it.map(_._2).toArray
+        val x = ts(0)
+        val y = if (ts.length > 1) ts(1) else ts(0)
+        if (ts.length == 1 && pid != x.b * nb + x.b)
+          Iterator.empty[(Long, Long, Double)]
+        else {
+          // same total order as bestNeighbor: sim desc (NaN greatest),
+          // then candidate id asc
+          @inline def beats(s: Double, c: Long, bs: Double, bc: Long): Boolean = {
+            val cmp = java.lang.Double.compare(s, bs)
+            cmp > 0 || (cmp == 0 && c < bc)
+          }
+          val sameTile = x.b == y.b
+          val nx = x.ids.length; val ny = y.ids.length
+          // k-slot sorted buffers (slot 0 = best); insertion shifts the
+          // tail down — k is a small constant, so this is O(k) per pair
+          val bxSim = Array.fill(nx, kk)(Double.NegativeInfinity)
+          val bxId = Array.fill(nx, kk)(Long.MaxValue)
+          val bySim = Array.fill(ny, kk)(Double.NegativeInfinity)
+          val byId = Array.fill(ny, kk)(Long.MaxValue)
+          @inline def insert(ss: Array[Double], cs: Array[Long], s: Double, c: Long): Unit = {
+            if (beats(s, c, ss(kk - 1), cs(kk - 1))) {
+              var p = kk - 1
+              while (p > 0 && beats(s, c, ss(p - 1), cs(p - 1))) {
+                ss(p) = ss(p - 1); cs(p) = cs(p - 1); p -= 1
+              }
+              ss(p) = s; cs(p) = c
+            }
+          }
+          var i = 0
+          while (i < nx) {
+            val qi = x.qs(i); val ni = x.ns(i)
+            var j = if (sameTile) i + 1 else 0
+            while (j < ny) {
+              val qj = y.qs(j)
+              var d = 0L; var kd = 0
+              val len = math.min(qi.length, qj.length)
+              while (kd < len) { d += qi(kd) * qj(kd); kd += 1 }
+              val sim = d / math.sqrt(ni.toDouble * y.ns(j).toDouble)
+              insert(bxSim(i), bxId(i), sim, y.ids(j))
+              insert(bySim(j), byId(j), sim, x.ids(i))
+              j += 1
+            }
+            i += 1
+          }
+          @inline def seen(s: Double) =
+            java.lang.Double.compare(s, Double.NegativeInfinity) != 0
+          val xs = for {
+            i <- (0 until nx).iterator; p <- (0 until kk).iterator
+            if seen(bxSim(i)(p))
+          } yield (x.ids(i), bxId(i)(p), bxSim(i)(p))
+          val ys = for {
+            j <- (0 until ny).iterator; p <- (0 until kk).iterator
+            if seen(bySim(j)(p))
+          } yield (y.ids(j), byId(j)(p), bySim(j)(p))
+          xs ++ ys
+        }
+      }.toDF("vec_id", "cand", "sim")
+    import org.apache.spark.sql.expressions.Window
+    partials
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cand"))))
+      .filter(col("rn") <= kk)
+      .select(col("vec_id"), col("rn"), col("cand"), col("sim"))
+  }
 }

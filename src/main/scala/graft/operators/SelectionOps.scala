@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection tranche #2: weighted sampling, redundancy
+  * analytics, and the two classic search/join primitives a curation
+  * pipeline reaches for between "dedup" and "mix":
+  *
+  *  - `sample_weighted` — priority sampling (Duffield–Lund–Thorup,
+  *    JACM 2007): per-doc priority u/w from a content-hash uniform u
+  *    and weight w = n_chars, keep the k smallest priorities ⇒ a
+  *    weighted-without-replacement sample where long documents are
+  *    proportionally more likely. The priority is micro-quantized to
+  *    ppm (u·10⁶ div w — pure integer arithmetic, the repo-wide
+  *    tranche discipline) so selection is bit-identical across
+  *    engines, partitionings and cluster sizes;
+  *  - `gram_novelty` — per-doc fraction of its distinct word 3-grams
+  *    first seen in THIS doc (by doc_id order): the corpus
+  *    redundancy-growth curve that tells a pipeline when additional
+  *    crawl snapshots stop contributing novel text;
+  *  - `phrase_match_topk` — positional-inverted-index phrase search
+  *    (the token-position equi-join form every search engine uses):
+  *    top documents by exact-phrase occurrence count;
+  *  - `simjoin_prefix_filter` — set-similarity self-join with PREFIX
+  *    FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. PPJoin,
+  *    WWW'08): under a rarest-first global token order, two sets with
+  *    Jaccard ≥ τ MUST share a token within each other's first
+  *    (n − ⌈τ·n⌉ + 1) tokens — so the index is built over prefixes
+  *    only and candidate generation never touches the frequent tail.
+  *    A second, independent scale path to the same exact join the
+  *    df-capped inverted index (dedup_ngram_jaccard) serves;
+  *  - `knn_graph` — exact k-nearest-neighbor graph over the embedding
+  *    corpus via the blocked tile kernel
+  *    ([[EmbeddingNeighbors.topKNeighbors]]) — the input artifact for
+  *    graph-based semantic clustering and kNN-classification audits.
+  *
+  * All five are DuckDB-oracle-checked (the kNN graph against the
+  * brute-force window-rank SQL).
+  *
+  * Scale notes (100 TB):
+  *  - sample_weighted: priorities are row-local; selection is a
+  *    TakeOrderedAndProject (per-partition k-heaps + driver merge of
+  *    P·k rows) — no global sort, no coordination, and re-running on
+  *    a re-sharded corpus returns the identical sample;
+  *  - gram_novelty: explode → one hash shuffle on the gram key for the
+  *    min-doc census, one shuffle back to join it — both linear in
+  *    total grams; no window over the corpus;
+  *  - phrase_match_topk: each position list is filtered to ONE token
+  *    before any join (the legs are tf(w)·corpus fractions, not the
+  *    corpus), the joins are (doc, position) equi-joins, and the
+  *    final top-k short-circuits;
+  *  - simjoin_prefix_filter: the prefix theorem bounds the index to
+  *    ~(1−τ)·|doc| rarest tokens per doc; candidate volume is
+  *    Σ_prefix-token df² over RARE tokens by construction (rarest-
+  *    first order), the exact-verify is row-local array intersection
+  *    on candidate pairs only;
+  *  - knn_graph: N·B·k partial rows shuffle into the merge instead of
+  *    N²/2 — see the kernel's scaladoc.
+  */
+object SelectionOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Priority-sample size; > corpus at sf0.001 (degenerates to "all
+    * docs", still order-checked), 13% at sf0.01, 1.3% at sf0.1. */
+  val SampleK = 64
+
+  /** The benched exact phrase (present at every sf — same generator). */
+  val Phrase: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** Jaccard threshold for the prefix-filtered similarity join. */
+  val JaccardTauPpm = 800000L
+
+  private def tokens(c: Column): Column = split(c, " ", -1)
+
+  /** Distinct word 3-gram (shingle) set per doc as an array column;
+    * docs with <3 tokens get an empty set (sequence() would count DOWN
+    * for negative spans — guard it). */
+  private def shingleSet(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), tokens(col("text")).as("l"))
+      .select(col("doc_id"), expr(
+        """array_distinct(if(size(l) < 3, array(),
+          |  transform(sequence(1, size(l) - 2),
+          |    i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
+          |                   element_at(l, i + 2)))))""".stripMargin).as("w"))
+
+  /** Priority sampling: u = 16-bit uniform from the md5 content hash,
+    * priority_ppm = u·10⁶ div w — k smallest win. Integer-exact. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(col("n_chars").cast("long"), lit(1L)).as("w"),
+        conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
+          .cast("long").as("u"))
+      .withColumn("priority_ppm", expr("u * 1000000 div w"))
+      .orderBy(col("priority_ppm"), col("doc_id")).limit(k)
+      .select("doc_id", "w", "priority_ppm")
+      .orderBy("doc_id")
+
+  /** Per-doc novelty of its distinct 3-grams vs all lower doc_ids. */
+  def gramNovelty(docs: DataFrame): DataFrame = {
+    val grams = shingleSet(docs)
+      .select(col("doc_id"), explode(col("w")).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-phrase occurrence count per doc via the positional index:
+    * one filtered position list per phrase word, (doc, position)
+    * equi-joins with the offset folded into the join key. */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("p", "t")))
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("t") === w)
+        .select(col("doc_id").as(s"d$i"), (col("p") - i).as(s"p$i"))
+    }
+    val joined = legs.zipWithIndex.drop(1).foldLeft(legs.head) {
+      case (acc, (leg, i)) =>
+        acc.join(leg, col("d0") === col(s"d$i") && col("p0") === col(s"p$i"))
+    }
+    joined.groupBy(col("d0").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+  }
+
+  /** Prefix-filtered exact Jaccard self-join at τ (ppm). Returns
+    * (doc_a, doc_b, jac_ppm), doc_a < doc_b. */
+  def prefixFilterJoin(docs: DataFrame, tauPpm: Long): DataFrame = {
+    val sh = shingleSet(docs)
+    val ex = sh.select(col("doc_id"), explode(col("w")).as("g"))
+    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    // global rarest-first total order (df asc, gram asc); prefix len
+    // n − ⌈τn⌉ + 1 with the ceiling in exact integers:
+    // ⌈τ·n / 10⁶⌉ = (τ·n + 10⁶ − 1) div 10⁶
+    val pref = ex.join(df, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .join(sh.select(col("doc_id"), size(col("w")).cast("long").as("n")), "doc_id")
+      .filter(col("rk") <= expr(s"n - (($tauPpm * n + 999999) div 1000000) + 1"))
+      .select(col("doc_id"), col("g"))
+    val cands = pref.as("x")
+      .join(pref.as("y"), "g")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only: row-local array intersection
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("i"),
+        (size(col("wa")) + size(col("wb"))).cast("long").as("s"))
+      .withColumn("jac_ppm", expr("i * 1000000 div (s - i)"))
+      .filter(col("jac_ppm") >= tauPpm)
+      .select("doc_a", "doc_b", "jac_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_weighted" -> ((s, d) =>
+      weightedSample(Tables.documents(s, d), SampleK)),
+
+    "gram_novelty" -> ((s, d) =>
+      gramNovelty(Tables.documents(s, d))),
+
+    "phrase_match_topk" -> ((s, d) =>
+      phraseMatch(Tables.documents(s, d), Phrase, 10)),
+
+    "simjoin_prefix_filter" -> ((s, d) =>
+      prefixFilterJoin(Tables.documents(s, d), JaccardTauPpm)),
+
+    // exact 3-NN graph; rn cast to long to line up with DuckDB's
+    // BIGINT row_number
+    "knn_graph" -> ((s, d) =>
+      EmbeddingNeighbors.topKNeighbors(Tables.embeddings(s, d), 3)
+        .select(col("vec_id"), col("rn").cast("long").as("rn"),
+          col("cand"), col("sim"))
+        .orderBy("vec_id", "rn"))
+  )
+
+  /** Hex digit → value for DuckDB's ascii() decode (md5 is lowercase). */
+  private def hexDigit(i: Int): String =
+    s"(CASE WHEN ascii(substr(md5(text), $i, 1)) >= 97 " +
+      s"THEN ascii(substr(md5(text), $i, 1)) - 87 " +
+      s"ELSE ascii(substr(md5(text), $i, 1)) - 48 END)"
+
+  val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, greatest(CAST(n_chars AS BIGINT), 1) AS w,
+         |         CAST(${hexDigit(1)} * 4096 + ${hexDigit(2)} * 256
+         |            + ${hexDigit(3)} * 16 + ${hexDigit(4)} AS BIGINT) AS u
+         |  FROM documents),
+         |s AS (SELECT doc_id, w, u * 1000000 // w AS priority_ppm
+         |      FROM m ORDER BY priority_ppm, doc_id LIMIT $SampleK)
+         |SELECT doc_id, w, priority_ppm FROM s ORDER BY doc_id""".stripMargin,
+
+    "gram_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+        |      FROM tk),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000000 // count(*) AS novelty_ppm
+        |FROM g JOIN f ON g.g = f.g
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "phrase_match_topk" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(range(1, len(l) - 1),
+         |          i -> l[i] = '${Phrase(0)}' AND l[i + 1] = '${Phrase(1)}'
+         |               AND l[i + 2] = '${Phrase(2)}')) AS BIGINT) AS n_hits
+         |      FROM tk)
+         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin,
+
+    "simjoin_prefix_filter" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(l) - 1),
+         |           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS w
+         |       FROM tk WHERE len(l) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS i,
+         |        CAST(len(a.w) + len(b.w) AS BIGINT) AS s
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, i * 1000000 // (s - i) AS jac_ppm
+         |FROM p WHERE i * 1000000 // (s - i) >= $JaccardTauPpm
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT va, vb,
+        |                CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |         FROM dots
+        |         JOIN norms na ON na.vec_id = va
+        |         JOIN norms nb ON nb.vec_id = vb),
+        |best AS (SELECT va, vb, sim,
+        |                row_number() OVER (PARTITION BY va
+        |                                   ORDER BY sim DESC, vb) AS rn
+        |         FROM sims)
+        |SELECT va AS vec_id, rn, vb AS cand, sim
+        |FROM best WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+  )
+}

@@ -74,4 +74,45 @@ class EmbeddingNeighborsSpec extends SparkSpec {
     assert(got(2L)._1 == 0L && got(2L)._2.isNaN, s"vec 2 best: ${got(2L)}")
     assert(got(0L)._1 == 1L && got(0L)._2.isNaN, s"vec 0 best: ${got(0L)}")
   }
+
+  test("topKNeighbors: block invariance + JVM brute-force top-3 parity") {
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(k => ((i * 5 + k * 3) % 17).toFloat / 17f), 0)
+    }
+    val emb = mkEmb(rows)
+    // brute force with the kernel's exact arithmetic: quantize
+    // floor(x*1000) to long, integer dot, sim = dot / sqrt(na*nb)
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    val n = q.map { case (id, a) => id -> a.map(x => x * x).sum }
+    def sim(a: Long, b: Long): Double = {
+      val d = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      d / math.sqrt(n(a).toDouble * n(b).toDouble)
+    }
+    val expect = rows.map(_._1).flatMap { a =>
+      rows.map(_._1).filter(_ != a)
+        .map(b => (b, sim(a, b)))
+        .sortBy { case (b, s) => (-s, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, s), p) => (a, p + 1, b, s) }
+    }.toSeq
+    val forms = Seq(1, 4, 16).map(bl =>
+      EmbeddingNeighbors.topKNeighbors(emb, 3, numBlocks = bl)
+        .orderBy("vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+    assert(forms(0) == expect, "top-3 graph must equal the brute-force ranking")
+    assert(forms(0) == forms(1) && forms(1) == forms(2),
+      "block partitioning must not change the graph")
+  }
+
+  test("topKNeighbors: corpora smaller than k+1 emit fewer rows, no padding") {
+    val emb = mkEmb(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0)))
+    val got = EmbeddingNeighbors.topKNeighbors(emb, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == Set((0L, 1, 1L), (1L, 1, 0L)),
+      s"2 vectors → exactly one rank-1 neighbor each, got ${got.toSeq}")
+  }
 }
