@@ -280,4 +280,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(stats).size >= 2,
       s"pii_stats lost map-side partial aggregation:\n$stats")
   }
+
+  test("weighted sampler is a map stage + TakeOrderedAndProject (no global sort, no shuffle)") {
+    val plan = finalPlan("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample_weighted lost its top-k short-circuit:\n$plan")
+    assert(!plan.contains("Join"), s"sample_weighted grew a join:\n$plan")
+  }
+
+  test("phrase search joins position lists on keys; prefix simjoin plans no cartesian") {
+    val phrase = finalPlan("phrase_match_topk")
+    assert(!phrase.contains("CartesianProduct") && !phrase.contains("BroadcastNestedLoop"),
+      s"phrase_match_topk must equi-join (doc, position) lists:\n$phrase")
+    assert(phrase.contains("TakeOrderedAndProject"),
+      s"phrase_match_topk lost its top-k short-circuit:\n$phrase")
+    val sim = finalPlan("simjoin_prefix_filter")
+    assert(!sim.contains("CartesianProduct") && !sim.contains("BroadcastNestedLoop"),
+      s"simjoin_prefix_filter candidates must come from the prefix index join:\n$sim")
+  }
 }
