@@ -47,7 +47,10 @@ import org.apache.spark.sql.functions._
   *    a re-sharded corpus returns the identical sample;
   *  - gram_novelty: explode → one hash shuffle on the gram key for the
   *    min-doc census, one shuffle back to join it — both linear in
-  *    total grams; no window over the corpus;
+  *    total grams; no window over the corpus. Grams travel as xxhash64
+  *    longs (16-byte shuffle rows, not strings), and the scan is
+  *    repartitioned ahead of the shingling map so a few big input
+  *    splits can't serialize the pipeline;
   *  - phrase_match_topk: each position list is filtered to ONE token
   *    before any join (the legs are tf(w)·corpus fractions, not the
   *    corpus), the joins are (doc, position) equi-joins, and the
@@ -75,17 +78,6 @@ object SelectionOps {
 
   private def tokens(c: Column): Column = split(c, " ", -1)
 
-  /** Distinct word 3-gram (shingle) set per doc as an array column;
-    * docs with <3 tokens get an empty set (sequence() would count DOWN
-    * for negative spans — guard it). */
-  private def shingleSet(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), tokens(col("text")).as("l"))
-      .select(col("doc_id"), expr(
-        """array_distinct(if(size(l) < 3, array(),
-          |  transform(sequence(1, size(l) - 2),
-          |    i -> concat_ws(' ', element_at(l, i), element_at(l, i + 1),
-          |                   element_at(l, i + 2)))))""".stripMargin).as("w"))
-
   /** Priority sampling: u = 16-bit uniform from the md5 content hash,
     * priority_ppm = u·10⁶ div w — k smallest win. Integer-exact. */
   def weightedSample(docs: DataFrame, k: Int): DataFrame =
@@ -99,12 +91,20 @@ object SelectionOps {
       .select("doc_id", "w", "priority_ppm")
       .orderBy("doc_id")
 
-  /** Per-doc novelty of its distinct 3-grams vs all lower doc_ids. */
+  /** Per-doc novelty of its distinct 3-grams vs all lower doc_ids.
+    *
+    * Grams ride as xxhash64 longs ([[DedupOps.docShingleArrays]] —
+    * same 2⁻⁶⁴ collision tolerance as the jaccard family), so the
+    * census and the join-back shuffle 16-byte rows instead of gram
+    * strings, and the corpus scan is spread across the cluster before
+    * the heavy shingling map. The exploded gram relation feeds both
+    * the census and the join — checkpoint it once. */
   def gramNovelty(docs: DataFrame): DataFrame = {
-    val grams = shingleSet(docs)
-      .select(col("doc_id"), explode(col("w")).as("g"))
-    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "g")
+    val grams = DedupOps.docShingleArrays(docs)
+      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .localCheckpoint(true)
+    val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -118,8 +118,9 @@ object SelectionOps {
     * equi-joins with the offset folded into the join key. */
   def phraseMatch(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty)
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("p", "t")))
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
     val legs = phrase.zipWithIndex.map { case (w, i) =>
       toks.filter(col("t") === w)
         .select(col("doc_id").as(s"d$i"), (col("p") - i).as(s"p$i"))
@@ -134,32 +135,44 @@ object SelectionOps {
   }
 
   /** Prefix-filtered exact Jaccard self-join at τ (ppm). Returns
-    * (doc_a, doc_b, jac_ppm), doc_a < doc_b. */
+    * (doc_a, doc_b, jac_ppm), doc_a < doc_b.
+    *
+    * Shingles ride as xxhash64 longs end to end (the prefix theorem
+    * needs SOME fixed global total order — (df asc, hash asc) is one;
+    * same 2⁻⁶⁴ collision tolerance as the jaccard family). The shared
+    * intermediates are checkpointed: the doc→array tier feeds the
+    * index explode AND both verify joins, the prefix index feeds both
+    * self-join legs — without the checkpoints each reference re-runs
+    * the shingling scan. */
   def prefixFilterJoin(docs: DataFrame, tauPpm: Long): DataFrame = {
-    val sh = shingleSet(docs)
-    val ex = sh.select(col("doc_id"), explode(col("w")).as("g"))
-    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    // global rarest-first total order (df asc, gram asc); prefix len
+    val arrs = DedupOps.docShingleArrays(docs)
+      .filter(size(col("ghs")) > 0)
+      .localCheckpoint(true)
+    val ex = arrs.select(col("doc_id"), col("n"), explode(col("ghs")).as("gh"))
+    val dfr = ex.groupBy("gh").agg(count(lit(1)).as("df"))
+    // global rarest-first total order (df asc, hash asc); prefix len
     // n − ⌈τn⌉ + 1 with the ceiling in exact integers:
     // ⌈τ·n / 10⁶⌉ = (τ·n + 10⁶ − 1) div 10⁶
-    val pref = ex.join(df, "g")
+    val pref = ex.join(dfr, "gh")
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-      .join(sh.select(col("doc_id"), size(col("w")).cast("long").as("n")), "doc_id")
+        Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))))
       .filter(col("rk") <= expr(s"n - (($tauPpm * n + 999999) div 1000000) + 1"))
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("gh"))
+      .localCheckpoint(true)
     val cands = pref.as("x")
-      .join(pref.as("y"), "g")
+      .join(pref.as("y"), "gh")
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only: row-local array intersection
+    // exact verify on candidates only: row-local long-array intersection
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ghs").as("wa"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ghs").as("wb"),
+        col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("wa"), col("wb"))).cast("long").as("i"),
-        (size(col("wa")) + size(col("wb"))).cast("long").as("s"))
+        (col("na") + col("nb")).as("s"))
       .withColumn("jac_ppm", expr("i * 1000000 div (s - i)"))
       .filter(col("jac_ppm") >= tauPpm)
       .select("doc_a", "doc_b", "jac_ppm")
