@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
   *  - `knn_graph` — exact k-nearest-neighbor graph over the embedding
   *    corpus via the blocked tile kernel
   *    ([[EmbeddingNeighbors.topKNeighbors]]) — the input artifact for
-  *    graph-based semantic clustering and kNN-classification audits.
+  *    graph-based semantic clustering and kNN-classification audits;
+  *  - `knn_label_vote` — the kNN-classification audit itself: majority
+  *    label among each vector's exact 3-NN vs its own label (the
+  *    label-noise screen a labeled corpus gets before training);
+  *  - `novelty_by_source` — per-source marginal novelty: of the
+  *    distinct grams a source contains, the share it INTRODUCED —
+  *    "which crawl still adds new text", the complement of
+  *    dedup_rate_by_source's duplication table.
   *
   * All five are DuckDB-oracle-checked (the kNN graph against the
   * brute-force window-rank SQL).
@@ -198,7 +205,57 @@ object SelectionOps {
       EmbeddingNeighbors.topKNeighbors(Tables.embeddings(s, d), 3)
         .select(col("vec_id"), col("rn").cast("long").as("rn"),
           col("cand"), col("sim"))
-        .orderBy("vec_id", "rn"))
+        .orderBy("vec_id", "rn")),
+
+    // kNN label-agreement audit (the label-noise screen a labeled
+    // embedding corpus gets before training): majority label among the
+    // exact 3-NN, ties to the smallest label; null-label vectors take
+    // no part (can neither vote nor be audited). The graph reuses the
+    // blocked kernel; the label tier is a broadcast-sized projection
+    // joined onto N·k graph edges — linear.
+    "knn_label_vote" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("label").isNotNull)
+      val lab = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = EmbeddingNeighbors.topKNeighbors(emb, 3)
+        .join(lab.select(col("vec_id").as("cand"),
+          col("label").as("cand_label")), "cand")
+        .groupBy("vec_id", "cand_label")
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .groupBy("vec_id")
+        .agg(max(struct(col("votes"), (-col("cand_label")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("voted_label"),
+          col("m.votes").as("votes"))
+        .join(lab, "vec_id")
+        .withColumn("is_match", col("voted_label") === col("label"))
+        .select("vec_id", "label", "voted_label", "votes", "is_match")
+        .orderBy("vec_id")
+    }),
+
+    // which source still contributes novel text: of the distinct
+    // grams each source's docs contain, the fraction that FIRST
+    // appeared in that source (by doc_id order) — the per-source
+    // marginal-novelty table next to dedup_rate_by_source. Gram-keyed
+    // min census + one doc_id-keyed join for the owner's source +
+    // source-keyed dim-sized aggs; all shuffles linear in grams.
+    "novelty_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = DedupOps.docShingleArrays(docs)
+        .select(col("doc_id"), explode(col("ghs")).as("gh"))
+        .localCheckpoint(true)
+      val src = docs.select(col("doc_id"), col("source"))
+      val owned = grams.groupBy("gh").agg(min("doc_id").as("doc_id"))
+        .join(src, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_owned"))
+      val distinctPerSource = grams.join(src, "doc_id")
+        .select("source", "gh").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      distinctPerSource.join(owned, Seq("source"), "left")
+        .withColumn("n_owned", coalesce(col("n_owned"), lit(0L)))
+        .withColumn("owned_ppm", expr("n_owned * 1000000 div n_distinct"))
+        .select("source", "n_distinct", "n_owned", "owned_ppm")
+        .orderBy("source")
+    })
   )
 
   /** Hex digit → value for DuckDB's ascii() decode (md5 is lowercase). */
@@ -256,6 +313,57 @@ object SelectionOps {
          |SELECT doc_a, doc_b, i * 1000000 // (s - i) AS jac_ppm
          |FROM p WHERE i * 1000000 // (s - i) >= $JaccardTauPpm
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "knn_label_vote" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |norms AS (SELECT vec_id, sum(x * x) AS n FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT va, vb,
+        |                CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |         FROM dots
+        |         JOIN norms na ON na.vec_id = va
+        |         JOIN norms nb ON nb.vec_id = vb),
+        |best AS (SELECT va, vb, sim,
+        |                row_number() OVER (PARTITION BY va
+        |                                   ORDER BY sim DESC, vb) AS rn
+        |         FROM sims),
+        |v AS (SELECT best.va AS vec_id, CAST(l.label AS BIGINT) AS cand_label,
+        |             count(*) AS votes
+        |      FROM best JOIN embeddings l ON l.vec_id = best.vb
+        |      WHERE best.rn <= 3 AND l.label IS NOT NULL
+        |      GROUP BY 1, 2),
+        |w AS (SELECT vec_id, cand_label AS voted_label, votes,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY votes DESC, cand_label) AS rk
+        |      FROM v)
+        |SELECT w.vec_id, CAST(o.label AS BIGINT) AS label, w.voted_label,
+        |       w.votes, w.voted_label = CAST(o.label AS BIGINT) AS is_match
+        |FROM w JOIN embeddings o ON o.vec_id = w.vec_id
+        |WHERE w.rk = 1 ORDER BY w.vec_id""".stripMargin,
+
+    "novelty_by_source" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |gr AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(l) - 1),
+        |           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+        |       FROM tk),
+        |f AS (SELECT g, min(doc_id) AS doc_id FROM gr GROUP BY g),
+        |owned AS (SELECT d.source, count(*) AS n_owned
+        |          FROM f JOIN documents d USING (doc_id) GROUP BY 1),
+        |dist AS (SELECT source, count(*) AS n_distinct FROM (
+        |           SELECT DISTINCT d.source, gr.g
+        |           FROM gr JOIN documents d USING (doc_id)) GROUP BY source)
+        |SELECT dist.source, n_distinct,
+        |       COALESCE(n_owned, 0) AS n_owned,
+        |       COALESCE(n_owned, 0) * 1000000 // n_distinct AS owned_ppm
+        |FROM dist LEFT JOIN owned ON dist.source = owned.source
+        |ORDER BY dist.source""".stripMargin,
 
     "knn_graph" ->
       """WITH e AS (

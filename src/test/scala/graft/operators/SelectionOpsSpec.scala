@@ -118,6 +118,61 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture corpus plants near-dup pairs — join must find them")
   }
 
+  test("knn_label_vote == JVM brute 3-NN majority vote (sf0.001 embeddings)") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong)
+    }.toMap
+    val n = q.map { case (id, a) => id -> a.map(x => x * x).sum }
+    val lab = rows.map { case (id, _, l) => id -> l }.toMap
+    def sim(a: Long, b: Long): Double = {
+      val d = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      d / math.sqrt(n(a).toDouble * n(b).toDouble)
+    }
+    val ids = rows.map(_._1)
+    val expect = ids.map { a =>
+      val nn = ids.filter(_ != a).map(b => (b, sim(a, b)))
+        .sortBy { case (b, s) => (-s, b) }.take(3)
+      val byLabel = nn.groupBy { case (b, _) => lab(b) }
+        .map { case (l, xs) => (l, xs.size.toLong) }
+      val (voted, votes) = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      (a, lab(a), voted, votes, voted == lab(a))
+    }.sortBy(_._1).toSeq
+    val got = SelectionOps.queries("knn_label_vote")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("novelty_by_source == JVM brute first-occurrence ownership (sf0.001 corpus)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val firstDoc = scala.collection.mutable.LinkedHashMap[String, Long]()
+    docs.foreach { case (id, t, _) =>
+      bruteGrams(t).toSet[String].foreach { g =>
+        if (!firstDoc.contains(g)) firstDoc(g) = id
+      }
+    }
+    val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
+    val owned = firstDoc.toSeq.groupBy { case (_, id) => srcOf(id) }
+      .map { case (s, xs) => s -> xs.size.toLong }
+    val distinctPerSrc = docs.flatMap { case (id, t, s) =>
+      bruteGrams(t).toSet[String].map(g => (s, g))
+    }.distinct.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val expect = distinctPerSrc.toSeq.sortBy(_._1).map { case (s, nd) =>
+      val no = owned.getOrElse(s, 0L)
+      (s, nd, no, no * 1000000L / nd)
+    }
+    val got = SelectionOps.queries("novelty_by_source")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.map(_._3).sum == firstDoc.size.toLong,
+      "every distinct gram is owned by exactly one source")
+  }
+
   test("simjoin_prefix_filter complete at a low τ too (synthetic, heavier overlap)") {
     // lower τ stresses the prefix bound (longer prefixes, more cands)
     val base = "q w e r t y u i o p a s d f g h j k l"
