@@ -240,14 +240,19 @@ object SelectionOps {
     // source-keyed dim-sized aggs; all shuffles linear in grams.
     "novelty_by_source" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // ONE doc_id-keyed join attaches the source to every gram; the
+      // owner then falls out of min(struct(doc_id, source)) — doc_id
+      // leads the struct, so the min is the first-occurrence carrier
+      // and no census→dim second join is needed
       val grams = DedupOps.docShingleArrays(docs)
         .select(col("doc_id"), explode(col("ghs")).as("gh"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .localCheckpoint(true)
-      val src = docs.select(col("doc_id"), col("source"))
-      val owned = grams.groupBy("gh").agg(min("doc_id").as("doc_id"))
-        .join(src, "doc_id")
-        .groupBy("source").agg(count(lit(1)).as("n_owned"))
-      val distinctPerSource = grams.join(src, "doc_id")
+      val owned = grams.groupBy("gh")
+        .agg(min(struct(col("doc_id"), col("source"))).as("f"))
+        .groupBy(col("f.source").as("source"))
+        .agg(count(lit(1)).as("n_owned"))
+      val distinctPerSource = grams
         .select("source", "gh").distinct()
         .groupBy("source").agg(count(lit(1)).as("n_distinct"))
       distinctPerSource.join(owned, Seq("source"), "left")
