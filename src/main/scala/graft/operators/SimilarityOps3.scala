@@ -34,8 +34,14 @@ object SimilarityOps3 {
     "sparse_cosine_topk" -> ((s, d) => {
       // the shingle explode feeds the df tier, the norm tier, and both
       // pair-join legs — materialize it once (eager localCheckpoint;
-      // lazy lineage recomputed the corpus explode ~5×)
-      val grams = DedupOps.shingles(Tables.documents(s, d)).localCheckpoint(true)
+      // lazy lineage recomputed the corpus explode ~5×). Grams ride as
+      // xxhash64 longs: df/weights/dots depend only on gram IDENTITY,
+      // so the hash is correctness-neutral (2⁻⁶⁴, the jaccard family's
+      // documented tolerance) and every shuffle key drops from a
+      // ~17-char string to 8 bytes
+      val grams = DedupOps.docShingleArrays(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("ghs")).as("g"))
+        .localCheckpoint(true)
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       // DF cut (see DedupOps.HotGramDfCap): grams above the cap are
       // dropped from the vocabulary entirely — weights, norms, and dots
