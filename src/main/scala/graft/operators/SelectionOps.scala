@@ -85,15 +85,22 @@ object SelectionOps {
 
   private def tokens(c: Column): Column = split(c, " ", -1)
 
-  /** Priority sampling: u = 16-bit uniform from the md5 content hash,
-    * priority_ppm = u·10⁶ div w — k smallest win. Integer-exact. */
-  def weightedSample(docs: DataFrame, k: Int): DataFrame =
+  /** (doc_id, w, priority_ppm) for every doc — the row-local priority
+    * tier shared by the batch sampler and the streaming reservoir
+    * ([[graft.streaming.WeightedSampleStream]]). */
+  def withPriority(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         greatest(col("n_chars").cast("long"), lit(1L)).as("w"),
         conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10)
           .cast("long").as("u"))
       .withColumn("priority_ppm", expr("u * 1000000 div w"))
+      .select("doc_id", "w", "priority_ppm")
+
+  /** Priority sampling: u = 16-bit uniform from the md5 content hash,
+    * priority_ppm = u·10⁶ div w — k smallest win. Integer-exact. */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame =
+    withPriority(docs)
       .orderBy(col("priority_ppm"), col("doc_id")).limit(k)
       .select("doc_id", "w", "priority_ppm")
       .orderBy("doc_id")
