@@ -61,6 +61,8 @@ object SparkEntry {
       PipelineOps.queries ++
       RetrievalOps.queries ++
       SelectionOps.queries ++
+      RelationalOps7.queries ++
+      SpanDedupOps.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -107,7 +109,9 @@ object SparkEntry {
       SetOps.oracles ++
       PipelineOps.oracles ++
       RetrievalOps.oracles ++
-      SelectionOps.oracles
+      SelectionOps.oracles ++
+      RelationalOps7.oracles ++
+      SpanDedupOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }
