@@ -63,6 +63,7 @@ object SparkEntry {
       SelectionOps.queries ++
       RelationalOps7.queries ++
       SpanDedupOps.queries ++
+      AudioOps.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -111,7 +112,8 @@ object SparkEntry {
       RetrievalOps.oracles ++
       SelectionOps.oracles ++
       RelationalOps7.oracles ++
-      SpanDedupOps.oracles
+      SpanDedupOps.oracles ++
+      AudioOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio-column plumbing: the WAV twin of [[MediaOps]]'s real-PNG leg.
+  *
+  * The JDK bundles a genuine RIFF/WAVE codec (`javax.sound.sampled`),
+  * so — exactly like the image path — the corpus payloads are REAL
+  * audio containers, not byte stubs: per doc, a 16-bit mono PCM clip
+  * whose samples follow an integer recurrence seeded from md5(text)
+  * (`s_i = ((seed + i·1664525) mod 2¹⁶) − 2¹⁵`), encoded to WAV bytes
+  * on the executors. The feature extractor then parses those bytes
+  * back with `AudioSystem` and computes sample-exact signal stats
+  * (length, zero crossings, energy, peak) — all integer arithmetic,
+  * so the DuckDB oracle re-derives every value from the generator
+  * formula while the Spark side must recover it from real WAV
+  * structure. A header mismatch, endianness slip, or dropped frame
+  * breaks the hash compare.
+  *
+  * Scale notes (100 TB): encode+decode run once per row inside one
+  * narrow mapPartitions stage (no shuffle), after column pruning drops
+  * `text`; corrupt payloads yield ok=false rows, never a dead stage
+  * (same NonFatal discipline as image decode). The corpus parquet is
+  * one input split — round-robin first so the codec work spreads
+  * across the cluster.
+  */
+object AudioOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val SampleRate = 8000
+
+  case class AudioRow(media_id: Long, payload: Array[Byte])
+  case class DecodedAudio(media_id: Long, sr: Long, n_samples: Long,
+                          zero_crossings: Long, energy: Long, peak: Long,
+                          ok: Boolean)
+
+  /** Real WAV encode/decode via the JDK's `javax.sound.sampled`. */
+  object WavCodec {
+    def encode(samples: Array[Short], sr: Int): Array[Byte] = {
+      // signed 16-bit little-endian mono — the canonical PCM WAV layout
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** None on anything unreadable or not 16-bit mono PCM. */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        if (payload == null) None
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Short](n)
+            val be = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val b0 = bytes(2 * i) & 0xff
+              val b1 = bytes(2 * i + 1) & 0xff
+              out(i) = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Generator recurrence, shared by the corpus synthesis and the spec
+    * brute force: seed = b0·256+b1, n = 256 + (b2 mod 8)·64, samples
+    * s_i = ((seed + i·1664525) mod 65536) − 32768. */
+  def samplesFor(md5hex: String): Array[Short] = {
+    def b(i: Int) = Integer.parseInt(md5hex.substring(2 * i, 2 * i + 2), 16)
+    val seed = b(0) * 256 + b(1)
+    val n = 256 + (b(2) % 8) * 64
+    Array.tabulate(n)(i => (((seed + i.toLong * 1664525L) % 65536L) - 32768L).toShort)
+  }
+
+  /** Synthesize the real-WAV corpus from `documents`. */
+  def wavTable(s: SparkSession, d: String): Dataset[AudioRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), md5(col("text")).as("h"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, h) => AudioRow(id, WavCodec.encode(samplesFor(h), SampleRate)) }
+  }
+
+  /** Partition-batched real decode + integer signal stats. */
+  def decodeAll(audio: Dataset[AudioRow]): Dataset[DecodedAudio] = {
+    import audio.sparkSession.implicits._
+    audio.map { r =>
+      WavCodec.decode(r.payload) match {
+        case None => DecodedAudio(r.media_id, 0L, 0L, 0L, 0L, 0L, ok = false)
+        case Some((sr, xs)) =>
+          var zc = 0L; var energy = 0L; var peak = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toLong
+            if (i > 0 && v * xs(i - 1).toLong < 0) zc += 1
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          DecodedAudio(r.media_id, sr.toLong, xs.length.toLong, zc, energy, peak, ok = true)
+      }
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "media_audio_stats" -> ((s, d) =>
+      decodeAll(wavTable(s, d)).toDF()
+        .select("media_id", "sr", "n_samples", "zero_crossings",
+          "energy", "peak", "ok")
+        .orderBy("media_id"))
+  )
+
+  private def hexByte(i: Int): String = {
+    val a1 = s"ascii(substr(h, ${2 * i + 1}, 1))"
+    val a2 = s"ascii(substr(h, ${2 * i + 2}, 1))"
+    s"((CASE WHEN $a1 >= 97 THEN $a1 - 87 ELSE $a1 - 48 END) * 16" +
+      s" + (CASE WHEN $a2 >= 97 THEN $a2 - 87 ELSE $a2 - 48 END))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    // re-derive every stat from the generator recurrence; the Spark
+    // side must recover identical values from real WAV bytes
+    "media_audio_stats" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+         |p AS (SELECT media_id,
+         |        ${hexByte(0)} * 256 + ${hexByte(1)} AS seed,
+         |        256 + (${hexByte(2)} % 8) * 64 AS n
+         |      FROM m),
+         |samp AS (SELECT media_id, i,
+         |           (seed + i * 1664525) % 65536 - 32768 AS s
+         |         FROM (SELECT media_id, seed, n,
+         |                 unnest(range(0, CAST(n AS BIGINT))) AS i FROM p)),
+         |lagd AS (SELECT media_id, s,
+         |           lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+         |         FROM samp)
+         |SELECT p.media_id, CAST($SampleRate AS BIGINT) AS sr,
+         |       CAST(p.n AS BIGINT) AS n_samples,
+         |       CAST(sum(CASE WHEN l.s * l.prev < 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS zero_crossings,
+         |       CAST(sum(l.s * l.s) AS BIGINT) AS energy,
+         |       CAST(max(abs(l.s)) AS BIGINT) AS peak,
+         |       true AS ok
+         |FROM p JOIN lagd l ON l.media_id = p.media_id
+         |GROUP BY p.media_id, p.n
+         |ORDER BY p.media_id""".stripMargin
+  )
+}
