@@ -64,6 +64,7 @@ object SparkEntry {
       RelationalOps7.queries ++
       SpanDedupOps.queries ++
       AudioOps.queries ++
+      AnalyticsOps4.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -113,7 +114,8 @@ object SparkEntry {
       SelectionOps.oracles ++
       RelationalOps7.oracles ++
       SpanDedupOps.oracles ++
-      AudioOps.oracles
+      AudioOps.oracles ++
+      AnalyticsOps4.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -145,6 +145,21 @@ object SourcesOps {
         .orderBy("o_orderkey")
     }),
 
+    // CSV round trip (the reference's dimension-load wire format, S2) —
+    // full documents table incl. free text through the quoting/escape
+    // path; the oracle reads the SOURCE table, so a hash match proves
+    // header+quote+parse round-trips every row byte-identically
+    "csv_roundtrip" -> ((s, d) => {
+      val dir = tmp("graft_csv")
+      Tables.documents(s, d)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .csv(dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // JSON round trip (the HTTP API's wire format, S10)
     "json_roundtrip" -> ((s, d) => {
       val dir = tmp("graft_json")
@@ -178,6 +193,10 @@ object SourcesOps {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "json_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
