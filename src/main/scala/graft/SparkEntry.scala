@@ -65,6 +65,7 @@ object SparkEntry {
       SpanDedupOps.queries ++
       AudioOps.queries ++
       AnalyticsOps4.queries ++
+      TrainingOps6.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -115,7 +116,8 @@ object SparkEntry {
       RelationalOps7.oracles ++
       SpanDedupOps.oracles ++
       AudioOps.oracles ++
-      AnalyticsOps4.oracles
+      AnalyticsOps4.oracles ++
+      TrainingOps6.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }
