@@ -62,6 +62,12 @@ object SparkEntry {
       RetrievalOps.queries ++
       SelectionOps.queries ++
       RelationalOps7.queries ++
+      RelationalOps8.queries ++
+      FunctionOps2.queries ++
+      SelectionOps2.queries ++
+      TextOps6.queries ++
+      PiiOps2.queries ++
+      graft.sources.SourcesOps2.queries ++
       SpanDedupOps.queries ++
       AudioOps.queries ++
       AnalyticsOps4.queries ++
@@ -114,6 +120,11 @@ object SparkEntry {
       RetrievalOps.oracles ++
       SelectionOps.oracles ++
       RelationalOps7.oracles ++
+      RelationalOps8.oracles ++
+      FunctionOps2.oracles ++
+      SelectionOps2.oracles ++
+      PiiOps2.oracles ++
+      graft.sources.SourcesOps2.oracles ++
       SpanDedupOps.oracles ++
       AudioOps.oracles ++
       AnalyticsOps4.oracles ++
