@@ -124,11 +124,61 @@ object AudioOps {
     }
   }
 
+  case class BandEnergy(media_id: Long, p_dc: Long, p_quarter: Long,
+                        p_nyquist: Long, dominant: String, ok: Boolean)
+
+  /** Exact-integer 3-bin spectral energies: DFT power at DC, Fs/4 and
+    * Fs/2. Those three bins are special — their twiddle factors are
+    * exactly {0, ±1} (e^{-iπn/2} cycles 1,−i,−1,i; e^{-iπn} alternates
+    * ±1) — so the DFT degenerates to signed integer sums and the
+    * energies are EXACT longs both engines compute identically, where
+    * a general-bin Goertzel would run an order-dependent double
+    * recurrence no SQL oracle can replay bit-for-bit. DC/band/Nyquist
+    * split is the classic cheap audio triage (silence/hum vs voiced
+    * band vs aliasing/noise) run before any expensive featurizer. */
+  def bandEnergies(audio: Dataset[AudioRow]): Dataset[BandEnergy] = {
+    import audio.sparkSession.implicits._
+    audio.map { r =>
+      WavCodec.decode(r.payload) match {
+        case None => BandEnergy(r.media_id, 0L, 0L, 0L, "none", ok = false)
+        case Some((_, xs)) =>
+          var s = 0L; var re = 0L; var im = 0L; var alt = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toLong
+            s += v
+            (i & 3) match {
+              case 0 => re += v
+              case 1 => im -= v
+              case 2 => re -= v
+              case _ => im += v
+            }
+            alt += (if ((i & 1) == 0) v else -v)
+            i += 1
+          }
+          val pDc = s * s
+          val pQ = re * re + im * im
+          val pN = alt * alt
+          val dom =
+            if (pDc >= pQ && pDc >= pN) "dc"
+            else if (pQ >= pN) "quarter"
+            else "nyquist"
+          BandEnergy(r.media_id, pDc, pQ, pN, dom, ok = true)
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "media_audio_stats" -> ((s, d) =>
       decodeAll(wavTable(s, d)).toDF()
         .select("media_id", "sr", "n_samples", "zero_crossings",
           "energy", "peak", "ok")
+        .orderBy("media_id")),
+
+    "media_audio_bands" -> ((s, d) =>
+      bandEnergies(wavTable(s, d)).toDF()
+        .select("media_id", "p_dc", "p_quarter", "p_nyquist",
+          "dominant", "ok")
         .orderBy("media_id"))
   )
 
@@ -164,6 +214,36 @@ object AudioOps {
          |       true AS ok
          |FROM p JOIN lagd l ON l.media_id = p.media_id
          |GROUP BY p.media_id, p.n
-         |ORDER BY p.media_id""".stripMargin
+         |ORDER BY p.media_id""".stripMargin,
+
+    // same generator recurrence; the three special bins' twiddles are
+    // {0,±1}, so every energy is an exact integer in both engines
+    "media_audio_bands" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+         |p AS (SELECT media_id,
+         |        ${hexByte(0)} * 256 + ${hexByte(1)} AS seed,
+         |        256 + (${hexByte(2)} % 8) * 64 AS n
+         |      FROM m),
+         |samp AS (SELECT media_id, i,
+         |           (seed + i * 1664525) % 65536 - 32768 AS s
+         |         FROM (SELECT media_id, seed, n,
+         |                 unnest(range(0, CAST(n AS BIGINT))) AS i FROM p)),
+         |acc AS (SELECT media_id,
+         |          CAST(sum(s) AS BIGINT) AS sdc,
+         |          CAST(sum(CASE WHEN i % 4 = 0 THEN s
+         |                        WHEN i % 4 = 2 THEN -s ELSE 0 END) AS BIGINT) AS re,
+         |          CAST(sum(CASE WHEN i % 4 = 1 THEN -s
+         |                        WHEN i % 4 = 3 THEN s ELSE 0 END) AS BIGINT) AS im,
+         |          CAST(sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS alt
+         |        FROM samp GROUP BY media_id)
+         |SELECT media_id, sdc * sdc AS p_dc,
+         |       re * re + im * im AS p_quarter,
+         |       alt * alt AS p_nyquist,
+         |       CASE WHEN sdc * sdc >= re * re + im * im
+         |             AND sdc * sdc >= alt * alt THEN 'dc'
+         |            WHEN re * re + im * im >= alt * alt THEN 'quarter'
+         |            ELSE 'nyquist' END AS dominant,
+         |       true AS ok
+         |FROM acc ORDER BY media_id""".stripMargin
   )
 }

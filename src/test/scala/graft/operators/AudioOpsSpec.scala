@@ -51,4 +51,29 @@ class AudioOpsSpec extends SparkSpec {
     val out = AudioOps.decodeAll(rows).collect().map(r => r.media_id -> r.ok).toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
+
+  test("band energies: pure tones land in their own bin") {
+    val n = 64
+    val amp = 1000
+    // constant -> DC; [A,0,-A,0] cycle -> Fs/4; alternating ±A -> Nyquist
+    val dc = Array.fill(n)(amp.toShort)
+    val quarter = Array.tabulate(n)(i => (Seq(amp, 0, -amp, 0)(i % 4)).toShort)
+    val nyq = Array.tabulate(n)(i => (if (i % 2 == 0) amp else -amp).toShort)
+    val rows = Seq(
+      AudioRow(1L, WavCodec.encode(dc, AudioOps.SampleRate)),
+      AudioRow(2L, WavCodec.encode(quarter, AudioOps.SampleRate)),
+      AudioRow(3L, WavCodec.encode(nyq, AudioOps.SampleRate)),
+      AudioRow(4L, Array[Byte](9, 9))
+    ).toDS()
+    val out = AudioOps.bandEnergies(rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).dominant == "dc" && out(1L).p_quarter == 0L && out(1L).p_nyquist == 0L)
+    assert(out(2L).dominant == "quarter" && out(2L).p_dc == 0L && out(2L).p_nyquist == 0L)
+    assert(out(3L).dominant == "nyquist" && out(3L).p_dc == 0L && out(3L).p_quarter == 0L)
+    assert(!out(4L).ok && out(4L).dominant == "none")
+    // exact values: a pure tone's whole energy concentrates in its bin
+    assert(out(1L).p_dc == (n.toLong * amp) * (n.toLong * amp))
+    // re gains +A at i%4==0 and −(−A) at i%4==2 → n/2·A total; im = 0
+    assert(out(2L).p_quarter == (n.toLong / 2 * amp) * (n.toLong / 2 * amp))
+    assert(out(3L).p_nyquist == (n.toLong * amp) * (n.toLong * amp))
+  }
 }
