@@ -72,6 +72,7 @@ object SparkEntry {
       AudioOps.queries ++
       AnalyticsOps4.queries ++
       TrainingOps6.queries ++
+      TrainingOps7.queries ++
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries
 
@@ -128,7 +129,8 @@ object SparkEntry {
       SpanDedupOps.oracles ++
       AudioOps.oracles ++
       AnalyticsOps4.oracles ++
-      TrainingOps6.oracles
+      TrainingOps6.oracles ++
+      TrainingOps7.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -72,11 +72,29 @@ object SelectionOps2 {
       .orderBy("pos")
   }
 
+  /** Near-dup cluster-size histogram — the shape audit over
+    * `dedup_cluster`'s components (how much of the corpus sits in
+    * 2-doc twins vs mass-duplicated templates decides whether to keep
+    * one-per-cluster or drop entire clusters). Costs one extra
+    * 2-level aggregate over the component labels — component count →
+    * size → histogram rows, both tiny next to the pair join. */
+  def clusterSizes(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(docs)
+      .filter(col("j") >= 0.5).select("da", "db")
+    DedupOps.connectedComponentsAuto(docs.select("doc_id"), pairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_exact_k" -> ((s, d) =>
       exactKPerLang(Tables.documents(s, d), ExactK)),
     "interleave_order" -> ((s, d) =>
-      interleaveOrder(Tables.documents(s, d)))
+      interleaveOrder(Tables.documents(s, d))),
+    "dup_cluster_sizes" -> ((s, d) =>
+      clusterSizes(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,6 +105,31 @@ object SelectionOps2 {
          |                            ORDER BY md5(text), doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= $ExactK ORDER BY lang, pr, doc_id""".stripMargin,
+
+    "dup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jac AS (SELECT da, db
+        |        FROM inter
+        |        JOIN sizes sa ON sa.doc_id = da
+        |        JOIN sizes sb ON sb.doc_id = db
+        |        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM jac
+        |          UNION ALL SELECT db, da FROM jac),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        |comp AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+        |szs AS (SELECT label, count(*) AS sz FROM comp GROUP BY label)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM szs GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "interleave_order" ->
       """WITH ranked AS (
