@@ -19,19 +19,14 @@ res = {
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
              "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
-             "full cold passes (single passes show transient 5-15x stalls — this round "
-             "asof_next_event 15.2 and contamination_ngram_rate 11.0 in pass 1, both "
-             "refuted by pass 2 at <=3.6). Round-8 final: full 209-query registry on the "
-             "REGENERATED corpus (60% longer texts, ~4700x more planted near-dup pairs), "
-             "median 1.47. Only doc_winnow_fingerprint (10.29) grazes the linear bound: a "
-             "pure per-character map/explode stage whose 10x remap carries ~16x characters "
-             "— per-character it is sub-linear. The five selection-tranche adds: "
-             "sample_weighted 1.0, phrase_match_topk 1.5, knn_graph 2.3, gram_novelty "
-             "7.66, simjoin_prefix_filter 5.28 (both gram ops scale with total grams + "
-             "true pair volume; linear plans, pair-volume-driven). The former quadratics "
-             "(dedup_embedding_near 51x, hard_negatives 62x) stay <2.5x under the blocked "
-             "EmbeddingNeighbors kernel."),
-    "n_queries": len(out),
+             "full cold passes. Round-8 second wave: the FULL 238-query registry (incl. the "
+             "eleven second-wave adds), median 1.34, worst 8.19 (text_normalize) - every "
+             "query sub-linear; the >=4x tail is exactly the per-character map stages "
+             "(normalize/winnow/WAV codecs at 5-8x: the 10x remap carries ~16x characters, "
+             "so per character they are sub-linear too). Second-wave adds all land <=1.94 "
+             "except dup_cluster_sizes 1.86 and media_audio_bands 5.2 (the WAV-codec "
+             "family shape). The former quadratics (dedup_embedding_near, hard_negatives) "
+             "hold at 1.5-1.7 under the blocked EmbeddingNeighbors kernel."),    "n_queries": len(out),
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
     "queries": out,
