@@ -149,4 +149,26 @@ object AnnIndex {
   def ensureAll(spark: SparkSession, dir: String): Unit = {
     srp(spark, dir); ivf(spark, dir)
   }
+
+  /** Deployment-shape SRP builders against an EXPLICIT index path (a
+    * metastore owns freshness there, not the sandbox fingerprint):
+    * `buildSrpAt` lays the index down, `appendSrpAt` is the freshness
+    * path — new vectors' signatures land as extra files inside the
+    * same `srp_bucket=` partition directories, so ingest appends
+    * instead of rebuilding and probe-side partition pruning is
+    * untouched (pruning selects directories; directories accrete
+    * files). Compact with `SourcesOps.compactPartitions` when the
+    * file count per bucket grows — the same read-side maintenance
+    * trade every streaming sink has. */
+  def buildSrpAt(path: String, vectors: DataFrame): Unit =
+    writeSrpAt(path, vectors, "overwrite")
+
+  def appendSrpAt(path: String, vectors: DataFrame): Unit =
+    writeSrpAt(path, vectors, "append")
+
+  private def writeSrpAt(path: String, vectors: DataFrame, mode: String): Unit =
+    SimilarityOps.srpSignature(vectors, SrpBits)
+      .withColumn("srp_bucket", col("srp_bucket").cast("int"))
+      .repartition(col("srp_bucket"))
+      .write.mode(mode).partitionBy("srp_bucket").parquet(path)
 }

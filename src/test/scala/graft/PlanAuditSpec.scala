@@ -288,6 +288,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"sample_weighted grew a join:\n$plan")
   }
 
+  test("second-wave map-stage ops stay row-local (one exchange beyond scan at most)") {
+    // pseudonymization, bitwise surface, deflate signal, audio bands:
+    // all per-row compute — the only exchanges allowed are the
+    // consuming aggregation pair or the presentation sort
+    Seq("bitwise_funcs_surface", "doc_compress_ratio").foreach { q =>
+      val p = finalPlan(q).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q shuffled beyond the presentation sort:\n$p")
+    }
+    Seq("pii_pseudonymize", "media_audio_bands").foreach { q =>
+      val p = finalPlan(q).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2 || !p.contains("HashAggregate"),
+        s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+
+  test("q12 band rides the equi join; interleave ranks per source, never globally") {
+    val q12 = finalPlan("q12_late_shipments")
+    assert(!q12.contains("CartesianProduct") && !q12.contains("BroadcastNestedLoop"),
+      s"q12 date band degraded the order-key equi join:\n$q12")
+    val il = finalPlan("interleave_order").split("== Initial Plan ==").head
+    // the corpus-sized window must be hash-partitioned by source; the
+    // only single-partition window allowed is the |sources|-row index
+    val globalWindows = "Window".r.findAllIn(il).size
+    assert(globalWindows <= 2, s"interleave_order window stack grew:\n$il")
+    assert(il.contains("hashpartitioning(source"),
+      s"per-source rank must partition by source:\n$il")
+  }
+
   test("phrase search joins position lists on keys; prefix simjoin plans no cartesian") {
     val phrase = finalPlan("phrase_match_topk")
     assert(!phrase.contains("CartesianProduct") && !phrase.contains("BroadcastNestedLoop"),
