@@ -4,21 +4,40 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bitwise scalar surface — the integer bit-manipulation family the
-  * first function tranche didn't cover (the reference's scalar library
-  * is IP/time/format-centric; bit ops are what its partition-key and
-  * codec plumbing uses under the hood, and what zorder_key/simhash
-  * lean on here).
+/** Bitwise + URL scalar surfaces — function families the first
+  * tranche didn't cover (the reference's scalar library is
+  * IP/time/format-centric; bit ops are what its partition-key and
+  * codec plumbing uses under the hood, and URL parsing is the
+  * clickstream-adjacent codec its dest-url dimension implies).
   *
-  * All inputs are non-negative (`event_id`), so arithmetic-vs-logical
-  * shift semantics can't diverge between engines; NOT produces
-  * negatives, identical under two's complement in both. Pure codegen
-  * map stage — no shuffle but the presentation sort.
+  * Bitwise: all inputs are non-negative (`event_id`), so
+  * arithmetic-vs-logical shift semantics can't diverge between
+  * engines; NOT produces negatives, identical under two's complement
+  * in both. URL: the URLs are synthesized from event columns, so the
+  * oracle re-derives every component from the SAME source columns —
+  * Spark must recover them through a real `parse_url` parse.
+  * Both are pure codegen map stages — no shuffle but the sort.
   */
 object FunctionOps2 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "url_funcs_surface" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          concat(lit("https://"), col("event_type"), lit(".example.com"),
+            lit("/u/"), col("user_id"),
+            lit("?session="), col("event_id") % 97,
+            lit("&src=app#frag")).as("url"))
+        .select(col("event_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("QUERY"), lit("session")).as("session_q"),
+          parse_url(col("url"), lit("REF")).as("ref"))
+        .orderBy("event_id")),
     "bitwise_funcs_surface" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"))
@@ -35,6 +54,19 @@ object FunctionOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // every component re-derived from the source columns the URL was
+    // built from — Spark must round-trip them through a real parse
+    "url_funcs_surface" ->
+      """SELECT event_id,
+        |       event_type || '.example.com' AS host,
+        |       '/u/' || CAST(user_id AS VARCHAR) AS path,
+        |       'session=' || CAST(event_id % 97 AS VARCHAR) || '&src=app'
+        |         AS query,
+        |       'https' AS proto,
+        |       CAST(event_id % 97 AS VARCHAR) AS session_q,
+        |       'frag' AS ref
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
     "bitwise_funcs_surface" ->
       """SELECT event_id,
         |       ~event_id AS bnot,
