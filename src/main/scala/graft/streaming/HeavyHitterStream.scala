@@ -56,6 +56,31 @@ object HeavyHitterStream {
       col(keyCol).cast("long").as("key")).as[Obs]
   }
 
+  /** One pure merge step: fold a batch census into a summary
+    * (mergeable-summaries reduction — subtract the (k+1)-th largest
+    * count, drop non-positives). Shared by the streaming operator and
+    * the property spec, so the tested kernel IS the deployed one. */
+  def mergeStep(prev: Summary, census: Iterator[Long], k: Int): Summary = {
+    val batch = scala.collection.mutable.LongMap.empty[Long]
+    var added = 0L
+    census.foreach { key =>
+      batch.update(key, batch.getOrElse(key, 0L) + 1L); added += 1L }
+    val merged = scala.collection.mutable.LongMap.empty[Long]
+    prev.counts.foreach { case (key, c) => merged.update(key, c) }
+    batch.foreach { case (key, c) =>
+      merged.update(key, merged.getOrElse(key, 0L) + c) }
+    var dec = prev.dec
+    val reduced =
+      if (merged.size > k) {
+        val t = merged.values.toArray.sorted(Ordering.Long.reverse).apply(k)
+        dec += t
+        val r = scala.collection.mutable.LongMap.empty[Long]
+        merged.foreach { case (key, c) => if (c > t) r.update(key, c - t) }
+        r
+      } else merged
+    Summary(reduced.toMap, prev.n + added, dec)
+  }
+
   /** Misra-Gries summaries over an observation stream. `k` counters
     * per shard; state and output are both ≤ k entries per shard. */
   def heavyHitters(obs: Dataset[Obs], k: Int)
@@ -68,28 +93,7 @@ object HeavyHitterStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (pid, it, state) =>
           val prev = state.getOption.getOrElse(Summary(Map.empty, 0L, 0L))
-          // batch census first: one map update per DISTINCT key in the
-          // batch, not one per row
-          val census = scala.collection.mutable.LongMap.empty[Long]
-          var added = 0L
-          it.foreach { o =>
-            census.update(o.key, census.getOrElse(o.key, 0L) + 1L); added += 1L }
-          val merged = scala.collection.mutable.LongMap.empty[Long]
-          prev.counts.foreach { case (key, c) => merged.update(key, c) }
-          census.foreach { case (key, c) =>
-            merged.update(key, merged.getOrElse(key, 0L) + c) }
-          // mergeable-summaries reduction: subtract the (k+1)-th
-          // largest count, drop non-positives
-          var dec = prev.dec
-          val reduced =
-            if (merged.size > k) {
-              val t = merged.values.toArray.sorted(Ordering.Long.reverse).apply(k)
-              dec += t
-              val r = scala.collection.mutable.LongMap.empty[Long]
-              merged.foreach { case (key, c) => if (c > t) r.update(key, c - t) }
-              r
-            } else merged
-          val next = Summary(reduced.toMap, prev.n + added, dec)
+          val next = mergeStep(prev, it.map(_.key), k)
           state.update(next)
           next.counts.iterator.map { case (key, c) =>
             HH(pid, key, c, next.dec, next.n)

@@ -44,4 +44,38 @@ class RocksDbStateSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("Misra-Gries summaries identical under RocksDBStateStoreProvider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    import HeavyHitterStream.{HH, Obs}
+    // deterministic for FIXED batches, so provider parity is exact
+    // row equality of the final snapshots
+    val batches = Seq(
+      (0 until 400).map(i => Obs(i % 2, (i % 9).toLong)),
+      (0 until 300).map(i => Obs(i % 2, 42L)),
+      (0 until 200).map(i => Obs(i % 2, (i % 23).toLong)))
+    def run(tag: String): Seq[(Int, Long, Long, Long, Long)] = {
+      val input = MemoryStream[Obs]
+      val q = HeavyHitterStream.heavyHitters(input.toDS(), 5).writeStream
+        .outputMode("append").format("memory").queryName(s"hh_rocks_$tag").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        HeavyHitterStream.latest(spark.table(s"hh_rocks_$tag")).as[HH]
+          .collect().map(h => (h.pid, h.key, h.est, h.dec, h.n)).sorted.toSeq
+      } finally q.stop()
+    }
+    val default = run("default")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = run("rocksdb")
+      assert(rocks == default, "summary must not depend on the state-store provider")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
