@@ -166,6 +166,15 @@ object AnnIndex {
   def appendSrpAt(path: String, vectors: DataFrame): Unit =
     writeSrpAt(path, vectors, "append")
 
+  /** Replay-idempotent streaming append: each micro-batch OVERWRITES
+    * its own `batch=<id>` subdirectory (a foreachBatch re-execution
+    * after crash recovery rewrites the same files instead of
+    * doubling them); `batch` becomes an extra partition column above
+    * `srp_bucket`, and bucket pruning selects directories at its own
+    * nesting level regardless. */
+  def writeSrpBatchAt(root: String, batchId: Long, vectors: DataFrame): Unit =
+    writeSrpAt(s"$root/batch=$batchId", vectors, "overwrite")
+
   private def writeSrpAt(path: String, vectors: DataFrame, mode: String): Unit =
     SimilarityOps.srpSignature(vectors, SrpBits)
       .withColumn("srp_bucket", col("srp_bucket").cast("int"))

@@ -102,11 +102,21 @@ object SnapshotProcs {
       .map(n => n -> Files.exists(manifestPath(root, n)))
   }
 
-  /** Reap uncommitted snapshot directories (crash leftovers). */
-  def reapUncommitted(root: String): Seq[String] =
-    listSnapshots(root).collect { case (n, false) =>
-      graft.sources.VersionedStore.deleteRecursive(
-        Paths.get(root, n).toFile)
-      n
+  /** Reap uncommitted snapshot directories (crash leftovers). A
+    * manifest-less dir is also what an IN-PROGRESS save looks like
+    * (the manifest is deliberately written last), so only dirs whose
+    * newest file is older than `minAgeMillis` are reaped — a live
+    * writer keeps touching its directory, a crashed one never will. */
+  def reapUncommitted(root: String, minAgeMillis: Long = 3600000L): Seq[String] = {
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: f.listFiles().toSeq.map(newestMtime)).max
+      else f.lastModified
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    listSnapshots(root).collect {
+      case (n, false) if newestMtime(Paths.get(root, n).toFile) < cutoff =>
+        graft.sources.VersionedStore.deleteRecursive(Paths.get(root, n).toFile)
+        n
     }
+  }
 }

@@ -82,18 +82,25 @@ object CurationPipeline {
   }
 
   /** foreachBatch sink: append survivors to the corpus and their
-    * vectors to the partitioned SRP index. Batch-idempotence rides the
-    * content registry (a re-delivered doc is a dup by then). */
+    * vectors to the partitioned SRP index. REPLAY-IDEMPOTENT: both
+    * writes go to `batch=<id>` directories in overwrite mode, so a
+    * crash-recovery re-execution of a micro-batch (state restored,
+    * same verdicts re-emitted) overwrites its own output instead of
+    * appending duplicates — the standard batchId-keyed foreachBatch
+    * commit. (The content registry only defends against re-delivered
+    * INPUT docs in later batches, not same-batch replays.) Readers
+    * see `batch` as one more partition column; srp_bucket pruning is
+    * unaffected (pruning selects directories at any nesting level). */
   def commitBatch(corpusDir: String, indexDir: String)
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val keep = keepOf(batch).localCheckpoint(true)
-    keep.write.mode("append").parquet(corpusDir)
+    keep.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
     val vecs = keep.select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) => (id, embed(t)) }
       .toDF("vec_id", "embedding")
-    AnnIndex.appendSrpAt(indexDir, vecs)
+    AnnIndex.writeSrpBatchAt(indexDir, batchId, vecs)
   }
 
   /** Wire the full slice as one streaming query. */

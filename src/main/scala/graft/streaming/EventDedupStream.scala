@@ -32,15 +32,25 @@ object EventDedupStream {
 
   /** Deduplicate an event stream by id within the watermark delay.
     * On a batch relation (Spark rejects the watermark variant there)
-    * this is plain first-wins dropDuplicates — the semantics a batch
-    * replay of the same feed wants anyway. */
+    * first-wins is made DETERMINISTIC: plain dropDuplicates keeps an
+    * arbitrary row per id under shuffle nondeterminism, so a batch
+    * replay ranks each id's rows by a total order (event time, then
+    * payload columns as tiebreak) and keeps rank 1 — "earliest
+    * delivery" is the only first the batch can reconstruct. */
   def dedup(events: DataFrame, delay: String = DefaultDelay): DataFrame =
     if (events.isStreaming)
       events
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("event_id")
-    else
-      events.dropDuplicates("event_id")
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val order = col("ts") +:
+        events.columns.filter(c => c != "event_id" && c != "ts").sorted.map(col)
+      events
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("event_id").orderBy(order: _*)))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
 
   /** The enrich-ready projection the ingest pipeline consumes after the
     * guard: stable column order, dedup applied first. */

@@ -46,14 +46,21 @@ object HeavyHitterStream {
 
   /** Route a key column to shards. Works on batch and streaming
     * relations (pure map — no repartition; the groupByKey in
-    * [[heavyHitters]] does the state-store routing). */
+    * [[heavyHitters]] does the state-store routing).
+    *
+    * `key` is the xxhash64 of the column — NOT its raw value — so the
+    * operator takes any key type (raw IPs, URLs, ids); a raw cast
+    * would null every non-numeric key. Counting by 64-bit hash is
+    * standard sketch practice (collision odds are negligible next to
+    * the sketch's own error); map hashes back to exemplars with a
+    * tiny (key_hash → key) dim join if display values are needed. */
   def observations(events: DataFrame, keyCol: String,
                    shards: Int = DefaultShards): Dataset[Obs] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(
       pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("pid"),
-      col(keyCol).cast("long").as("key")).as[Obs]
+      xxhash64(col(keyCol)).as("key")).as[Obs]
   }
 
   /** One pure merge step: fold a batch census into a summary

@@ -34,7 +34,12 @@ class SnapshotProcsSpec extends SparkSpec {
       SnapshotProcs.snapshotRestore(spark, root, "crashed")
     }
     assert(e.getMessage.contains("no committed manifest"))
-    assert(SnapshotProcs.reapUncommitted(root) == Seq("crashed"))
+    // default age threshold protects an IN-PROGRESS save (manifest is
+    // written last, so a live writer's dir also has no manifest yet)
+    assert(SnapshotProcs.reapUncommitted(root).isEmpty,
+      "a fresh manifest-less dir must NOT be reaped at the default age")
+    // forcing the cutoff into the future reaps the crash leftover
+    assert(SnapshotProcs.reapUncommitted(root, -60000L) == Seq("crashed"))
     assert(SnapshotProcs.listSnapshots(root).isEmpty)
   }
 

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import java.sql.Timestamp
 
-case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+case class DedupEv(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
 /** Native dropDuplicatesWithinWatermark as the ingest delivery guard:
@@ -11,13 +11,13 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
   * with plain dropDuplicates on unique-id input. */
 class EventDedupStreamSpec extends SparkSpec {
 
-  private def ev(id: Long, sec: Long): Ev =
-    Ev(id, new Timestamp(1700000000000L + sec * 1000L), id % 7, "click", 1.0)
+  private def ev(id: Long, sec: Long): DedupEv =
+    DedupEv(id, new Timestamp(1700000000000L + sec * 1000L), id % 7, "click", 1.0)
 
-  private def runBatches(batches: Seq[Seq[Ev]]): Seq[Long] = {
+  private def runBatches(batches: Seq[Seq[DedupEv]]): Seq[Long] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DedupEv]
     val q = EventDedupStream.guardedIngest(input.toDF(), "5 minutes").writeStream
       .outputMode("append").format("memory").queryName(s"edd_${batches.length}").start()
     try {
@@ -38,7 +38,7 @@ class EventDedupStreamSpec extends SparkSpec {
   test("each surviving event keeps its FIRST delivery's payload") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DedupEv]
     val q = EventDedupStream.dedup(input.toDF(), "5 minutes").writeStream
       .outputMode("append").format("memory").queryName("edd_first").start()
     try {
@@ -51,10 +51,13 @@ class EventDedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("batch relation degrades to plain dropDuplicates semantics") {
+  test("batch relation dedups deterministically: earliest delivery wins") {
     import spark.implicits._
-    val df = Seq(ev(1, 0), ev(1, 20), ev(2, 10)).toDF()
-    val got = EventDedupStream.dedup(df).select("event_id").as[Long].collect().sorted
-    assert(got.toSeq == Seq(1L, 2L))
+    val df = Seq(ev(1, 0), ev(1, 20).copy(value = 99.0), ev(2, 10))
+      .toDF().repartition(5)
+    val got = EventDedupStream.dedup(df)
+      .select("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 1.0)),
+      "batch first-wins must keep the earliest-ts payload under any partitioning")
   }
 }
