@@ -22,6 +22,23 @@ object FunctionOps2 {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Spark 4 VARIANT: parse the JSON props into the binary
+    // semi-structured type and extract through variant_get /
+    // try_variant_get / schema introspection — the modern replacement
+    // for stringly json_extract when the shape is open. The oracle
+    // re-derives the values via DuckDB's JSON functions: semantics are
+    // pinned, representation is each engine's own.
+    "variant_funcs_surface" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("k_missing"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("cast(to_json(v) as string)").as("vjson"))
+        .orderBy("event_id")),
+
     "url_funcs_surface" -> ((s, d) =>
       Tables.events(s, d)
         .filter(col("event_id") < 2000)
@@ -54,6 +71,16 @@ object FunctionOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // values re-derived with DuckDB JSON functions; the schema string
+    // is a constant because every props payload is {"k": <int>} —
+    // pinning Spark's VARIANT schema rendering exactly
+    "variant_funcs_surface" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       CAST(NULL AS BIGINT) AS k_missing,
+        |       'OBJECT<k: BIGINT>' AS vschema,
+        |       replace(props, '": ', '":') AS vjson
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
     // every component re-derived from the source columns the URL was
     // built from — Spark must round-trip them through a real parse
     "url_funcs_surface" ->
