@@ -163,17 +163,37 @@ object AnnIndex {
   def buildSrpAt(path: String, vectors: DataFrame): Unit =
     writeSrpAt(path, vectors, "overwrite")
 
-  def appendSrpAt(path: String, vectors: DataFrame): Unit =
+  def appendSrpAt(path: String, vectors: DataFrame): Unit = {
+    requireLayout(path, flat = true)
     writeSrpAt(path, vectors, "append")
+  }
 
   /** Replay-idempotent streaming append: each micro-batch OVERWRITES
     * its own `batch=<id>` subdirectory (a foreachBatch re-execution
     * after crash recovery rewrites the same files instead of
     * doubling them); `batch` becomes an extra partition column above
     * `srp_bucket`, and bucket pruning selects directories at its own
-    * nesting level regardless. */
-  def writeSrpBatchAt(root: String, batchId: Long, vectors: DataFrame): Unit =
+    * nesting level regardless.
+    *
+    * The flat (`srp_bucket=` at top level) and batch-keyed layouts are
+    * MUTUALLY EXCLUSIVE under one root — mixing them leaves parquet
+    * leaves at two partition depths and the next read fails with
+    * conflicting directory structures. Both writers enforce it. */
+  def writeSrpBatchAt(root: String, batchId: Long, vectors: DataFrame): Unit = {
+    requireLayout(root, flat = false)
     writeSrpAt(s"$root/batch=$batchId", vectors, "overwrite")
+  }
+
+  private def requireLayout(root: String, flat: Boolean): Unit = {
+    val kids = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+    val hasFlat = kids.exists(_.startsWith("srp_bucket="))
+    val hasBatch = kids.exists(_.startsWith("batch="))
+    require(!(flat && hasBatch),
+      s"$root holds a batch-keyed SRP index; use writeSrpBatchAt, not append")
+    require(!(!flat && hasFlat),
+      s"$root holds a flat SRP index; use buildSrpAt/appendSrpAt, not batch writes")
+  }
 
   private def writeSrpAt(path: String, vectors: DataFrame, mode: String): Unit =
     SimilarityOps.srpSignature(vectors, SrpBits)

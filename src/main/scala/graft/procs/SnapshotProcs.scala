@@ -49,6 +49,11 @@ object SnapshotProcs {
       df.write.mode("overwrite").parquet(tdir)
       val files = new java.io.File(tdir).listFiles()
         .count(f => f.getName.endsWith(".parquet")).toLong
+      // heartbeat for the reaper: the validation count below is
+      // read-only (footer-metadata-cheap, but not instant at scale) —
+      // touch the nonce dir so its mtime reflects save liveness
+      Files.setLastModifiedTime(dir,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       val rows = df.sparkSession.read.parquet(tdir).count()
       TableManifest(name, rows, files)
     }
@@ -108,9 +113,13 @@ object SnapshotProcs {
     * newest file is older than `minAgeMillis` are reaped — a live
     * writer keeps touching its directory, a crashed one never will. */
   def reapUncommitted(root: String, minAgeMillis: Long = 3600000L): Seq[String] = {
+    // null-safe walk: a sibling reaper may delete a dir mid-traversal
+    // (listFiles -> null); treat vanished entries as age 0 so a racing
+    // pass never NPEs and never double-deletes something fresh
     def newestMtime(f: java.io.File): Long =
       if (f.isDirectory)
-        (f.lastModified +: f.listFiles().toSeq.map(newestMtime)).max
+        (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .map(newestMtime)).max
       else f.lastModified
     val cutoff = System.currentTimeMillis() - minAgeMillis
     listSnapshots(root).collect {

@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * keyed fMGWS registry (same content key + min-id canonicalization as
   * `CorpusDedupStream` — dedup runs over SCRUBBED text, so two docs
   * differing only in their PII are the duplicates they should be), and
-  * the sink side appends survivors to the at-rest corpus AND their
-  * vectors to the partitioned SRP index (`AnnIndex.appendSrpAt`) — new
+  * the sink side writes survivors to the at-rest corpus AND their
+  * vectors to the partitioned SRP index via batchId-keyed overwrite
+  * dirs (`AnnIndex.writeSrpBatchAt` — replay-idempotent) — new
   * documents are ANN-searchable as soon as their batch commits, no
   * rebuild.
   *

@@ -33,23 +33,24 @@ object EventDedupStream {
   /** Deduplicate an event stream by id within the watermark delay.
     * On a batch relation (Spark rejects the watermark variant there)
     * first-wins is made DETERMINISTIC: plain dropDuplicates keeps an
-    * arbitrary row per id under shuffle nondeterminism, so a batch
-    * replay ranks each id's rows by a total order (event time, then
-    * payload columns as tiebreak) and keeps rank 1 — "earliest
-    * delivery" is the only first the batch can reconstruct. */
+    * arbitrary row per id under shuffle nondeterminism, so the batch
+    * path takes each id's min row under (event time, payload) order —
+    * "earliest delivery" is the only first a batch can reconstruct.
+    * `min_by` keeps this a hash aggregate with map-side partials (a
+    * window rank would sort every id's rows); ties only between
+    * fully identical rows, where either pick is the same row. */
   def dedup(events: DataFrame, delay: String = DefaultDelay): DataFrame =
     if (events.isStreaming)
       events
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark("event_id")
     else {
-      import org.apache.spark.sql.expressions.Window
-      val order = col("ts") +:
-        events.columns.filter(c => c != "event_id" && c != "ts").sorted.map(col)
+      val ord = struct(col("ts") +:
+        events.columns.filter(c => c != "event_id" && c != "ts").sorted.map(col): _*)
       events
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("event_id").orderBy(order: _*)))
-        .filter(col("_rn") === 1).drop("_rn")
+        .groupBy(col("event_id"))
+        .agg(min_by(struct(events.columns.map(col): _*), ord).as("_r"))
+        .select(col("_r.*"))
     }
 
   /** The enrich-ready projection the ingest pipeline consumes after the

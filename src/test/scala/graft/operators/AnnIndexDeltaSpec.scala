@@ -41,4 +41,21 @@ class AnnIndexDeltaSpec extends SparkSpec {
       .count(_.listFiles().count(_.getName.endsWith(".parquet")) >= 2)
     assert(bucketsWithTwo > 0, "append should add files inside existing bucket dirs")
   }
+
+  test("flat and batch-keyed layouts refuse to mix under one root") {
+    val emb = Tables.embeddings(spark, sf).limit(20)
+    val flatRoot = java.nio.file.Files.createTempDirectory("graft_srp_flat").toString
+    AnnIndex.buildSrpAt(flatRoot, emb)
+    intercept[IllegalArgumentException] {
+      AnnIndex.writeSrpBatchAt(flatRoot, 0L, emb)
+    }
+    val batchRoot = java.nio.file.Files.createTempDirectory("graft_srp_batch").toString
+    AnnIndex.writeSrpBatchAt(batchRoot, 0L, emb)
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendSrpAt(batchRoot, emb)
+    }
+    // replay idempotence: rewriting batch 0 does not double the rows
+    AnnIndex.writeSrpBatchAt(batchRoot, 0L, emb)
+    assert(spark.read.parquet(batchRoot).count() == 20L)
+  }
 }
