@@ -64,6 +64,7 @@ object SparkEntry {
       RelationalOps7.queries ++
       RelationalOps8.queries ++
       FunctionOps2.queries ++
+      FunctionOps3.queries ++
       SelectionOps2.queries ++
       TextOps6.queries ++
       PiiOps2.queries ++
@@ -123,6 +124,7 @@ object SparkEntry {
       RelationalOps7.oracles ++
       RelationalOps8.oracles ++
       FunctionOps2.oracles ++
+      FunctionOps3.oracles ++
       SelectionOps2.oracles ++
       PiiOps2.oracles ++
       graft.sources.SourcesOps2.oracles ++

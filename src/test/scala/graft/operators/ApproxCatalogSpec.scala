@@ -95,4 +95,18 @@ class ApproxCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT dot_i64(array(1L,2L), array(3L,4L))").collect()(0).getLong(0) == 11L)
   }
+
+  test("native DataSketches HLL: partition-invariant estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf)
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")).head().getLong(0)
+    val e1 = est(orders)
+    val e2 = est(orders.repartition(17, col("o_orderkey")))
+    // register union is order/partitioning independent -> identical
+    assert(e1 == e2, s"HLL estimate must be partitioning-invariant: $e1 vs $e2")
+    val exact = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(e1 - exact).toDouble / exact < 0.05,
+      s"HLL estimate $e1 too far from exact $exact")
+  }
 }
