@@ -120,10 +120,87 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     rows.mkString("""{"status":1,"results":[""", ",", "]}")
   }
 
+  /** `@AdHoc` — VoltDB's ad-hoc SQL system procedure: arbitrary
+    * READ-ONLY SQL against the registered catalog (tables, the five
+    * views, the scalar library), same row cap as named procedures,
+    * never cached (each call is presumed unique), profiled under its
+    * own "@AdHoc" row. The read-only guard is the server's contract —
+    * mutations go through the typed procedures, not the wire. */
+  private lazy val catalogReady: Unit =
+    graft.Catalog.registerAll(spark, dataDir)
+
+  private def adHocPayload(sql: String): String = {
+    val t0 = System.nanoTime()
+    try {
+      val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+      if (head != "SELECT" && head != "WITH")
+        s"""{"status":-1,"error":${jsonStr("@AdHoc accepts read-only SELECT/WITH statements")}}"""
+      else {
+        catalogReady
+        val rows = spark.sql(sql).limit(maxResponseRows + 1).toJSON.collect()
+        if (rows.length > maxResponseRows)
+          s"""{"status":-1,"error":${jsonStr(s"@AdHoc result exceeds maxResponseRows=$maxResponseRows")}}"""
+        else rows.mkString("""{"status":1,"results":[""", ",", "]}")
+      }
+    } finally recordCall("@AdHoc", System.nanoTime() - t0)
+  }
+
+  /** `@Explain` — the plan a given SQL would run, one row per plan
+    * line (formatted mode). `@ExplainProc` explains a REGISTERED
+    * procedure at representative arguments. */
+  private def explainPayload(sql: String): String = {
+    catalogReady
+    val plan = spark.sql(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan.split('\n').map(l => s"""{"PLAN":${jsonStr(l)}}""")
+      .mkString("""{"status":1,"results":[""", ",", "]}")
+  }
+
+  /** Representative arguments per registered procedure (the dashboard's
+    * own call shapes) — what @ExplainProc explains. */
+  private val explainDefaults: Map[String, Seq[String]] = Map(
+    "GetTopUsers" -> Seq("60", "10"), "GetTopDests" -> Seq("60", "10"),
+    "GetTopSources" -> Seq("10"), "GetTopSrcDests" -> Seq("10"),
+    "GetEventsByCluster" -> Seq("60"))
+
+  private def explainProcPayload(name: String): String =
+    registry.get(name) match {
+      case None =>
+        s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$name'")}}"""
+      case Some(fn) =>
+        val plan = fn(explainDefaults.getOrElse(name, Seq.empty))
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        plan.split('\n').map(l => s"""{"PLAN":${jsonStr(l)}}""")
+          .mkString("""{"status":1,"results":[""", ",", "]}")
+    }
+
+  /** A `Parameters=["..."]` value carrying ONE string (SQL, proc name):
+    * the comma-split used for scalar args would shred it. */
+  private def singleStringParam(raw: String): String = {
+    val inner = raw.trim.stripPrefix("[").stripSuffix("]").trim
+    val unq =
+      if (inner.length >= 2 && inner.head == '"' && inner.last == '"')
+        inner.substring(1, inner.length - 1)
+      else inner
+    unq.replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+
+  private def systemProc(proc: String, rawParams: String): Option[String] =
+    proc match {
+      case "@Statistics" => Some(statisticsPayload)
+      case "@AdHoc" => Some(adHocPayload(singleStringParam(rawParams)))
+      case "@Explain" => Some(explainPayload(singleStringParam(rawParams)))
+      case "@ExplainProc" => Some(explainProcPayload(singleStringParam(rawParams)))
+      case _ => None
+    }
+
   /** Programmatic call path (same registry/cache/profile/system-proc
-    * handling as HTTP). */
+    * handling as HTTP). Args for the @-procs: one string (SQL / proc
+    * name) in args.head. */
   def call(proc: String, args: Seq[String]): String =
-    if (proc == "@Statistics") statisticsPayload else cached(proc, args)
+    systemProc(proc, args.headOption.map(a => s"[${'"'}$a${'"'}]").getOrElse("[]"))
+      .getOrElse(cached(proc, args))
 
   private def cached0(proc: String, args: Seq[String]): String = {
     val key = (proc, args)
@@ -174,10 +251,11 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
             (if (kv.length > 1) java.net.URLDecoder.decode(kv(1), "UTF-8") else ""))
         .toMap
       val proc = params.getOrElse("Procedure", "")
-      // system procedure: the dashboard's @Statistics PROCEDUREPROFILE
-      // call shape (reference web/js/voltdb-dashboard.js:102-107) —
-      // served straight from driver counters, no Spark job
-      if (proc == "@Statistics") (200, statisticsPayload)
+      // system procedures: @Statistics (driver counters, no Spark job),
+      // @AdHoc (read-only SQL over the catalog), @Explain/@ExplainProc
+      // (plan introspection) — the VoltDB wire surface's @-namespace
+      val sys = systemProc(proc, params.getOrElse("Parameters", "[]"))
+      if (sys.isDefined) (200, sys.get)
       else registry.get(proc) match {
         case None => (404,
           s"""{"status":-1,"error":${jsonStr(s"unknown procedure '$proc'")}}""")

@@ -120,6 +120,49 @@ class ProceduresSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("@AdHoc runs read-only SQL over the catalog; mutations and floods refused") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(url: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val sql = java.net.URLEncoder.encode(
+        """["SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey"]""",
+        "UTF-8")
+      val ok = get(s"http://127.0.0.1:$port/api/1.0/?Procedure=@AdHoc&Parameters=$sql")
+      assert(ok.statusCode() == 200 && ok.body().startsWith("""{"status":1"""))
+      assert(ok.body().contains("NATION_0") && ok.body().contains("NATION_2"),
+        s"ad-hoc rows missing: ${ok.body().take(200)}")
+      // programmatic path, commas in SQL intact
+      val prog = srv.call("@AdHoc",
+        Seq("SELECT count(*) AS n, min(n_nationkey) AS mn FROM nation"))
+      assert(prog.contains("\"n\":25") && prog.contains("\"mn\":0"), prog)
+      // read-only guard
+      val mut = srv.call("@AdHoc", Seq("DROP TABLE nation"))
+      assert(mut.contains("read-only"), mut)
+      // @AdHoc invocations appear in the procedure profile
+      assert(srv.procedureProfile.exists(_._1 == "@AdHoc"))
+    } finally srv.stop()
+  }
+
+  test("@Explain/@ExplainProc return plan rows (pushdown visible through the wire)") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    srv.start()
+    try {
+      val ex = srv.call("@Explain",
+        Seq("SELECT count(*) FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"))
+      assert(ex.startsWith("""{"status":1"""))
+      assert(ex.contains("PushedFilters") && ex.contains("l_shipdate"),
+        s"plan rows must surface scan pushdown: ${ex.take(300)}")
+      val exp = srv.call("@ExplainProc", Seq("GetTopUsers"))
+      assert(exp.startsWith("""{"status":1""") && exp.contains("PLAN"), exp.take(200))
+      val unknown = srv.call("@ExplainProc", Seq("Nope"))
+      assert(unknown.contains("unknown procedure"), unknown)
+    } finally srv.stop()
+  }
+
   test("driver-side result cache serves repeat dashboard calls from memory") {
     val srv = new graft.server.QueryServer(spark, sf)
     val port = srv.start()
