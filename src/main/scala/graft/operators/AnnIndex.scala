@@ -157,9 +157,10 @@ object AnnIndex {
     * same `srp_bucket=` partition directories, so ingest appends
     * instead of rebuilding and probe-side partition pruning is
     * untouched (pruning selects directories; directories accrete
-    * files). Compact with `SourcesOps.compactPartitions` when the
-    * file count per bucket grows — the same read-side maintenance
-    * trade every streaming sink has. */
+    * files). [[compactSrpAt]] is the matching maintenance loop: run it
+    * periodically (or after every append) and buckets that hit
+    * [[CompactTriggerFiles]] files collapse back to one — the same
+    * read-side maintenance trade every streaming sink has. */
   def buildSrpAt(path: String, vectors: DataFrame): Unit =
     writeSrpAt(path, vectors, "overwrite")
 
@@ -182,6 +183,30 @@ object AnnIndex {
   def writeSrpBatchAt(root: String, batchId: Long, vectors: DataFrame): Unit = {
     requireLayout(root, flat = false)
     writeSrpAt(s"$root/batch=$batchId", vectors, "overwrite")
+  }
+
+  /** Files-per-bucket compaction trigger: `appendSrpAt` adds one file
+    * per append per touched bucket, so a bucket's file count is its
+    * append count since the last compaction. 8 ≈ one compaction per
+    * 8 ingest cycles — scan-back then opens 8× fewer files, while the
+    * rewrite runs at most once per 8 appends (amortized rewrite I/O
+    * ≤ 1/8 of a full-bucket rewrite per append). */
+  val CompactTriggerFiles = 8
+
+  /** Maintenance pass for a FLAT SRP index: compact every bucket whose
+    * data-file count reached the trigger down to one file, leave the
+    * rest untouched. Safe against concurrent probes: each bucket swaps
+    * via temp-dir + atomic rename (`SourcesOps.compactPartitions`), so
+    * a reader lists either the old fragment set or the new single file
+    * — and probe PLANS are unchanged because pruning selects partition
+    * DIRECTORIES, which compaction never renames (spec-asserted on a
+    * half-compacted index). Returns (bucket, before, after) for the
+    * buckets actually rewritten. */
+  def compactSrpAt(spark: SparkSession, path: String,
+                   trigger: Int = CompactTriggerFiles): Seq[(String, Int, Int)] = {
+    requireLayout(path, flat = true)
+    graft.sources.SourcesOps.compactPartitions(
+      spark, path, numFiles = 1, minFilesToCompact = trigger)
   }
 
   private def requireLayout(root: String, flat: Boolean): Unit = {

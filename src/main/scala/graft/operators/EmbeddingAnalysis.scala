@@ -140,18 +140,22 @@ object EmbeddingAnalysis {
     // interpreted lambda evals — y_k = dot(q, vq_k)/10⁶ − v_k·μ, with
     // the centering constant folded driver-side (the factored form of
     // v_k·(x − μ); the per-row part is integer-exact, so the projection
-    // is bit-deterministic under any partitioning).
+    // is bit-deterministic under any partitioning). Output is the 8
+    // scalar coordinates p0..p7 (one column per component, ordered by
+    // vec_id) — a flat schema every downstream consumer can sort and
+    // hash without array-column handling.
     "emb_pca_project" -> ((s, d) => {
       graft.functions.VectorFunctions.registerAll(s)
       val (_, comps, means) = pcaModel(s, d)
       val vq = comps.map(_.map(v => math.round(v * 1e6)))
       val centers = vq.map(v => v.zip(means).map { case (a, mu) => a * mu }.sum / 1e6)
-      val projCols = vq.zip(centers).map { case (v, c) =>
-        (graft.functions.VectorFunctions.dot_i64(col("q"), typedlit(v.toSeq))
-          .cast("double") / lit(1e6)) - lit(c)
+      val projCols = vq.zip(centers).zipWithIndex.map { case ((v, c), k) =>
+        ((graft.functions.VectorFunctions.dot_i64(col("q"), typedlit(v.toSeq))
+          .cast("double") / lit(1e6)) - lit(c)).as(s"p$k")
       }
       DedupOps.quantized(Tables.embeddings(s, d))
-        .select(col("vec_id"), array(projCols: _*).as("proj"))
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
     }),
 
     // greedy k-center (farthest-point) coreset over the quantized

@@ -40,8 +40,11 @@ object TextOps6 {
   }
 
   def compressRatio(docs: DataFrame): DataFrame = {
+    // NULL text stays NULL (n_bytes/deflate_bytes/ratio_ppm all null) —
+    // the repo-wide NULL-text discipline (PiiOps, CurationPipeline)
     val dlen = udf { text: String =>
-      deflatedLen(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (text == null) Option.empty[Int]
+      else Some(deflatedLen(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
     docs
       .select(col("doc_id"),

@@ -1,7 +1,8 @@
 package graft.procs
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** `@SnapshotSave` / `@SnapshotRestore` analogue — the one VoltDB
   * admin surface (platform-level durability snapshots; the reference
@@ -10,11 +11,18 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * `@Statistics` / load / truncate / nibble-delete.
   *
   * Layout: `root/<nonce>/<table>/` parquet per table, then
-  * `root/<nonce>/MANIFEST.json` written LAST with fsync + atomic
-  * rename — the commit marker. A crash mid-save leaves a nonce
-  * directory with no manifest: restore refuses it, `listSnapshots`
-  * reports it uncommitted, and a GC can reap it. Same
-  * write-then-commit discipline as `VersionedStore.publish`.
+  * `root/<nonce>/MANIFEST.json` written LAST with hsync + rename —
+  * the commit marker. A crash mid-save leaves a nonce directory with
+  * no manifest: restore refuses it, `listSnapshots` reports it
+  * uncommitted, and a GC can reap it. Same write-then-commit
+  * discipline as `VersionedStore.publish`.
+  *
+  * ALL filesystem metadata operations go through the Hadoop
+  * `FileSystem` API resolved from the root path's scheme — the same
+  * filesystems the parquet writes target — so save/list/reap behave
+  * identically whether root is `file:`, `hdfs:` or `s3a:` (a
+  * `java.io.File` walk would silently see nothing on a remote root,
+  * the stated 100 TB deployment shape).
   *
   * Restore validates per-table row counts against the manifest before
   * handing any relation out — a missing/truncated file fails loudly at
@@ -29,8 +37,18 @@ object SnapshotProcs {
 
   case class TableManifest(name: String, rows: Long, files: Long)
 
-  private def manifestPath(root: String, nonce: String) =
-    Paths.get(root, nonce, "MANIFEST.json")
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  private def manifestPath(rootP: Path, nonce: String): Path =
+    new Path(new Path(rootP, nonce), "MANIFEST.json")
 
   private def validName(s: String): Boolean =
     s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
@@ -40,46 +58,46 @@ object SnapshotProcs {
                    nonce: String): Seq[TableManifest] = {
     require(validName(nonce), s"bad nonce '$nonce'")
     require(tables.keys.forall(validName), "bad table name")
-    require(!Files.exists(manifestPath(root, nonce)),
+    val (fs, rootP) = fsFor(root)
+    require(!fs.exists(manifestPath(rootP, nonce)),
       s"snapshot '$nonce' already committed")
-    val dir = Paths.get(root, nonce)
-    Files.createDirectories(dir)
+    val dir = new Path(rootP, nonce)
+    fs.mkdirs(dir)
     val entries = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      val tdir = dir.resolve(name).toString
-      df.write.mode("overwrite").parquet(tdir)
-      val files = new java.io.File(tdir).listFiles()
-        .count(f => f.getName.endsWith(".parquet")).toLong
+      val tdir = new Path(dir, name)
+      df.write.mode("overwrite").parquet(tdir.toString)
+      val files = fs.listStatus(tdir)
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
       // heartbeat for the reaper: the validation count below is
       // read-only (footer-metadata-cheap, but not instant at scale) —
       // touch the nonce dir so its mtime reflects save liveness
-      Files.setLastModifiedTime(dir,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      val rows = df.sparkSession.read.parquet(tdir).count()
+      fs.setTimes(dir, System.currentTimeMillis(), -1)
+      val rows = df.sparkSession.read.parquet(tdir.toString).count()
       TableManifest(name, rows, files)
     }
     val json = entries.map(e =>
       s"""{"name":"${e.name}","rows":${e.rows},"files":${e.files}}""")
       .mkString("[", ",", "]")
-    val tmp = dir.resolve("MANIFEST.tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    val tmp = new Path(dir, "MANIFEST.tmp")
+    val out = fs.create(tmp, /*overwrite=*/ true)
     try {
-      ch.write(java.nio.ByteBuffer.wrap(json.getBytes("UTF-8")))
-      ch.force(true)
-    } finally ch.close()
-    Files.move(tmp, manifestPath(root, nonce), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      out.write(json.getBytes("UTF-8"))
+      out.hsync() // durable before the rename publishes it
+    } finally out.close()
+    val mp = manifestPath(rootP, nonce)
+    if (fs.exists(mp)) fs.delete(mp, false) // rename won't overwrite on HDFS
+    require(fs.rename(tmp, mp), s"snapshot '$nonce': manifest rename failed")
     entries
   }
 
   /** Parse the committed manifest (minimal fixed-shape parser — the
     * writer above is the only producer). */
   def manifest(root: String, nonce: String): Seq[TableManifest] = {
-    val p = manifestPath(root, nonce)
-    require(Files.exists(p), s"snapshot '$nonce' has no committed manifest")
-    val json = new String(Files.readAllBytes(p), "UTF-8")
+    val (fs, rootP) = fsFor(root)
+    val p = manifestPath(rootP, nonce)
+    require(fs.exists(p), s"snapshot '$nonce' has no committed manifest")
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     """\{"name":"([^"]+)","rows":(\d+),"files":(\d+)\}""".r
       .findAllMatchIn(json)
       .map(m => TableManifest(m.group(1), m.group(2).toLong, m.group(3).toLong))
@@ -91,7 +109,7 @@ object SnapshotProcs {
   def snapshotRestore(spark: SparkSession, root: String,
                       nonce: String): Map[String, DataFrame] = {
     manifest(root, nonce).map { e =>
-      val df = spark.read.parquet(Paths.get(root, nonce, e.name).toString)
+      val df = spark.read.parquet(new Path(new Path(root, nonce), e.name).toString)
       val rows = df.count()
       require(rows == e.rows,
         s"snapshot '$nonce' table '${e.name}': manifest says ${e.rows} rows, found $rows")
@@ -101,10 +119,11 @@ object SnapshotProcs {
 
   /** (nonce, committed) for every snapshot directory under root. */
   def listSnapshots(root: String): Seq[(String, Boolean)] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
-      .map(n => n -> Files.exists(manifestPath(root, n)))
+    val (fs, rootP) = fsFor(root)
+    if (!fs.exists(rootP) || !fs.getFileStatus(rootP).isDirectory) Seq.empty
+    else fs.listStatus(rootP).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+      .map(n => n -> fs.exists(manifestPath(rootP, n)))
   }
 
   /** Reap uncommitted snapshot directories (crash leftovers). A
@@ -113,18 +132,24 @@ object SnapshotProcs {
     * newest file is older than `minAgeMillis` are reaped — a live
     * writer keeps touching its directory, a crashed one never will. */
   def reapUncommitted(root: String, minAgeMillis: Long = 3600000L): Seq[String] = {
-    // null-safe walk: a sibling reaper may delete a dir mid-traversal
-    // (listFiles -> null); treat vanished entries as age 0 so a racing
-    // pass never NPEs and never double-deletes something fresh
-    def newestMtime(f: java.io.File): Long =
-      if (f.isDirectory)
-        (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).toSeq
-          .map(newestMtime)).max
-      else f.lastModified
+    val (fs, rootP) = fsFor(root)
+    // race-safe walk: a sibling reaper may delete a dir mid-traversal
+    // (FileNotFound on listStatus); treat vanished entries as age 0 so
+    // a racing pass never throws and never double-deletes something
+    // fresh
+    def newestMtime(st: FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val children =
+          try fs.listStatus(st.getPath).toSeq
+          catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+        (st.getModificationTime +: children.map(newestMtime)).max
+      }
     val cutoff = System.currentTimeMillis() - minAgeMillis
     listSnapshots(root).collect {
-      case (n, false) if newestMtime(Paths.get(root, n).toFile) < cutoff =>
-        graft.sources.VersionedStore.deleteRecursive(Paths.get(root, n).toFile)
+      case (n, false) if (try newestMtime(fs.getFileStatus(new Path(rootP, n)))
+                          catch { case _: java.io.FileNotFoundException => Long.MaxValue }) < cutoff =>
+        fs.delete(new Path(rootP, n), true)
         n
     }
   }

@@ -129,26 +129,51 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   private lazy val catalogReady: Unit =
     graft.Catalog.registerAll(spark, dataDir)
 
+  /** Read-only enforcement: PARSE the statement (never via `spark.sql`
+    * — Commands execute eagerly there) and reject any plan containing a
+    * write/DDL node anywhere in the tree. The first-token check alone
+    * is bypassable: `WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x`
+    * and `WITH x AS (...) INSERT OVERWRITE DIRECTORY '/p' ...` start
+    * with WITH but mutate tables / write arbitrary paths. */
+  private def firstWriteNode(sql: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement}
+    spark.sessionState.sqlParser.parsePlan(sql).collectFirst {
+      case c: Command => c.nodeName
+      case i: InsertIntoStatement => i.nodeName
+      case i: InsertIntoDir => i.nodeName
+    }
+  }
+
   private def adHocPayload(sql: String): String = {
     val t0 = System.nanoTime()
     try {
       val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
       if (head != "SELECT" && head != "WITH")
         s"""{"status":-1,"error":${jsonStr("@AdHoc accepts read-only SELECT/WITH statements")}}"""
-      else {
-        catalogReady
-        val rows = spark.sql(sql).limit(maxResponseRows + 1).toJSON.collect()
-        if (rows.length > maxResponseRows)
-          s"""{"status":-1,"error":${jsonStr(s"@AdHoc result exceeds maxResponseRows=$maxResponseRows")}}"""
-        else rows.mkString("""{"status":1,"results":[""", ",", "]}")
+      else firstWriteNode(sql) match {
+        case Some(node) =>
+          s"""{"status":-1,"error":${jsonStr(s"@AdHoc is read-only; statement contains a $node node")}}"""
+        case None =>
+          catalogReady
+          val rows = spark.sql(sql).limit(maxResponseRows + 1).toJSON.collect()
+          if (rows.length > maxResponseRows)
+            s"""{"status":-1,"error":${jsonStr(s"@AdHoc result exceeds maxResponseRows=$maxResponseRows")}}"""
+          else rows.mkString("""{"status":1,"results":[""", ",", "]}")
       }
     } finally recordCall("@AdHoc", System.nanoTime() - t0)
   }
 
   /** `@Explain` — the plan a given SQL would run, one row per plan
     * line (formatted mode). `@ExplainProc` explains a REGISTERED
-    * procedure at representative arguments. */
+    * procedure at representative arguments. Same parse-first guard as
+    * @AdHoc: `spark.sql` runs Command nodes EAGERLY, so "explaining" a
+    * DROP/INSERT would execute it. */
   private def explainPayload(sql: String): String = {
+    firstWriteNode(sql) match {
+      case Some(node) =>
+        return s"""{"status":-1,"error":${jsonStr(s"@Explain is read-only; statement contains a $node node")}}"""
+      case None =>
+    }
     catalogReady
     val plan = spark.sql(sql).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

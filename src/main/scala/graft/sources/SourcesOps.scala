@@ -45,27 +45,35 @@ object SourcesOps {
     * overhead and non-contiguous scans, so compaction runs as a
     * periodic maintenance pass per partition — O(partition data), and
     * partitions compact independently (embarrassingly parallel across
-    * a cluster). */
+    * a cluster).
+    *
+    * `minFilesToCompact` is the maintenance trigger: partitions below
+    * the threshold are left untouched (and unreported), so a periodic
+    * pass only pays rewrite I/O where fragmentation actually built up. */
   def compactPartitions(spark: SparkSession, sinkDir: String,
-                        numFiles: Int = 1): Seq[(String, Int, Int)] = {
+                        numFiles: Int = 1,
+                        minFilesToCompact: Int = 0): Seq[(String, Int, Int)] = {
     val root = new java.io.File(sinkDir)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("=")).sortBy(_.getName)
-    parts.toSeq.map { p =>
+    parts.toSeq.flatMap { p =>
       def dataFiles(dir: java.io.File): Int =
         Option(dir.listFiles()).getOrElse(Array.empty)
           .count(f => f.isFile && f.getName.endsWith(".parquet"))
       val before = dataFiles(p)
-      val tmpDir = new java.io.File(root, s".compact_tmp_${p.getName}")
-      spark.read.parquet(p.getAbsolutePath)
-        .repartition(numFiles)
-        .write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
-      // drop the _SUCCESS marker; the partition dir holds data files only
-      new java.io.File(tmpDir, "_SUCCESS").delete()
-      VersionedStore.deleteRecursive(p)
-      java.nio.file.Files.move(tmpDir.toPath, p.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      (p.getName, before, dataFiles(p))
+      if (before < minFilesToCompact) None
+      else {
+        val tmpDir = new java.io.File(root, s".compact_tmp_${p.getName}")
+        spark.read.parquet(p.getAbsolutePath)
+          .repartition(numFiles)
+          .write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
+        // drop the _SUCCESS marker; the partition dir holds data files only
+        new java.io.File(tmpDir, "_SUCCESS").delete()
+        VersionedStore.deleteRecursive(p)
+        java.nio.file.Files.move(tmpDir.toPath, p.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Some((p.getName, before, dataFiles(p)))
+      }
     }
   }
 

@@ -26,9 +26,13 @@ object CorpusDedupStream {
   case class DocVerdict(doc_id: Long, canonical_id: Long, is_dup: Boolean)
   case class SeenState(firstDocId: Long)
 
+  /** NULL-safe (null ≡ empty text): a single null doc must not kill a
+    * long-running streaming query with an NPE in the key extractor —
+    * the verdict row keeps its null text; only the dedup key coalesces. */
   def contentKey(text: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    d.digest((if (text == null) "" else text).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   def dedup(docs: Dataset[Doc])(implicit spark: SparkSession): Dataset[DocVerdict] = {

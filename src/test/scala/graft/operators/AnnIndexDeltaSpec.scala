@@ -42,6 +42,61 @@ class AnnIndexDeltaSpec extends SparkSpec {
     assert(bucketsWithTwo > 0, "append should add files inside existing bucket dirs")
   }
 
+  test("compaction loop: triggered buckets collapse to one file; probe rows and plans unchanged on a half-compacted index") {
+    import spark.implicits._
+    // deterministic collision fixture: rows sharing an embedding share
+    // an SRP bucket, so repeated appends of pattern A fragment exactly
+    // A's bucket while pattern B's bucket stays at one file — the
+    // half-compacted state the maintenance loop must handle
+    def fixed(ids: Seq[Long], seed: Int) =
+      ids.map(i => (i, Array.tabulate(64)(j => (((seed * 31 + j * 7) % 11) - 5).toFloat)))
+        .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srp_cmp").toString
+    AnnIndex.buildSrpAt(dir, fixed(0L until 10L, seed = 1))
+    AnnIndex.appendSrpAt(dir, fixed(10L until 20L, seed = 1))
+    AnnIndex.appendSrpAt(dir, fixed(20L until 30L, seed = 1))
+    AnnIndex.appendSrpAt(dir, fixed(30L until 40L, seed = 2))
+
+    def bucketFiles(): Map[String, Int] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+        .map(f => f.getName -> f.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = bucketFiles()
+    val trigger = 3
+    assert(before.values.exists(_ >= trigger), "fixture must fragment some buckets")
+    assert(before.values.exists(_ < trigger), "fixture must leave some buckets sparse")
+
+    def probeRows() = spark.read.parquet(dir)
+      .select("vec_id", "srp_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val rowsBefore = probeRows()
+
+    val compacted = AnnIndex.compactSrpAt(spark, dir, trigger)
+    val after = bucketFiles()
+    // exactly the triggered buckets were rewritten, each to one file
+    assert(compacted.map(_._1).toSet ==
+      before.filter(_._2 >= trigger).keySet, "trigger selected the wrong buckets")
+    compacted.foreach { case (b, nb, na) =>
+      assert(nb >= trigger && na == 1, s"$b: $nb -> $na")
+    }
+    // untriggered buckets untouched
+    before.filter(_._2 < trigger).foreach { case (b, n) =>
+      assert(after(b) == n, s"sparse bucket $b was rewritten")
+    }
+    // the half-compacted index serves identical rows, and a bucket
+    // probe's PLAN still partition-prunes exactly as before compaction
+    assert(probeRows() == rowsBefore, "compaction changed index contents")
+    val someBucket = rowsBefore.head._2
+    val probe = spark.read.parquet(dir).filter(col("srp_bucket") === someBucket)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("srp_bucket"),
+      s"probe over the half-compacted index lost partition pruning:\n$plan")
+    assert(probe.count() == rowsBefore.count(_._2 == someBucket).toLong)
+    // idempotent: a second pass finds nothing over the trigger
+    assert(AnnIndex.compactSrpAt(spark, dir, trigger).isEmpty)
+  }
+
   test("flat and batch-keyed layouts refuse to mix under one root") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val flatRoot = java.nio.file.Files.createTempDirectory("graft_srp_flat").toString

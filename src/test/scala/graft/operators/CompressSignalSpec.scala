@@ -21,6 +21,18 @@ class CompressSignalSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be deterministic")
   }
 
+  test("NULL text yields NULL signals, not an NPE (repo NULL-text discipline)") {
+    import spark.implicits._
+    val df = Seq((1L, "real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextOps6.compressRatio(df).collect()
+    assert(rows.length == 2)
+    val nullRow = rows.find(_.getLong(0) == 2L).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
+    val okRow = rows.find(_.getLong(0) == 1L).get
+    assert(!okRow.isNullAt(2) && okRow.getLong(2) > 0)
+  }
+
   test("repetitive text compresses far better than high-entropy text") {
     val rep = "spark " * 2000
     // md5-chained hex: incompressible-ish, deterministic, no RNG

@@ -54,16 +54,18 @@ class EmbeddingAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("emb_pca_project: deterministic, variance-ordered, orthonormal model") {
+  test("emb_pca_project: deterministic, variance-ordered, flat p0..p7 schema") {
+    val k = EmbeddingAnalysis.PcaK
     val proj = EmbeddingAnalysis.queries("emb_pca_project")(spark, sf001)
+    // flat scalar schema the driver's checker can sort/hash directly
+    assert(proj.columns.toSeq == "vec_id" +: (0 until k).map(i => s"p$i"))
     val rows = proj.collect()
     assert(rows.length == 500)
-    assert(rows.head.getSeq[Double](1).size == EmbeddingAnalysis.PcaK)
+    // rows arrive ordered by vec_id
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
     // per-component variance of the projection is (weakly) descending —
     // the defining property of a principal basis
-    val k = EmbeddingAnalysis.PcaK
-    val cols = (0 until k).map(i =>
-      rows.map(_.getSeq[Double](1)(i)))
+    val cols = (0 until k).map(i => rows.map(_.getDouble(i + 1)))
     val vars = cols.map { xs =>
       val mu = xs.sum / xs.length
       xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
@@ -73,8 +75,8 @@ class EmbeddingAnalysisSpec extends SparkSpec {
     cols.foreach { xs => assert(math.abs(xs.sum / xs.length) < 1e-6) }
     // deterministic under re-evaluation (fixed-order fold + fixed-sign components)
     val again = EmbeddingAnalysis.queries("emb_pca_project")(spark, sf001)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Double](1)))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.toSeq.drop(1)))
   }
 
   test("coreset_kcenter: matches driver brute force; radius non-increasing") {

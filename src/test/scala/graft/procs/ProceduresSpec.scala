@@ -142,6 +142,20 @@ class ProceduresSpec extends SparkSpec {
       // read-only guard
       val mut = srv.call("@AdHoc", Seq("DROP TABLE nation"))
       assert(mut.contains("read-only"), mut)
+      // CTE-wrapped DML must not pass the first-token check: the plan
+      // is parsed (never executed) and the INSERT node rejected
+      val cteIns = srv.call("@AdHoc",
+        Seq("WITH x AS (SELECT 1 AS a) INSERT INTO nation SELECT a, 'X', 0, '' FROM x"))
+      assert(cteIns.contains("read-only"), cteIns)
+      val cteDir = srv.call("@AdHoc",
+        Seq("WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/graft_adhoc_escape' SELECT * FROM x"))
+      assert(cteDir.contains("read-only"), cteDir)
+      assert(!new java.io.File("/tmp/graft_adhoc_escape").exists(),
+        "CTE-wrapped INSERT OVERWRITE DIRECTORY must never reach the filesystem")
+      // @Explain must not EXECUTE commands while "explaining" them
+      val exMut = srv.call("@Explain", Seq("DROP TABLE nation"))
+      assert(exMut.contains("read-only"), exMut)
+      assert(spark.catalog.tableExists("nation"), "@Explain executed the DROP")
       // @AdHoc invocations appear in the procedure profile
       assert(srv.procedureProfile.exists(_._1 == "@AdHoc"))
     } finally srv.stop()

@@ -26,7 +26,10 @@ class SnapshotProcsSpec extends SparkSpec {
   }
 
   test("a snapshot without a manifest is uncommitted: refused and reapable") {
-    val root = tmpRoot()
+    // scheme-qualified root: list/reap resolve the filesystem from the
+    // path URI (Hadoop FileSystem API), not the driver-local java.io —
+    // the same calls work against hdfs:/s3a: roots
+    val root = s"file:${tmpRoot()}"
     // simulate a crash: data written, no MANIFEST
     Tables.nation(spark, sf).write.parquet(s"$root/crashed/nation")
     assert(SnapshotProcs.listSnapshots(root) == Seq("crashed" -> false))

@@ -28,11 +28,12 @@ class CurationSliceSpec extends SparkSpec {
       In(9002L, "crawl", "en", base1 + " contact alice@example.com now"), // PII variant A
       In(9003L, "crawl", "en", base1 + " contact bob@test.org now"),      // PII variant B == A after scrub
       In(9004L, "junk", "en", "tiny doc"),                               // gate drop
-      In(9005L, "resend", "en", base0))                                  // re-delivery, later batch
+      In(9005L, "resend", "en", base0),                                  // re-delivery, later batch
+      In(9006L, "nulltext", "en", null))                                 // null text must not kill the query
     val batches = Seq(
       reals.take(15).toSeq,
       reals.drop(15).toSeq ++ injected.slice(0, 2),
-      injected.slice(2, 5))
+      injected.slice(2, 6))
 
     val corpusDir = java.nio.file.Files.createTempDirectory("graft_cur_corpus").toString + "/data"
     val indexDir = java.nio.file.Files.createTempDirectory("graft_cur_index").toString + "/srp"
@@ -63,6 +64,7 @@ class CurationSliceSpec extends SparkSpec {
     // the dup injections never landed; the PII canonical (9002) did iff it kept
     assert(!got.contains(9001L) && !got.contains(9003L) && !got.contains(9005L))
     assert(!got.contains(9004L), "gate-dropped doc leaked to the corpus")
+    assert(!got.contains(9006L), "null-text doc must be gate-dropped, not crash the stream")
 
     // PII never at rest: stored text is the scrubbed form
     val stored = corpus.filter(col("doc_id") === 9002L)
