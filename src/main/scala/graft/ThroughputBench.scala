@@ -79,30 +79,40 @@ object ThroughputBench {
   /** Generator → drop dir → one checkpointed AvailableNow query through
     * the full hot path (enrich, score, gate) → parquet sink. Returns
     * events/s over the query's wall time (generation/landing excluded:
-    * the feeder isn't the system under test). */
+    * the feeder isn't the system under test).
+    *
+    * Warm-up runs the SAME plan over a separate 3-tranche warm feed
+    * (own drop/checkpoint/sink): micro-batch 1 of a cold JVM pays
+    * codegen + C2 JIT + state-store class loading — per-process
+    * once-ever costs a sustained-rate comparison must not bill to the
+    * timed window (the reference's 20k/s is a long-running process's
+    * steady state). One warm batch was NOT enough: per-batch times
+    * decayed 1.4→0.9→0.7→0.68 s across the first four data batches,
+    * so the warm leg clears three batches before anything is timed.
+    * The timed query then processes the FULL n-event feed from a
+    * fresh checkpoint with every batch at steady state. */
   def fileSourceEps(spark: SparkSession, n: Long, tranches: Int, tag: String): Double = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
     val base = java.nio.file.Files.createTempDirectory(s"graft_tp_$tag").toString
     val drop = s"$base/drop"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val warmDrop = s"$base/warm_drop"; val warmSink = s"$base/warm_sink"
+    val warmCkpt = s"$base/warm_ckpt"
 
-    // land the feed as `tranches` parquet tranches, each written
+    // land a feed as 20k-event parquet tranches, each written
     // distributed (4 files per tranche → 4-file micro-batches)
     val per = n / tranches
-    def land(t: Int): Unit = {
-      val lo = t * per
-      val hi = if (t == tranches - 1) n else (t + 1) * per
-      EventGen.events(spark, hi - lo, seed = 42L + t)
+    def land(dir: String, lo: Long, hi: Long, seed: Long): Unit =
+      EventGen.events(spark, hi - lo, seed)
         .withColumn("event_id", col("event_id") + lit(lo))
         .withColumn("ts", expr(s"timestamp_micros(ts_micros + $lo)"))
         .drop("ts_micros")
         .repartition(4)
-        .write.mode("append").parquet(drop)
-    }
-    land(0)
-    val schema = spark.read.parquet(drop).schema
+        .write.mode("append").parquet(dir)
+    land(warmDrop, 0, per, seed = 7L)
+    val schema = spark.read.parquet(warmDrop).schema
 
-    def runOnce(): Double = {
+    def runOnce(drop: String, ckpt: String, sink: String): Double = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4).parquet(drop)
       // the reference hot path: 3 broadcast dim lookups (J5), k-means
@@ -125,19 +135,35 @@ object ThroughputBench {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // per-trigger overhead floor, made explicit: each micro-batch's
+      // input rows and execution time (the gap between Σbatch and wall
+      // is query start/stop overhead — fixed per deployment, amortized
+      // to nothing in a long-running stream)
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      if (prog.nonEmpty) {
+        val batchSecs = prog.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
+        println(f"[throughput] $tag: ${prog.length} data batches, " +
+          f"batch wall ${batchSecs.sum}%.2f s of $wall%.2f s total " +
+          f"(start/stop overhead ${wall - batchSecs.sum}%.2f s); " +
+          "per-batch: " + prog.zip(batchSecs).map { case (p, s) =>
+            f"${p.numInputRows}r/$s%.2fs" }.mkString(" "))
+      }
+      wall
     }
-    // warm run over tranche 0 only: query/codegen/state-store init is
-    // the scheduled loop's once-per-deployment cost, not throughput.
-    // The checkpoint then hands the timed run exactly the unseen
-    // tranches (the FileIngestLoopSpec exactly-once contract).
-    runOnce()
-    (1 until tranches).foreach(land)
-    val sec = runOnce()
-    val timed = n - per
-    val eps = timed / sec
+    // warm leg: three 20k batches of the same plan over the warm feed
+    // (the measured JIT decay horizon), throwaway checkpoint/sink
+    (1 until 3).foreach(t => land(warmDrop, t * per, (t + 1) * per, seed = 7L + t))
+    runOnce(warmDrop, warmCkpt, warmSink)
+    // timed leg: the full n-event feed, fresh checkpoint, warm JVM
+    (0 until tranches).foreach { t =>
+      val hi = if (t == tranches - 1) n else (t + 1) * per
+      land(drop, t * per, hi, seed = 42L + t)
+    }
+    val sec = runOnce(drop, ckpt, sink)
+    val eps = n / sec
     val exported = spark.read.parquet(sink).count()
-    println(f"[throughput] $tag: $timed timed events ($exported total exported session-openers), $sec%.2f s")
+    println(f"[throughput] $tag: $n timed events ($exported total exported session-openers), $sec%.2f s")
     eps
   }
 }
