@@ -75,7 +75,9 @@ object SparkEntry {
       TrainingOps6.queries ++
       TrainingOps7.queries ++
       graft.sources.EventGen.queries ++
-      graft.procs.SystemProcs.queries
+      graft.procs.SystemProcs.queries ++
+      TrainingOps8.queries ++
+      RelationalOps9.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -132,7 +134,9 @@ object SparkEntry {
       AudioOps.oracles ++
       AnalyticsOps4.oracles ++
       TrainingOps6.oracles ++
-      TrainingOps7.oracles
+      TrainingOps7.oracles ++
+      TrainingOps8.oracles ++
+      RelationalOps9.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -1,35 +1,54 @@
 package graft
 
-import graft.streaming.{CorpusDedupStream, SessionDedup, SessionGateTws}
+import graft.streaming.{CorpusDedupStream, NoveltyStream, SessionDedup, SessionGateTws}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** Streaming state-cardinality bench (judge r5 task #5): the stateful
-  * operators' sf0.1 numbers run ~300 live keys through 8 state
-  * partitions — this measures the same operators at 10⁶ keys under the
-  * RocksDB state-store provider, the regime the 100 TB claims are
-  * actually about (state no longer fits comfortably on-heap; per-batch
-  * commit cost is dominated by store maintenance, not row math).
+import java.util.concurrent.atomic.AtomicLong
+
+/** Streaming state-cardinality bench (judge r5 task #5, extended to a
+  * cardinality SWEEP per judge r8 task #6): the stateful operators'
+  * sf0.1 numbers run ~300 live keys through 8 state partitions — this
+  * measures the same operators at 10⁶ AND 10⁷ keys under the RocksDB
+  * state-store provider, the regime the 100 TB claims are actually
+  * about (state no longer fits comfortably on-heap; per-batch commit
+  * cost is dominated by store maintenance, not row math). Two decades
+  * of cardinality pin the throughput CURVE, not a point: flat
+  * events/s across 10⁶→10⁷ is the evidence that state cost is
+  * per-ROW (RocksDB amortizes the growing keyspace), not per-KEY-SPACE.
   *
   * Workloads (deterministic, generated per micro-batch so the driver
-  * never holds more than one batch):
+  * never holds more than one batch's worth of fresh rows):
   *  - session gate ([[SessionGateTws]], transformWithState + timers):
-  *    1M (user, type) keys × 2 events 10 s apart in-batch — exactly one
+  *    K (user, type) keys × 2 events 10 s apart in-batch — exactly one
   *    session start per key must emit (parity asserted, not assumed);
   *  - corpus dedup ([[CorpusDedupStream]], flatMapGroupsWithState,
-  *    never-expiring state): 1.18M docs over 1M distinct contents
-  *    (batches 1-9 re-send 20% of the prior batch) — exactly 180k
-  *    duplicate verdicts (parity asserted).
+  *    never-expiring content registry): 1.18·K docs over K distinct
+  *    contents (batches 1-9 re-send 20% of the prior batch) — exactly
+  *    0.18·K duplicate verdicts (parity asserted);
+  *  - gram novelty ([[NoveltyStream]], flatMapGroupsWithState, one
+  *    8-byte-keyed entry per distinct gram ever seen): 1.18·K gram
+  *    observations over K distinct gram hashes — exactly K novel
+  *    verdicts (parity asserted).
   *
-  * Output: `BENCH_STATE.json` — events/s, state rows, RocksDB memory/
-  * SST metrics at peak cardinality.
+  * All three keep ALL K keys live at peak (nothing ages out inside the
+  * run), so the reported state_rows/memory are the true at-cardinality
+  * figures. Counting goes through foreachBatch accumulators, not
+  * memory sinks — at 10⁷ emitted rows a memory sink would itself
+  * become the benchmark.
+  *
+  * Output: `BENCH_STATE.json` — one run object per cardinality with
+  * events/s, state rows, RocksDB memory/SST metrics at peak.
+  * Override the sweep with SPARK_GRAFT_STATE_KEYS=1000000[,10000000].
   */
 object StateScaleBench {
-  val Keys = 1000000L
   val BatchCount = 10
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cardinalities: Seq[Long] = sys.env.get("SPARK_GRAFT_STATE_KEYS")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(1000000L, 10000000L))
     val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "8") // state partitions: sized to commit overhead, not cores
@@ -38,31 +57,48 @@ object StateScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val runs = cardinalities.map(k => runAt(spark, k))
+    val json =
+      s"""{"metric":"state_cardinality","provider":"rocksdb","state_partitions":8,"runs":[${runs.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STATE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+
+  private def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq).headOption
+    so.map { op =>
+      val mem = Option(op.customMetrics).map { m =>
+        Seq("rocksdbTotalMemoryUsageBytes", "rocksdbSstFileSize")
+          .flatMap(k => Option(m.get(k)).map(v => s""""$k":$v""")).mkString(",")
+      }.getOrElse("")
+      s""""state_rows":${op.numRowsTotal},"state_mem_bytes":${op.memoryUsedBytes}""" +
+        (if (mem.nonEmpty) "," + mem else "")
+    }.getOrElse("\"state_rows\":-1")
+  }
+
+  private def ckpt(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** One full three-leg run at cardinality `keys`; returns the JSON row. */
+  def runAt(spark: SparkSession, keys: Long): String = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-
-    def stateMetrics(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
-      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq).headOption
-      so.map { op =>
-        val mem = Option(op.customMetrics).map { m =>
-          Seq("rocksdbTotalMemoryUsageBytes", "rocksdbSstFileSize")
-            .flatMap(k => Option(m.get(k)).map(v => s""""$k":$v""")).mkString(",")
-        }.getOrElse("")
-        s""""state_rows":${op.numRowsTotal},"state_mem_bytes":${op.memoryUsedBytes}""" +
-          (if (mem.nonEmpty) "," + mem else "")
-      }.getOrElse("\"state_rows\":-1")
-    }
-
-    // ---- session gate at 1M keys --------------------------------------
-    val perBatch = (Keys / BatchCount).toInt
+    implicit val sp: SparkSession = spark
+    val perBatch = (keys / BatchCount).toInt
     val base = 1700000000000000L // µs epoch, arbitrary fixed instant
+
+    // ---- session gate at K keys --------------------------------------
     // Event-time layout: batch b sits at base + 2b s, with ≤0.5 s of
     // intra-batch spread and the key's second event +10 s. All 10
-    // batches fit in a ~28.5 s window, so (a) no batch's rows fall
-    // behind the 10 s watermark (margin 1.5 s — nothing is dropped as
-    // late) and (b) the final watermark (max−10 s) never reaches any
-    // key's eviction timer (last+30 s) — all 10⁶ sessions stay LIVE,
-    // which is the state size this bench exists to measure.
+    // batches fit in a ~28.5 s window (independent of perBatch), so
+    // (a) no batch's rows fall behind the 10 s watermark (margin
+    // 1.5 s — nothing is dropped as late) and (b) the final watermark
+    // (max−10 s) never reaches any key's eviction timer (last+30 s) —
+    // all K sessions stay LIVE, which is the state size this bench
+    // exists to measure.
     def sessionBatch(b: Int): Seq[SessionDedup.Ev] =
       (0 until perBatch).flatMap { i =>
         val key = b.toLong * perBatch + i
@@ -71,31 +107,27 @@ object StateScaleBench {
         Seq(SessionDedup.Ev(key * 2, key, "view", new java.sql.Timestamp(t0 / 1000), 1.0),
           SessionDedup.Ev(key * 2 + 1, key, "view", new java.sql.Timestamp((t0 + 10000000L) / 1000), 1.0))
       }
+    val emitted = new AtomicLong
     val sessIn = MemoryStream[SessionDedup.Ev]
-    val sessQ = SessionGateTws.dedup(sessIn.toDS())(spark)
-      .writeStream.outputMode("append").format("memory").queryName("state_scale_sessions")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("state_scale_sess").toString)
+    val sessQ = SessionGateTws.dedup(sessIn.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SessionDedup.Ev], _: Long) =>
+        emitted.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation", ckpt("state_scale_sess"))
       .start()
     sessIn.addData(sessionBatch(0)); sessQ.processAllAvailable() // warm (codegen + store open)
     val t0s = System.nanoTime()
     (1 until BatchCount).foreach { b => sessIn.addData(sessionBatch(b)); sessQ.processAllAvailable() }
     val sessSec = (System.nanoTime() - t0s) / 1e9
     val sessEvents = (BatchCount - 1).toLong * perBatch * 2
-    val emitted = spark.sql("select count(*) from state_scale_sessions").as[Long].head()
     val sessMetrics = stateMetrics(sessQ)
     // parity at cardinality: exactly one session start per key
-    assert(emitted == Keys,
-      s"session gate must emit exactly 1 start per key: got $emitted for $Keys keys")
+    assert(emitted.get() == keys,
+      s"session gate must emit exactly 1 start per key: got ${emitted.get()} for $keys keys")
     sessQ.stop()
 
-    // ---- corpus dedup at 1M distinct contents -------------------------
-    val dedupIn = MemoryStream[CorpusDedupStream.Doc]
-    val dedupQ = CorpusDedupStream.dedup(dedupIn.toDS())(spark)
-      .writeStream.outputMode("append").format("memory").queryName("state_scale_dedup")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("state_scale_dedup").toString)
-      .start()
+    // ---- corpus dedup at K distinct contents -------------------------
     // batch b: perBatch fresh docs + 20% repeats of batch b-1's contents
     def dedupBatch(b: Int): Seq[CorpusDedupStream.Doc] = {
       val fresh = (0 until perBatch).map { i =>
@@ -104,30 +136,71 @@ object StateScaleBench {
       }
       val dups = if (b == 0) Seq.empty else (0 until perBatch / 5).map { i =>
         val prev = (b - 1).toLong * perBatch + i
-        CorpusDedupStream.Doc(Keys * 10 + b.toLong * perBatch + i,
+        CorpusDedupStream.Doc(keys * 10 + b.toLong * perBatch + i,
           s"synthetic corpus document number $prev with stable content")
       }
       fresh ++ dups
     }
+    val dupCount = new AtomicLong
+    val dedupIn = MemoryStream[CorpusDedupStream.Doc]
+    val dedupQ = CorpusDedupStream.dedup(dedupIn.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CorpusDedupStream.DocVerdict], _: Long) =>
+        dupCount.addAndGet(df.filter(_.is_dup).count()); ()
+      }
+      .option("checkpointLocation", ckpt("state_scale_dedup"))
+      .start()
     dedupIn.addData(dedupBatch(0)); dedupQ.processAllAvailable()
     val t0d = System.nanoTime()
     (1 until BatchCount).foreach { b => dedupIn.addData(dedupBatch(b)); dedupQ.processAllAvailable() }
     val dedupSec = (System.nanoTime() - t0d) / 1e9
     val dedupDocs = (BatchCount - 1).toLong * (perBatch + perBatch / 5)
-    val dupCount = spark.sql(
-      "select count(*) from state_scale_dedup where is_dup").as[Long].head()
     val dedupMetrics = stateMetrics(dedupQ)
-    assert(dupCount == (BatchCount - 1).toLong * (perBatch / 5),
-      s"dedup must flag exactly the cross-batch repeats: got $dupCount")
+    assert(dupCount.get() == (BatchCount - 1).toLong * (perBatch / 5),
+      s"dedup must flag exactly the cross-batch repeats: got ${dupCount.get()}")
     dedupQ.stop()
 
-    val json =
-      s"""{"metric":"state_cardinality","keys":$Keys,"state_partitions":8,"provider":"rocksdb",
-         |"session_gate":{"events":$sessEvents,"sec":${f"$sessSec%.2f"},"events_per_sec":${(sessEvents / sessSec).round},$sessMetrics},
-         |"corpus_dedup":{"docs":$dedupDocs,"sec":${f"$dedupSec%.2f"},"docs_per_sec":${(dedupDocs / dedupSec).round},$dedupMetrics}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STATE.json"),
-      (json + "\n").getBytes("UTF-8"))
-    spark.stop()
-    println(json)
+    // ---- gram novelty at K distinct gram hashes ----------------------
+    // batch b: perBatch fresh gram hashes + 20% re-observations of
+    // batch b-1's grams from later docs. Exactly one novel verdict per
+    // distinct gram (K total) must emit across the run.
+    def gramBatch(b: Int): Seq[NoveltyStream.GramObs] = {
+      val fresh = (0 until perBatch).map { i =>
+        val key = b.toLong * perBatch + i
+        NoveltyStream.GramObs(key, key * 0x9E3779B97F4A7C15L)
+      }
+      val reseen = if (b == 0) Seq.empty else (0 until perBatch / 5).map { i =>
+        val prev = (b - 1).toLong * perBatch + i
+        NoveltyStream.GramObs(keys * 10 + b.toLong * perBatch + i, prev * 0x9E3779B97F4A7C15L)
+      }
+      fresh ++ reseen
+    }
+    val novelCount = new AtomicLong
+    val totalVerdicts = new AtomicLong
+    val novIn = MemoryStream[NoveltyStream.GramObs]
+    val novQ = NoveltyStream.novelty(novIn.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[NoveltyStream.GramVerdict], _: Long) =>
+        novelCount.addAndGet(df.filter(_.novel).count())
+        totalVerdicts.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation", ckpt("state_scale_novelty"))
+      .start()
+    novIn.addData(gramBatch(0)); novQ.processAllAvailable()
+    val t0n = System.nanoTime()
+    (1 until BatchCount).foreach { b => novIn.addData(gramBatch(b)); novQ.processAllAvailable() }
+    val novSec = (System.nanoTime() - t0n) / 1e9
+    val novObs = (BatchCount - 1).toLong * (perBatch + perBatch / 5)
+    val novMetrics = stateMetrics(novQ)
+    assert(novelCount.get() == keys,
+      s"novelty must emit exactly one novel verdict per distinct gram: got ${novelCount.get()} for $keys")
+    assert(totalVerdicts.get() == BatchCount.toLong * perBatch + novObs,
+      s"novelty must verdict every observation: got ${totalVerdicts.get()}")
+    novQ.stop()
+
+    s"""{"keys":$keys,
+       |"session_gate":{"events":$sessEvents,"sec":${f"$sessSec%.2f"},"events_per_sec":${(sessEvents / sessSec).round},$sessMetrics},
+       |"corpus_dedup":{"docs":$dedupDocs,"sec":${f"$dedupSec%.2f"},"docs_per_sec":${(dedupDocs / dedupSec).round},$dedupMetrics},
+       |"gram_novelty":{"obs":$novObs,"sec":${f"$novSec%.2f"},"obs_per_sec":${(novObs / novSec).round},$novMetrics}}""".stripMargin.replace("\n", "")
   }
 }
