@@ -77,7 +77,8 @@ object SparkEntry {
       graft.sources.EventGen.queries ++
       graft.procs.SystemProcs.queries ++
       TrainingOps8.queries ++
-      RelationalOps9.queries
+      RelationalOps9.queries ++
+      GovernanceOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -136,7 +137,8 @@ object SparkEntry {
       TrainingOps6.oracles ++
       TrainingOps7.oracles ++
       TrainingOps8.oracles ++
-      RelationalOps9.oracles
+      RelationalOps9.oracles ++
+      GovernanceOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Streaming distribution-drift monitor: the continuous twin of the
+  * batch `unigram_tv_drift` operator (GovernanceOps). Each closed
+  * event-time minute emits ONE row — the exact total-variation
+  * distance between that minute's word-unigram distribution and a
+  * pinned reference distribution (e.g. the corpus snapshot the current
+  * model was trained on). This is the "is today's crawl still shaped
+  * like the training mixture?" alarm a continuously-fed pipeline runs
+  * in front of its ingest gate.
+  *
+  * Exactness: the same integer kernel as the batch operator —
+  * TV = Σ|c_m·T_q − q·T_m| / (2·T_m·T_q) with the absent-word mass
+  * folded in algebraically (see [[tvAgainst]]) — so the one IEEE
+  * division is the final step and stream == batch recompute
+  * bit-for-bit (spec-proven).
+  *
+  * Operator design (Spark 4 `transformWithState`):
+  *  - a STATELESS `mapPartitions` pre-reduce turns per-occurrence word
+  *    rows into (minute, word-hash, count) partials before anything
+  *    shuffles — the map-side-combine discipline of the batch
+  *    aggregates, without a second stateful operator in the chain;
+  *  - keyed by epoch MINUTE; per-key state is the minute's word-hash →
+  *    count map (parallel Seqs — the TWS Avro encoder has no MapType)
+  *    merged across micro-batches;
+  *  - an event-time TIMER at the minute boundary (m+1)·60 s fires once
+  *    the watermark passes: the verdict row is emitted and the state
+  *    for that minute is CLEARED — state is bounded by
+  *    (watermark-lag minutes) × per-minute vocabulary, never by stream
+  *    lifetime;
+  *  - a boundary-vs-watermark guard in `handleInputRows` drops
+  *    arrivals for minutes the timer has already closed, so a closed
+  *    minute can never re-open or double-emit;
+  *  - words ride as xxhash64 longs (same hashing family as the dedup/
+  *    novelty operators): 8-byte shuffle rows, collision-negligible,
+  *    and the reference ships as a hash→count map. The reference here
+  *    travels in the processor closure (vocab-sized); for a 10⁸-type
+  *    vocabulary hand the processor an
+  *    `org.apache.spark.broadcast.Broadcast` handle instead — the
+  *    kernel is unchanged.
+  *
+  * Scale (100 TB/day ingest): one shuffle, on the minute key, carrying
+  * pre-reduced partials; state-store writes are one merge per distinct
+  * hash per batch, not per word occurrence. Key cardinality = minutes
+  * in flight; key on (source, minute) for per-source drift — same
+  * processor, composite key, |sources|× the parallelism.
+  */
+object DriftMonitorStream {
+
+  /** Pre-reduced per-batch-partition observation: `n` occurrences of
+    * word-hash `wh` in minute `minute_id`. */
+  case class WordObs(minute_id: Long, wh: Long, n: Long)
+
+  /** One closed minute's drift verdict. */
+  case class DriftVerdict(minute_id: Long, n_words: Long,
+                          tv_num: Long, tv_den: Long, tv: Double)
+
+  /** Minute state: parallel seqs (TWS Avro state encoder has no
+    * MapType) + total word count. */
+  case class MinuteCounts(whs: Seq[Long], ns: Seq[Long], total: Long) {
+    def toMap: Map[Long, Long] = whs.zip(ns).toMap
+  }
+
+  /** The shared exact kernel: TV numerator/denominator between an
+    * observed distribution and the reference,
+    * N = Σ_∩ |c·T_q − q·T_m| + Σ_{obs∖ref} c·T_q + Σ_{ref∖obs} q·T_m,
+    * with the ref-only mass folded algebraically
+    * (Σ_{ref∖obs} q = T_q − Σ_∩ q) so only observed words are
+    * iterated. Returns (num, den); tv = num/den, both exact longs. */
+  def tvAgainst(obs: Map[Long, Long], obsTotal: Long,
+                ref: Map[Long, Long], refTotal: Long): (Long, Long) = {
+    var num = 0L
+    var matchedRef = 0L
+    obs.foreach { case (wh, c) =>
+      ref.get(wh) match {
+        case Some(q) =>
+          num += math.abs(c * refTotal - q * obsTotal)
+          matchedRef += q
+        case None => num += c * refTotal
+      }
+    }
+    num += (refTotal - matchedRef) * obsTotal
+    (num, 2L * obsTotal * refTotal)
+  }
+
+  class Monitor(ref: Map[Long, Long], refTotal: Long)
+    extends StatefulProcessor[Long, WordObs, DriftVerdict] {
+    @transient private var st: ValueState[MinuteCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MinuteCounts](
+        "counts", Encoders.product[MinuteCounts], TTLConfig.NONE)
+
+    override def handleInputRows(minute: Long, rows: Iterator[WordObs],
+                                 timerValues: TimerValues): Iterator[DriftVerdict] = {
+      // a minute whose boundary the watermark already passed has been
+      // (or is being) closed by its timer — never re-open it
+      if ((minute + 1) * 60000L <= timerValues.getCurrentWatermarkInMs())
+        return Iterator.empty
+      val s0 = if (st.exists()) st.get() else MinuteCounts(Seq.empty, Seq.empty, 0L)
+      var m = s0.toMap
+      var tot = s0.total
+      rows.foreach { o =>
+        m += o.wh -> (m.getOrElse(o.wh, 0L) + o.n)
+        tot += o.n
+      }
+      val ks = m.keys.toSeq.sorted
+      st.update(MinuteCounts(ks, ks.map(m), tot))
+      getHandle.registerTimer((minute + 1) * 60000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(minute: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[DriftVerdict] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      val (num, den) = tvAgainst(s.toMap, s.total, ref, refTotal)
+      Iterator.single(DriftVerdict(minute, s.total, num, den,
+        num.toDouble / den.toDouble))
+    }
+  }
+
+  /** Continuous drift monitor over a timestamped text stream.
+    * `ref`/`refTotal` pin the reference distribution (same xxhash64
+    * word grain — build it with [[referenceOf]] on the training
+    * snapshot). */
+  def monitor(docs: DataFrame, tsCol: String, textCol: String,
+              ref: Map[Long, Long], refTotal: Long)
+             (implicit spark: SparkSession): Dataset[DriftVerdict] = {
+    import spark.implicits._
+    docs
+      .select(col(tsCol).as("ts"),
+        explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("ts"), xxhash64(col("word")).as("wh"))
+      .withWatermark("ts", "10 seconds")
+      .as[(java.sql.Timestamp, Long)]
+      .mapPartitions { it =>
+        // stateless per-partition pre-reduce: one WordObs per distinct
+        // (minute, hash) per partition per batch
+        val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { case (ts, wh) =>
+          val k = (Math.floorDiv(ts.getTime, 60000L), wh)
+          acc.update(k, acc.getOrElse(k, 0L) + 1L)
+        }
+        acc.iterator.map { case ((minute, wh), n) => WordObs(minute, wh, n) }
+      }
+      .groupByKey(_.minute_id)
+      .transformWithState(new Monitor(ref, refTotal),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Batch helper: the reference (hash→count, total) of a corpus —
+    * the collect is vocabulary-sized (the reference is a published
+    * artifact, not the corpus). */
+  def referenceOf(docs: DataFrame, textCol: String): (Map[Long, Long], Long) = {
+    val rows = docs
+      .select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .select(xxhash64(col("word")).as("wh"))
+      .groupBy("wh").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    (rows.toMap, rows.map(_._2).sum)
+  }
+}

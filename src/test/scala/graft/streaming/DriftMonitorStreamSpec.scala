@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming drift monitor must agree bit-for-bit with the batch
+  * TV kernel on every closed minute, across micro-batch splits, and
+  * must clear per-minute state on emission. */
+class DriftMonitorStreamSpec extends SparkSpec {
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Spread the sf docs over `nMinutes` event-time minutes by doc_id. */
+  private def timestamped(nMinutes: Int): Seq[(java.sql.Timestamp, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
+      .map { r =>
+        val minute = r.getLong(0) % nMinutes
+        (new java.sql.Timestamp(minute * 60000L + (r.getLong(0) % 50) * 1000L),
+          r.getString(1))
+      }
+
+  test("stream TV verdicts == batch kernel recompute on closed minutes") { withRocksDb {
+    implicit val sparkSession = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val (ref, refTotal) =
+      DriftMonitorStream.referenceOf(Tables.documents(spark, sf), "text")
+    // arrival order respects event time (the reference's ordered
+    // ingest, ST1) — an out-of-order split would make minute-0 rows in
+    // batch 2 legitimately late-dropped
+    val data = timestamped(3).sortBy(_._1.getTime)
+    // two real batches + two sentinel batches (advance watermark, then
+    // let the now-eligible timers fire)
+    val sentinel = (m: Long) =>
+      Seq((new java.sql.Timestamp(m * 60000L), "sentinelword"))
+    val batches = data.grouped((data.size + 1) / 2).toSeq :+
+      sentinel(20) :+ sentinel(21)
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = DriftMonitorStream.monitor(
+        input.toDF().toDF("ts", "text"), "ts", "text", ref, refTotal)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_stream").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("drift_stream")
+          .filter(col("minute_id") < 10)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+          .toMap
+      } finally q.stop()
+
+    // batch recompute through the shared kernel on the same grain
+    val byMinute = data.groupBy { case (ts, _) => Math.floorDiv(ts.getTime, 60000L) }
+    val hashOf = {
+      val words = data.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty).distinct
+      words.zip(
+        spark.createDataset(words).toDF("word")
+          .select(xxhash64(col("word"))).collect().map(_.getLong(0))).toMap
+    }
+    val want = byMinute.map { case (m, docs) =>
+      val counts = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(hashOf).view.mapValues(_.size.toLong).toMap
+      val tot = counts.values.sum
+      val (num, den) = DriftMonitorStream.tvAgainst(counts, tot, ref, refTotal)
+      m -> ((tot, num, den, num.toDouble / den.toDouble))
+    }
+    assert(got.nonEmpty && got.keySet == want.keySet,
+      s"minutes differ: got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (m, w) =>
+      assert(got(m) == w, s"minute $m: got ${got(m)}, want $w")
+    }
+    // zero drift sanity: a minute distributed exactly like the
+    // reference would give tv == 0; real minutes must be in (0, 1]
+    got.values.foreach { case (_, num, den, tv) =>
+      assert(num >= 0 && num <= den && tv >= 0.0 && tv <= 1.0)
+    }
+  } }
+
+  test("identical-to-reference minute scores tv == 0; disjoint scores 1") { withRocksDb {
+    implicit val sparkSession = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val text = "alpha beta beta gamma"
+    val (ref, refTotal) = DriftMonitorStream.referenceOf(
+      Seq(text).toDF("text"), "text")
+    val at = (m: Long, s: Int) => new java.sql.Timestamp(m * 60000L + s * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = DriftMonitorStream.monitor(
+        input.toDF().toDF("ts", "text"), "ts", "text", ref, refTotal)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_synth").start()
+    val rows =
+      try {
+        // minute 0 mirrors the reference exactly; minute 1 shares no words
+        input.addData(Seq((at(0, 1), text), (at(1, 1), "delta epsilon")))
+        q.processAllAvailable()
+        input.addData(Seq((at(20, 0), "x")))
+        q.processAllAvailable()
+        input.addData(Seq((at(21, 0), "x")))
+        q.processAllAvailable()
+        spark.table("drift_synth").filter(col("minute_id") < 10)
+          .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      } finally q.stop()
+    assert(rows(0L) == 0.0, s"identical minute must score 0, got ${rows(0L)}")
+    assert(rows(1L) == 1.0, s"disjoint minute must score 1, got ${rows(1L)}")
+  } }
+}
