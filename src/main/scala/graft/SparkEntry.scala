@@ -78,7 +78,8 @@ object SparkEntry {
       graft.procs.SystemProcs.queries ++
       TrainingOps8.queries ++
       RelationalOps9.queries ++
-      GovernanceOps.queries
+      GovernanceOps.queries ++
+      AnalyticsOps5.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -138,7 +139,8 @@ object SparkEntry {
       TrainingOps7.oracles ++
       TrainingOps8.oracles ++
       RelationalOps9.oracles ++
-      GovernanceOps.oracles
+      GovernanceOps.oracles ++
+      AnalyticsOps5.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }
