@@ -49,19 +49,28 @@ object StateScaleBench {
     val cardinalities: Seq[Long] = sys.env.get("SPARK_GRAFT_STATE_KEYS")
       .map(_.split(",").toSeq.map(_.trim.toLong))
       .getOrElse(Seq(1000000L, 10000000L))
+    // state partition count: 8 amortizes per-partition commit overhead
+    // best at ≤10⁶ keys; at 10⁷ the stateful stage is the bottleneck
+    // and MORE partitions (more parallel RocksDB commits, smaller
+    // per-store keyspaces) win — sweep via SPARK_GRAFT_STATE_PARTITIONS
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
+    // leg subset for targeted reruns: csv of session,dedup,novelty
+    val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS", "session,dedup,novelty")
+      .split(",").map(_.trim).toSet
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT", "BENCH_STATE.json")
     val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "8") // state partitions: sized to commit overhead, not cores
+      .config("spark.sql.shuffle.partitions", stateParts)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val runs = cardinalities.map(k => runAt(spark, k))
+    val runs = cardinalities.map(k => runAt(spark, k, legs))
     val json =
-      s"""{"metric":"state_cardinality","provider":"rocksdb","state_partitions":8,"runs":[${runs.mkString(",")}]}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STATE.json"),
+      s"""{"metric":"state_cardinality","provider":"rocksdb","state_partitions":$stateParts,"runs":[${runs.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)
@@ -83,7 +92,8 @@ object StateScaleBench {
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** One full three-leg run at cardinality `keys`; returns the JSON row. */
-  def runAt(spark: SparkSession, keys: Long): String = {
+  def runAt(spark: SparkSession, keys: Long,
+            legs: Set[String] = Set("session", "dedup", "novelty")): String = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: SparkSession = spark
@@ -107,6 +117,7 @@ object StateScaleBench {
         Seq(SessionDedup.Ev(key * 2, key, "view", new java.sql.Timestamp(t0 / 1000), 1.0),
           SessionDedup.Ev(key * 2 + 1, key, "view", new java.sql.Timestamp((t0 + 10000000L) / 1000), 1.0))
       }
+    val sessJson: Option[String] = if (!legs("session")) None else Some {
     val emitted = new AtomicLong
     val sessIn = MemoryStream[SessionDedup.Ev]
     val sessQ = SessionGateTws.dedup(sessIn.toDS())
@@ -126,9 +137,12 @@ object StateScaleBench {
     assert(emitted.get() == keys,
       s"session gate must emit exactly 1 start per key: got ${emitted.get()} for $keys keys")
     sessQ.stop()
+    s""""session_gate":{"events":$sessEvents,"sec":${f"$sessSec%.2f"},"events_per_sec":${(sessEvents / sessSec).round},$sessMetrics}"""
+    }
 
     // ---- corpus dedup at K distinct contents -------------------------
     // batch b: perBatch fresh docs + 20% repeats of batch b-1's contents
+    val dedupJson: Option[String] = if (!legs("dedup")) None else Some {
     def dedupBatch(b: Int): Seq[CorpusDedupStream.Doc] = {
       val fresh = (0 until perBatch).map { i =>
         val key = b.toLong * perBatch + i
@@ -159,8 +173,11 @@ object StateScaleBench {
     assert(dupCount.get() == (BatchCount - 1).toLong * (perBatch / 5),
       s"dedup must flag exactly the cross-batch repeats: got ${dupCount.get()}")
     dedupQ.stop()
+    s""""corpus_dedup":{"docs":$dedupDocs,"sec":${f"$dedupSec%.2f"},"docs_per_sec":${(dedupDocs / dedupSec).round},$dedupMetrics}"""
+    }
 
     // ---- gram novelty at K distinct gram hashes ----------------------
+    val novJson: Option[String] = if (!legs("novelty")) None else Some {
     // batch b: perBatch fresh gram hashes + 20% re-observations of
     // batch b-1's grams from later docs. Exactly one novel verdict per
     // distinct gram (K total) must emit across the run.
@@ -194,13 +211,17 @@ object StateScaleBench {
     val novMetrics = stateMetrics(novQ)
     assert(novelCount.get() == keys,
       s"novelty must emit exactly one novel verdict per distinct gram: got ${novelCount.get()} for $keys")
-    assert(totalVerdicts.get() == BatchCount.toLong * perBatch + novObs,
+    // every observation fed gets a verdict: BatchCount·perBatch fresh
+    // + (BatchCount−1)·perBatch/5 re-seen (novObs is the TIMED subset
+    // only — batches 1..9 — so it is not the right-hand side here)
+    assert(totalVerdicts.get() ==
+      BatchCount.toLong * perBatch + (BatchCount - 1).toLong * (perBatch / 5),
       s"novelty must verdict every observation: got ${totalVerdicts.get()}")
     novQ.stop()
+    s""""gram_novelty":{"obs":$novObs,"sec":${f"$novSec%.2f"},"obs_per_sec":${(novObs / novSec).round},$novMetrics}"""
+    }
 
-    s"""{"keys":$keys,
-       |"session_gate":{"events":$sessEvents,"sec":${f"$sessSec%.2f"},"events_per_sec":${(sessEvents / sessSec).round},$sessMetrics},
-       |"corpus_dedup":{"docs":$dedupDocs,"sec":${f"$dedupSec%.2f"},"docs_per_sec":${(dedupDocs / dedupSec).round},$dedupMetrics},
-       |"gram_novelty":{"obs":$novObs,"sec":${f"$novSec%.2f"},"obs_per_sec":${(novObs / novSec).round},$novMetrics}}""".stripMargin.replace("\n", "")
+    (Seq(s""""keys":$keys""") ++ sessJson ++ dedupJson ++ novJson)
+      .mkString("{", ",", "}")
   }
 }
