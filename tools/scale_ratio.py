@@ -19,14 +19,15 @@ res = {
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
              "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
-             "full cold passes. Round-8 final: the FULL 243-query registry (every "
-             "second-wave add incl. the post-sweep VARIANT/XML/tz/URL/approx_top_k "
-             "surfaces), median 1.53, worst 9.15 (text_normalize) - every query "
-             "sub-linear; the >=5x tail is exactly the per-character map stages "
-             "(normalize/winnow/WAV codecs: the 10x remap carries ~16x characters, so "
-             "per character they are sub-linear too). The five post-sweep surfaces all "
-             "land <=1.9. The former quadratics (dedup_embedding_near, hard_negatives) "
-             "hold at 1.5-1.7 under the blocked EmbeddingNeighbors kernel."),    "n_queries": len(out),
+             "full cold passes. Round-9: the FULL 256-query registry (round-8's 243 "
+             "plus the curation second-pass, MERGE, governance, and metrics tranches), "
+             "median 1.40, worst 9.45 (text_normalize) - every query sub-linear; the "
+             ">=5x tail is exactly the per-character map stages (normalize/winnow/WAV "
+             "codecs: the 10x remap carries ~16x characters, so per character they are "
+             "sub-linear too). All 13 round-9 additions land <=2.6 "
+             "(dq_check_report/unigram_tv_drift/twap_user/ohlc_minute etc). The former "
+             "quadratics (dedup_embedding_near, hard_negatives) hold at 1.7-2.1 under "
+             "the blocked EmbeddingNeighbors kernel."),    "n_queries": len(out),
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
     "queries": out,
