@@ -79,7 +79,8 @@ object SparkEntry {
       TrainingOps8.queries ++
       RelationalOps9.queries ++
       GovernanceOps.queries ++
-      AnalyticsOps5.queries
+      AnalyticsOps5.queries ++
+      RetrievalOps2.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -140,7 +141,8 @@ object SparkEntry {
       TrainingOps8.oracles ++
       RelationalOps9.oracles ++
       GovernanceOps.oracles ++
-      AnalyticsOps5.oracles
+      AnalyticsOps5.oracles ++
+      RetrievalOps2.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -329,4 +329,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sim.contains("CartesianProduct") && !sim.contains("BroadcastNestedLoop"),
       s"simjoin_prefix_filter candidates must come from the prefix index join:\n$sim")
   }
+
+  test("retrieval eval broadcasts the fixed query sample; rank window stays keyed by qid") {
+    for (q <- Seq("eval_recall_at_k", "eval_ndcg_at_k")) {
+      val plan = finalPlan(q)
+      // the 16-query sample rides a broadcast (BNLJ against the scan is
+      // the intended bounded cross: 16·N dot products, linear in N)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$q lost the query-sample broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degenerated to a shuffled cartesian:\n$plan")
+      // the top-k rank must be per-query (hash partitioned by qid),
+      // never a single-partition global window over 16·N rows
+      assert(plan.contains("hashpartitioning(qid"),
+        s"$q rank window must partition by qid:\n$plan")
+    }
+  }
 }
