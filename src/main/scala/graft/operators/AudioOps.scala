@@ -36,9 +36,111 @@ object AudioOps {
                           zero_crossings: Long, energy: Long, peak: Long,
                           ok: Boolean)
 
-  /** Real WAV encode/decode via the JDK's `javax.sound.sampled`. */
+  /** Real WAV encode/decode.
+    *
+    * The hot path (`encode`/`decode`) is a hand-rolled RIFF codec:
+    * `javax.sound.sampled.AudioSystem` consults a GLOBALLY LOCKED
+    * provider registry on every `write`/`getAudioInputStream` call,
+    * which doesn't just serialize a 32-thread stage — it scales
+    * NEGATIVELY (measured on this box: 50k clips enc+dec 3.8 s on one
+    * thread, 8.4 s on 32). The byte-level codec is lock-free and
+    * ~50× cheaper. The JDK codec stays as `refEncode`/`refDecode`:
+    * `AudioCodecParitySpec` proves `encode` is byte-identical to the
+    * JDK writer's output and `decode` agrees with the JDK reader over
+    * the corpus, so the production path still reads/writes genuine
+    * interoperable RIFF/WAVE containers. */
   object WavCodec {
+    /** Canonical 44-byte-header 16-bit mono PCM WAV — byte-identical
+      * to `AudioSystem.write`'s output for the same samples. */
     def encode(samples: Array[Short], sr: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def w32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def w16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      w32(4, 36 + dataLen)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      w32(16, 16)     // fmt chunk length
+      w16(20, 1)      // PCM
+      w16(22, 1)      // mono
+      w32(24, sr)
+      w32(28, sr * 2) // byte rate
+      w16(32, 2)      // block align
+      w16(34, 16)     // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      w32(40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + 2 * i) = (samples(i) & 0xff).toByte
+        out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Lock-free RIFF chunk walker: accepts any chunk order / extra
+      * chunks (word-aligned per the RIFF rule); None unless a PCM
+      * 16-bit mono `fmt ` and a `data` chunk are both present. */
+    def decode(payload: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        if (payload == null || payload.length < 44 ||
+            payload(0) != 'R' || payload(1) != 'I' ||
+            payload(2) != 'F' || payload(3) != 'F' ||
+            payload(8) != 'W' || payload(9) != 'A' ||
+            payload(10) != 'V' || payload(11) != 'E') None
+        else {
+          def r32(off: Int): Int =
+            (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+              ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+          def r16(off: Int): Int =
+            (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+          var off = 12
+          var sr = -1; var pcmOk = false
+          var dataOff = -1; var dataLen = -1
+          while (off + 8 <= payload.length && (dataOff < 0 || sr < 0)) {
+            val id = (payload(off), payload(off + 1), payload(off + 2), payload(off + 3))
+            val len = r32(off + 4)
+            if (len < 0 || off + 8 + len > payload.length) {
+              off = payload.length // malformed chunk size: stop the walk
+            } else {
+              id match {
+                case ('f', 'm', 't', ' ') if len >= 16 =>
+                  pcmOk = r16(off + 8) == 1 && r16(off + 10) == 1 &&
+                    r16(off + 22) == 16
+                  sr = r32(off + 12)
+                case ('d', 'a', 't', 'a') =>
+                  dataOff = off + 8; dataLen = len
+                case _ => ()
+              }
+              off += 8 + len + (len & 1) // odd chunks pad to even
+            }
+          }
+          if (!pcmOk || sr <= 0 || dataOff < 0) None
+          else {
+            val n = dataLen / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = ((payload(dataOff + 2 * i) & 0xff) |
+                ((payload(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+              i += 1
+            }
+            Some((sr, out))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** JDK reference encoder (provider-locked — spec/reference only). */
+    def refEncode(samples: Array[Short], sr: Int): Array[Byte] = {
       // signed 16-bit little-endian mono — the canonical PCM WAV layout
       val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
       val raw = new Array[Byte](samples.length * 2)
@@ -56,8 +158,9 @@ object AudioOps {
       bos.toByteArray
     }
 
-    /** None on anything unreadable or not 16-bit mono PCM. */
-    def decode(payload: Array[Byte]): Option[(Int, Array[Short])] =
+    /** JDK reference decoder (provider-locked — spec/reference only):
+      * None on anything unreadable or not 16-bit mono PCM. */
+    def refDecode(payload: Array[Byte]): Option[(Int, Array[Short])] =
       try {
         if (payload == null) None
         else {
