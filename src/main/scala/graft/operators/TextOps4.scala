@@ -33,29 +33,29 @@ object TextOps4 {
 
   val queries: Map[String, Q] = Map(
     "doc_winnow_fingerprint" -> ((s, d) => {
-      // The whole scheme is row-local: gram hashes, per-window minima,
-      // and the distinct-count all live inside one document. Keeping it
-      // in array-typed columns (transform/slice/array_min) instead of
-      // posexplode + Window avoids materializing ~n rows per doc and —
-      // the real win — the per-doc sort exchange the Window needed.
-      // At 100 TB this is a pure map stage: zero shuffle until the
-      // one-row-per-doc result hits the final orderBy.
+      // The whole scheme is row-local, so it runs as ONE kernel call
+      // per document ([[graft.functions.WinnowKernel]]) instead of an
+      // expression tree per character: the per-position form paid an
+      // md5 expression + an 8-element slice allocation per gram
+      // (~20 µs/gram); the kernel reuses one digest, slides an O(n)
+      // monotonic deque for the window minima, and compares raw
+      // unsigned ints (hex only for the two output strings) —
+      // bit-identical fingerprints at ~0.2 µs/gram. Zero shuffle until
+      // the one-row-per-doc result hits the final orderBy.
       // the corpus parquet is one small file = ONE input split, but the
-      // per-row work (n md5s + n window minima per doc) is the whole
-      // query — round-robin it across the cluster first; the 1-row-per-
-      // doc output makes the extra exchange ~free
+      // per-row work is the whole query — round-robin it across the
+      // cluster first; the 1-row-per-doc output makes the exchange free
+      val fp = udf { text: String =>
+        graft.functions.WinnowKernel.fingerprint(text, K, W)
+      }
       Tables.documents(s, d)
         .filter(length(col("text")) >= K + W - 1) // at least one full window
         .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("hs", expr(
-          s"transform(sequence(1, length(text) - $K + 1), " +
-            s"i -> substring(md5(CAST(substring(text, i, $K) AS BINARY)), 1, 8))"))
-        .withColumn("fps", expr(
-          s"transform(sequence(1, size(hs) - $W + 1), j -> array_min(slice(hs, j, $W)))"))
+        .withColumn("r", fp(col("text")))
         .select(col("doc_id"),
-          size(array_distinct(col("fps"))).cast("long").as("n_fp"),
-          array_min(col("fps")).as("min_fp"),
-          array_max(col("fps")).as("max_fp"))
+          col("r._1").as("n_fp"),
+          col("r._2").as("min_fp"),
+          col("r._3").as("max_fp"))
         .orderBy("doc_id")
     }),
 
