@@ -56,11 +56,17 @@ object TextOps5 {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)),
 
-    "text_normalize" -> ((s, d) =>
-      Tables.documents(s, d).selectExpr(
-        "doc_id",
-        "length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), '  *', ' '))) AS norm_len",
-        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), '  *', ' '))) AS norm_md5"))
+    "text_normalize" -> ((s, d) => {
+      // one kernel call per document (TextKernels.normalize) instead of
+      // two regex passes + a second full pipeline evaluation for the
+      // md5 column — bit-identical output, ~10× less per-char work;
+      // round-robin first (one input split, per-char work is the query)
+      val norm = udf { text: String => graft.functions.TextKernels.normalize(text) }
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("r", norm(col("text")))
+        .select(col("doc_id"), col("r._1").as("norm_len"), col("r._2").as("norm_md5"))
+    })
   )
 
   /** BM25 with rational idf; per-term contributions in fixed order.
