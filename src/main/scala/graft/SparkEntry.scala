@@ -80,7 +80,8 @@ object SparkEntry {
       RelationalOps9.queries ++
       GovernanceOps.queries ++
       AnalyticsOps5.queries ++
-      RetrievalOps2.queries
+      RetrievalOps2.queries ++
+      TextOps7.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -142,7 +143,8 @@ object SparkEntry {
       RelationalOps9.oracles ++
       GovernanceOps.oracles ++
       AnalyticsOps5.oracles ++
-      RetrievalOps2.oracles
+      RetrievalOps2.oracles ++
+      TextOps7.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

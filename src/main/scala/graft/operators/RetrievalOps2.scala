@@ -151,6 +151,29 @@ object RetrievalOps2 {
         .orderBy("qid")
     }),
 
+    // MAP@10: per-query average precision with exact rational
+    // arithmetic — precision@r = hits_so_far/r scales by LCM(1..10) =
+    // 2520 to an exact integer, AP's normalizer min(n_rel, 10) folds
+    // into the single final divide
+    "eval_map_at_k" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy("rn")
+      val ap = rankedTopK(s, d)
+        .withColumn("hits_at_r",
+          sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).over(w))
+        .filter(col("label") === col("qlabel"))
+        .groupBy("qid")
+        .agg(sum(expr(s"${MrrScale} * hits_at_r div rn")).as("ap_s"))
+      relCounts(s, d)
+        .join(ap, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("ap_s"), lit(0L)).as("ap_s"),
+          least(col("n_rel"), lit(K.toLong)).as("n_rel_cap"))
+        .withColumn("ap", col("ap_s").cast("double") /
+          (lit(MrrScale.toDouble) * least(col("n_rel_cap"), lit(K.toLong)).cast("double")))
+        .orderBy("qid")
+    }),
+
     // corpus-level MRR@10: reciprocal rank of the first same-label
     // neighbor, 0 when none lands in the top-10
     "eval_mrr_at_k" -> ((s, d) => {
@@ -237,6 +260,24 @@ object RetrievalOps2 {
          |                 / CAST($IdcgCaseSql AS DOUBLE)
          |            ELSE 0.0 END AS ndcg
          |FROM rel r JOIN dcg d ON r.qid = d.qid
+         |ORDER BY r.qid""".stripMargin,
+
+    "eval_map_at_k" ->
+      s"""$RankedCte,
+         |hitsat AS (
+         |  SELECT qid, rn, label, qlabel,
+         |         sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY qid ORDER BY rn) AS hits_at_r
+         |  FROM topk),
+         |ap AS (
+         |  SELECT qid, CAST(sum(2520 * hits_at_r // rn) AS BIGINT) AS ap_s
+         |  FROM hitsat WHERE label = qlabel GROUP BY qid)
+         |SELECT r.qid,
+         |       COALESCE(a.ap_s, 0) AS ap_s,
+         |       least(r.n_rel, 10) AS n_rel_cap,
+         |       CAST(COALESCE(a.ap_s, 0) AS DOUBLE)
+         |         / (2520.0 * least(r.n_rel, 10)) AS ap
+         |FROM rel r LEFT JOIN ap a ON r.qid = a.qid
          |ORDER BY r.qid""".stripMargin,
 
     "eval_mrr_at_k" ->

@@ -77,6 +77,30 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("eval_map_at_k matches the brute-force average precision") {
+    val rows = SparkEntry.queries("eval_map_at_k")(spark, sf).collect()
+    assert(rows.length == queryIds.length)
+    val byId = vecs.map(v => v.id -> v).toMap
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val qlabel = byId(qid).label
+      var hits = 0L
+      var apS = 0L
+      topk(qid).foreach { case (_, l, rank) =>
+        if (l == qlabel) {
+          hits += 1
+          apS += RetrievalOps2.MrrScale * hits / rank
+        }
+      }
+      val cap = math.min(labelCount(qlabel) - 1, RetrievalOps2.K.toLong)
+      assert(r.getLong(1) == apS, s"q$qid ap_s")
+      assert(r.getLong(2) == cap, s"q$qid n_rel_cap")
+      val expected = apS.toDouble / (RetrievalOps2.MrrScale.toDouble * cap)
+      assert(java.lang.Double.compare(r.getDouble(3), expected) == 0, s"q$qid ap")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("eval_mrr_at_k matches the brute-force first-relevant ranks") {
     val row = SparkEntry.queries("eval_mrr_at_k")(spark, sf).collect().head
     val byId = vecs.map(v => v.id -> v).toMap
