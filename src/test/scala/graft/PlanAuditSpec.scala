@@ -104,7 +104,8 @@ class PlanAuditSpec extends SparkSpec {
     // per-row array math — the ONLY exchanges allowed are the explicit
     // round-robin spread and the presentation orderBy. A SortAggregate /
     // extra Exchange here means someone reintroduced an explode+groupBy.
-    for (q <- Seq("doc_winnow_fingerprint", "doc_gopher_signals", "emb_quantize_int8")) {
+    for (q <- Seq("doc_winnow_fingerprint", "doc_gopher_signals", "emb_quantize_int8",
+                  "text_normalize", "doc_fingerprint")) {
       // AQE's tree string appends the pre-adaptive "Initial Plan" —
       // count exchanges in the final section only
       val plan = finalPlan(q).split("== Initial Plan ==").head
