@@ -40,6 +40,33 @@ object SetOps {
       urgent.intersect(low).orderBy("c")
     }),
 
+    // EXCEPT ALL — multiset difference: each custkey keeps
+    // count(all orders) − count(urgent orders) copies; the compact
+    // per-key census of the survivors is the output. Spark plans
+    // exceptAll as a signed-count aggregate + replicate (one shuffle
+    // per side on the key, no pairwise join) — the multiset semantics
+    // the DISTINCT form above cannot express.
+    "except_all_orders" -> ((s, d) => {
+      val all = Tables.orders(s, d).select(col("o_custkey").as("c"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c"))
+      all.exceptAll(urgent)
+        .groupBy("c").agg(count(lit(1)).as("n"))
+        .orderBy("c")
+    }),
+
+    // INTERSECT ALL — multiset intersection: min(urgent copies, low
+    // copies) per custkey
+    "intersect_all_orders" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c"))
+      val low = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("c"))
+      urgent.intersectAll(low)
+        .groupBy("c").agg(count(lit(1)).as("n"))
+        .orderBy("c")
+    }),
+
     // UNION DISTINCT of two key populations
     "union_keys" -> ((s, d) => {
       val a = Tables.customer(s, d).select(col("c_nationkey").as("k"))
@@ -167,6 +194,20 @@ object SetOps {
         |INTERSECT
         |SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY c""".stripMargin,
+
+    "except_all_orders" ->
+      """SELECT c, count(*) AS n FROM (
+        |  SELECT o_custkey AS c FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c ORDER BY c""".stripMargin,
+
+    "intersect_all_orders" ->
+      """SELECT c, count(*) AS n FROM (
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '5-LOW')
+        |GROUP BY c ORDER BY c""".stripMargin,
 
     "union_keys" ->
       """SELECT c_nationkey AS k FROM customer
