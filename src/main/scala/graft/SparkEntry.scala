@@ -81,7 +81,8 @@ object SparkEntry {
       GovernanceOps.queries ++
       AnalyticsOps5.queries ++
       RetrievalOps2.queries ++
-      TextOps7.queries
+      TextOps7.queries ++
+      PlanningOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -144,7 +145,8 @@ object SparkEntry {
       GovernanceOps.oracles ++
       AnalyticsOps5.oracles ++
       RetrievalOps2.oracles ++
-      TextOps7.oracles
+      TextOps7.oracles ++
+      PlanningOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }
