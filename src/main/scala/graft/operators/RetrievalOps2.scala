@@ -76,14 +76,28 @@ object RetrievalOps2 {
   /** MRR scale: LCM(1..10), so 2520/rank is an exact integer. */
   val MrrScale = 2520L
 
+  /** Matryoshka prefix length for `emb_matryoshka_audit`. */
+  val TruncDims = 16
+
   /** Exact top-K neighbors for the 16 fixed query vectors:
     * (qid, qlabel, vec_id, label, sim, rn) with rn ≤ K.
-    * Quantized int64 cosine — identical math to ann_topk. */
-  private def rankedTopK(s: SparkSession, d: String): DataFrame = {
+    * Quantized int64 cosine — identical math to ann_topk.
+    * `dims` truncates every vector to its first m coordinates (the
+    * Matryoshka read path; zero-norm prefixes are filtered so no NaN
+    * enters the ordering). */
+  private def rankedTopKDims(s: SparkSession, d: String,
+                             dims: Option[Int]): DataFrame = {
     graft.functions.VectorFunctions.registerAll(s)
     val emb = Tables.embeddings(s, d)
-    val q = DedupOps.quantized(emb)
+    val q0 = DedupOps.quantized(emb)
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = dims match {
+      case None => q0
+      case Some(m) => q0
+        .withColumn("q", expr(s"slice(q, 1, $m)"))
+        .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .filter(col("n") > 0)
+    }
     val queries = broadcast(
       q.filter(col("vec_id") % 7 === 3).orderBy("vec_id").limit(NQueries)
         .select(col("vec_id").as("qid"), col("q").as("qq"),
@@ -98,6 +112,9 @@ object RetrievalOps2 {
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= K)
   }
+
+  private def rankedTopK(s: SparkSession, d: String): DataFrame =
+    rankedTopKDims(s, d, None)
 
   /** Per-query same-label population (recall/ndcg denominators):
     * (qid, n_rel) with n_rel = |{v ≠ q : label(v) = label(q)}|. */
@@ -171,6 +188,25 @@ object RetrievalOps2 {
           least(col("n_rel"), lit(K.toLong)).as("n_rel_cap"))
         .withColumn("ap", col("ap_s").cast("double") /
           (lit(MrrScale.toDouble) * least(col("n_rel_cap"), lit(K.toLong)).cast("double")))
+        .orderBy("qid")
+    }),
+
+    // Matryoshka truncation audit: how much of the full-dimension
+    // top-10 survives when ranking by only the first TruncDims
+    // coordinates (the MRL cheap-read path). overlap ∈ 0..10 per
+    // query; jaccard@10 = overlap/(2K − overlap), one exact divide.
+    "emb_matryoshka_audit" -> ((s, d) => {
+      val full = rankedTopK(s, d).select(col("qid"), col("vec_id"))
+      val trunc = rankedTopKDims(s, d, Some(TruncDims))
+        .select(col("qid").as("tq"), col("vec_id").as("tv"))
+      val overlap = full
+        .join(trunc, col("qid") === col("tq") && col("vec_id") === col("tv"))
+        .groupBy("qid").agg(count(lit(1)).as("overlap"))
+      relCounts(s, d).select("qid")
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("overlap"), lit(0L)).as("overlap"))
+        .withColumn("jaccard", col("overlap").cast("double") /
+          (lit(2L * K) - col("overlap")).cast("double"))
         .orderBy("qid")
     }),
 
@@ -279,6 +315,43 @@ object RetrievalOps2 {
          |         / (2520.0 * least(r.n_rel, 10)) AS ap
          |FROM rel r LEFT JOIN ap a ON r.qid = a.qid
          |ORDER BY r.qid""".stripMargin,
+
+    "emb_matryoshka_audit" ->
+      s"""$RankedCte,
+         |e16 AS (SELECT vec_id, i, x FROM e WHERE i <= $TruncDims),
+         |norms16 AS (
+         |  SELECT vec_id, sum(x * x) AS n FROM e16 GROUP BY vec_id
+         |  HAVING sum(x * x) > 0),
+         |qs16 AS (
+         |  SELECT n16.vec_id AS qid, n16.n AS nq
+         |  FROM norms16 n16
+         |  WHERE n16.vec_id % 7 = 3 ORDER BY n16.vec_id LIMIT 16),
+         |dots16 AS (
+         |  SELECT qe.qid, qe.nq, e.vec_id, sum(e.x * qe.x) AS dot
+         |  FROM e16 e
+         |  JOIN norms16 cn ON e.vec_id = cn.vec_id
+         |  JOIN (SELECT q16.qid, q16.nq, eq.i, eq.x
+         |        FROM qs16 q16 JOIN e16 eq ON eq.vec_id = q16.qid) qe
+         |    ON e.i = qe.i AND e.vec_id <> qe.qid
+         |  GROUP BY qe.qid, qe.nq, e.vec_id),
+         |ranked16 AS (
+         |  SELECT d.qid, d.vec_id,
+         |         row_number() OVER (
+         |           PARTITION BY d.qid
+         |           ORDER BY CAST(d.dot AS DOUBLE)
+         |                    / sqrt(CAST(nm.n * d.nq AS DOUBLE)) DESC, d.vec_id)
+         |           AS rn
+         |  FROM dots16 d JOIN norms16 nm ON d.vec_id = nm.vec_id),
+         |topk16 AS (SELECT qid, vec_id FROM ranked16 WHERE rn <= 10),
+         |ov AS (
+         |  SELECT t.qid, count(*) AS overlap
+         |  FROM topk t JOIN topk16 s ON t.qid = s.qid AND t.vec_id = s.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid, COALESCE(o.overlap, 0) AS overlap,
+         |       CAST(COALESCE(o.overlap, 0) AS DOUBLE)
+         |         / CAST(20 - COALESCE(o.overlap, 0) AS DOUBLE) AS jaccard
+         |FROM qs q LEFT JOIN ov o ON q.qid = o.qid
+         |ORDER BY q.qid""".stripMargin,
 
     "eval_mrr_at_k" ->
       s"""$RankedCte,

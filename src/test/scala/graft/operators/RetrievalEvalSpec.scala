@@ -118,6 +118,34 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("emb_matryoshka_audit matches a brute-force truncated re-ranking") {
+    val rows = SparkEntry.queries("emb_matryoshka_audit")(spark, sf).collect()
+    assert(rows.length == queryIds.length)
+    val m = RetrievalOps2.TruncDims
+    val tvecs = vecs.map(v => Vec(v.id, v.label, v.q.take(m),
+      v.q.take(m).map(x => x * x).sum)).filter(_.n > 0)
+    val byId = tvecs.map(v => v.id -> v).toMap
+    val tQueryIds = tvecs.map(_.id).filter(_ % 7 == 3).sorted.take(RetrievalOps2.NQueries)
+    val truncTop: Map[Long, Set[Long]] = tQueryIds.map { qid =>
+      val qv = byId(qid)
+      qid -> tvecs.filter(_.id != qid).map { v =>
+        var dot = 0L; var k = 0
+        while (k < v.q.length) { dot += v.q(k) * qv.q(k); k += 1 }
+        (v.id, dot / math.sqrt((v.n * qv.n).toDouble))
+      }.sortBy { case (id, sim) => (-sim, id) }
+        .take(RetrievalOps2.K).map(_._1).toSet
+    }.toMap
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val fullSet = topk(qid).map(_._1).toSet
+      val expected = truncTop.get(qid).map(t => (fullSet & t).size.toLong).getOrElse(0L)
+      assert(r.getLong(1) == expected, s"q$qid overlap")
+      val jac = expected.toDouble / (2L * RetrievalOps2.K - expected).toDouble
+      assert(java.lang.Double.compare(r.getDouble(2), jac) == 0, s"q$qid jaccard")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= RetrievalOps2.K)
+    }
+  }
+
   test("DCG discount constants are round(2^20 / log2(r+1)) with exact prefix sums") {
     RetrievalOps2.DcgW.zipWithIndex.foreach { case (w, i) =>
       val expect = math.round(math.pow(2, 20) / (math.log(i + 2) / math.log(2)))

@@ -19,12 +19,12 @@ res = {
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
              "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
-             "full cold passes. Round-9: the FULL 264-query registry (round-8's 243 "
+             "full cold passes. Round-9: the FULL 265-query registry (round-8's 243 "
              "plus the curation second-pass, MERGE, governance, and metrics tranches), "
              "median 1.40, worst 9.45 (text_normalize) - every query sub-linear; the "
              ">=5x tail is exactly the per-character map stages (normalize/winnow/WAV "
              "codecs: the 10x remap carries ~16x characters, so per character they are "
-             "sub-linear too). All 21 round-9 additions land <=2.1 "
+             "sub-linear too). All 22 round-9 additions land <=2.1 "
              "(dq_check_report/unigram_tv_drift/twap_user/eval_ndcg_at_k etc; the "
              "eval_* trio rides a fixed 16-query sample, 1.14-1.26). The former "
              "quadratics (dedup_embedding_near, hard_negatives) hold at 1.7-2.1 under "
