@@ -66,6 +66,30 @@ class TextKernelsSpec extends SparkSpec {
     assert(TextKernels.fingerprintPair(null) == null)
   }
 
+  test("fuzz: normalize and fingerprintPair equal the expression forms on 300 seeded strings") {
+    val texts = FuzzTexts.corpus(300, seed = 99123L)
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val refNorm = df
+      .selectExpr("doc_id", s"length($NormExpr) AS l", s"md5($NormExpr) AS h")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getString(2)))).toMap
+    val refFp = df
+      .withColumn("w", split(col("text"), " ", -1))
+      .selectExpr("doc_id",
+        "md5(regexp_replace(lower(text), '[^a-z0-9 ]', '')) AS fp",
+        s"CASE WHEN size(w) >= 3 THEN array_min(transform(" +
+          s"transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))), " +
+          s"g -> md5(CAST(g AS BINARY)))) END AS msf")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(TextKernels.normalize(t) == refNorm(i.toLong), s"fuzz norm $i")
+      val pair = TextKernels.fingerprintPair(t)
+      assert(pair._1 == refFp(i.toLong)._1, s"fuzz fp $i")
+      assert(Option(pair._2) == refFp(i.toLong)._2, s"fuzz msf $i")
+    }
+  }
+
   test("minShingleMd5 edge cases: short, empty-token, and unicode shingles") {
     val texts = Seq("one two", "", " ", "a  b c", "你 好 世 界", "x y z")
     import spark.implicits._
