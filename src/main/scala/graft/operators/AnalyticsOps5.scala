@@ -60,14 +60,24 @@ object AnalyticsOps5 {
     // the final ratio divides two exact LONGS (value·µs in cents over
     // µs·100): long→double conversion is correctly rounded in both
     // engines, whereas decimal→double is double-rounded in some (one
-    // ulp off) — route the one IEEE division through longs
+    // ulp off) — route the one IEEE division through longs.
+    // The exposed numerator is BIGINT cents, not the internal
+    // DECIMAL(38,2): every consumer stack holds a 64-bit integer
+    // exactly, whereas a 17-significant-digit decimal survives some
+    // (pyarrow Decimal) and not others (float64 coercion) — decimal
+    // never escapes an operator's output schema (RegistrySchemaSpec).
+    // Spark casts an overflowing decimal→long to null (non-ANSI), so a
+    // per-user numerator past 2^63 cents surfaces as a null cell, not
+    // a silently wrong one.
     seg.groupBy("user_id")
       .agg(count(lit(1)).as("n_segments"),
-        sum(col("v") * col("dur")).cast("decimal(38,2)").as("twap_num"),
+        sum(col("v") * col("dur")).cast("decimal(38,2)").as("num_dec"),
         sum(col("dur")).as("twap_den"))
+      .withColumn("twap_num_cents", (col("num_dec") * 100).cast("long"))
       .withColumn("twap",
-        (col("twap_num") * 100).cast("long").cast("double") /
+        col("twap_num_cents").cast("double") /
           (col("twap_den") * 100).cast("double"))
+      .select("user_id", "n_segments", "twap_num_cents", "twap_den", "twap")
       .orderBy("user_id")
   }
 
@@ -115,7 +125,7 @@ object AnalyticsOps5 {
         |  FROM e WHERE nts IS NOT NULL)
         |SELECT user_id,
         |  CAST(count(*) AS BIGINT) AS n_segments,
-        |  CAST(sum(v * dur) AS DECIMAL(38,2)) AS twap_num,
+        |  CAST(CAST(sum(v * dur) AS DECIMAL(38,2)) * 100 AS BIGINT) AS twap_num_cents,
         |  CAST(sum(dur) AS BIGINT) AS twap_den,
         |  CAST(CAST(CAST(sum(v * dur) AS DECIMAL(38,2)) * 100 AS BIGINT) AS DOUBLE)
         |    / CAST(sum(dur) * 100 AS DOUBLE) AS twap

@@ -29,8 +29,8 @@ class AnalyticsOps5Spec extends SparkSpec {
     val num = segs.map { case (v, d) => v * BigDecimal(d) }.sum
     val den = segs.map(_._2).sum
     assert(rows.head.getLong(1) == segs.length)
-    assert(BigDecimal(rows.head.getDecimal(2)) == num,
-      s"twap_num: ${rows.head.getDecimal(2)} != $num")
+    assert(rows.head.getLong(2) == (num * 100).toLongExact,
+      s"twap_num_cents: ${rows.head.getLong(2)} != ${(num * 100).toLongExact}")
     assert(rows.head.getLong(3) == den)
     assert(rows.head.getDouble(4) ==
       (num * 100).toLongExact.toDouble / (den * 100L).toDouble)
