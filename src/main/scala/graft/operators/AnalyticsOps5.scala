@@ -82,16 +82,27 @@ object AnalyticsOps5 {
   }
 
   def propsJsonAudit(events: DataFrame): DataFrame = {
+    // Edge-payload parity with the DuckDB oracle is normalized, not
+    // assumed from the generator:
+    //  - the literal 'null' IS valid JSON (DuckDB json_valid agrees;
+    //    get_json_object alone would misreport it invalid) — probed
+    //    explicitly;
+    //  - k is only CAST after an integer-shape regex gate, so a
+    //    non-integer k (e.g. 1.5) lands in n_out_of_range identically
+    //    in both engines instead of diverging on cast semantics (ANSI
+    //    Spark throws, DuckDB rounds).
+    val jvalid = get_json_object(col("props"), "$").isNotNull ||
+      trim(col("props")) === "null"
     val k = get_json_object(col("props"), "$.k")
+    val kInt = when(k.rlike("^-?\\d{1,18}$"), k.cast("long"))
     events.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null"),
-        sum(when(col("props").isNotNull &&
-          get_json_object(col("props"), "$").isNull, 1L).otherwise(0L))
+        sum(when(col("props").isNotNull && !jvalid, 1L).otherwise(0L))
           .as("n_invalid_json"),
-        sum(when(get_json_object(col("props"), "$").isNotNull && k.isNull,
-          1L).otherwise(0L)).as("n_missing_k"),
-        sum(when(!k.cast("long").between(KLo, KHi), 1L).otherwise(0L))
+        sum(when(jvalid && k.isNull, 1L).otherwise(0L)).as("n_missing_k"),
+        sum(when(k.isNotNull &&
+          !coalesce(kInt.between(KLo, KHi), lit(false)), 1L).otherwise(0L))
           .as("n_out_of_range"))
       .orderBy("event_type")
   }
@@ -132,17 +143,21 @@ object AnalyticsOps5 {
         |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "props_json_audit" ->
-      """SELECT event_type,
+      """WITH p AS (SELECT event_type, props,
+        |    CASE WHEN json_valid(props)
+        |         THEN json_extract_string(props, '$.k') END AS ks FROM events)
+        |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null,
         |  CAST(count(*) FILTER (WHERE props IS NOT NULL
         |        AND json_valid(props) = false) AS BIGINT) AS n_invalid_json,
         |  CAST(count(*) FILTER (WHERE json_valid(props)
-        |        AND json_extract(props, '$.k') IS NULL) AS BIGINT) AS n_missing_k,
-        |  CAST(count(*) FILTER (WHERE json_valid(props)
-        |        AND CAST(json_extract(props, '$.k') AS BIGINT)
-        |            NOT BETWEEN 0 AND 79) AS BIGINT) AS n_out_of_range
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |        AND ks IS NULL) AS BIGINT) AS n_missing_k,
+        |  CAST(count(*) FILTER (WHERE ks IS NOT NULL AND NOT coalesce(
+        |        CASE WHEN regexp_full_match(ks, '-?\d{1,18}')
+        |             THEN CAST(ks AS BIGINT) BETWEEN 0 AND 79 END, false))
+        |      AS BIGINT) AS n_out_of_range
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ohlc_minute" ->
       """SELECT date_trunc('minute', ts) AS minute,

@@ -145,6 +145,15 @@ object GovernanceOps {
     * distributions: tv = (isum + 2·T_a·T_b) / (2·T_a·T_b), with
     * isum = Σ_∩ (|c_a·T_b − c_b·T_a| − c_a·T_b − c_b·T_a) ≤ 0. */
   def unigramTvDrift(docs: DataFrame): DataFrame = {
+    // Overflow posture: every c·T and T_a·T_b product below runs as
+    // BIGINT arithmetic under Spark's default ANSI mode, which THROWS
+    // ArithmeticException on 64-bit overflow — a corpus big enough to
+    // push T_a·T_b past 9.2e18 fails loudly here (and in the DuckDB
+    // oracle, whose BIGINT ops also error), never wraps into a
+    // plausible wrong TV. The migration past that point is
+    // DecimalType(38,0) products — same exactness, both engines; the
+    // streaming twin's kernel (DriftMonitorStream.tvAgainst) carries
+    // the matching Math.multiplyExact guards.
     val (c, t) = sourceWordCounts(docs)
     val cT = c.join(broadcast(t), "source").localCheckpoint(true)
     val x = cT.select(col("source").as("sa"), col("word"),

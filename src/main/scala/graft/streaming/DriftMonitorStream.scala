@@ -46,8 +46,10 @@ import org.apache.spark.sql.streaming._
   * Scale (100 TB/day ingest): one shuffle, on the minute key, carrying
   * pre-reduced partials; state-store writes are one merge per distinct
   * hash per batch, not per word occurrence. Key cardinality = minutes
-  * in flight; key on (source, minute) for per-source drift — same
-  * processor, composite key, |sources|× the parallelism.
+  * in flight for [[monitor]] — which caps parallelism at watermark-lag
+  * minutes; [[monitorBySource]] keys by (source, minute) for
+  * |sources|× the state keys and per-feed verdicts (spec-proven parity
+  * with the per-source batch TV kernel).
   */
 object DriftMonitorStream {
 
@@ -73,18 +75,24 @@ object DriftMonitorStream {
     * iterated. Returns (num, den); tv = num/den, both exact longs. */
   def tvAgainst(obs: Map[Long, Long], obsTotal: Long,
                 ref: Map[Long, Long], refTotal: Long): (Long, Long) = {
+    // multiplyExact/addExact: c·T products approach 2^63 when
+    // count×total nears 9.2e18 — past that the kernel must move to
+    // 128-bit (BigInt here, DecimalType(38,0) in the batch twin, which
+    // ANSI mode already makes throw rather than wrap). Overflow must
+    // FAIL, never produce a plausible wrong TV.
     var num = 0L
     var matchedRef = 0L
     obs.foreach { case (wh, c) =>
       ref.get(wh) match {
         case Some(q) =>
-          num += math.abs(c * refTotal - q * obsTotal)
+          num = Math.addExact(num, Math.abs(Math.subtractExact(
+            Math.multiplyExact(c, refTotal), Math.multiplyExact(q, obsTotal))))
           matchedRef += q
-        case None => num += c * refTotal
+        case None => num = Math.addExact(num, Math.multiplyExact(c, refTotal))
       }
     }
-    num += (refTotal - matchedRef) * obsTotal
-    (num, 2L * obsTotal * refTotal)
+    num = Math.addExact(num, Math.multiplyExact(refTotal - matchedRef, obsTotal))
+    (num, Math.multiplyExact(2L, Math.multiplyExact(obsTotal, refTotal)))
   }
 
   class Monitor(ref: Map[Long, Long], refTotal: Long)
@@ -102,14 +110,23 @@ object DriftMonitorStream {
       if ((minute + 1) * 60000L <= timerValues.getCurrentWatermarkInMs())
         return Iterator.empty
       val s0 = if (st.exists()) st.get() else MinuteCounts(Seq.empty, Seq.empty, 0L)
-      var m = s0.toMap
+      // mutable LongMap merge, no re-sort: per-batch cost is O(V) map
+      // rebuild + O(new words) inserts, not O(V log V) — the stored
+      // order is semantically erased by toMap, so determinism of the
+      // Seq layout buys nothing
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < s0.whs.length) { m.update(s0.whs(i), s0.ns(i)); i += 1 }
       var tot = s0.total
       rows.foreach { o =>
-        m += o.wh -> (m.getOrElse(o.wh, 0L) + o.n)
+        m.update(o.wh, m.getOrElse(o.wh, 0L) + o.n)
         tot += o.n
       }
-      val ks = m.keys.toSeq.sorted
-      st.update(MinuteCounts(ks, ks.map(m), tot))
+      val whs = new Array[Long](m.size)
+      val ns = new Array[Long](m.size)
+      var j = 0
+      m.foreach { case (k, v) => whs(j) = k; ns(j) = v; j += 1 }
+      st.update(MinuteCounts(whs.toIndexedSeq, ns.toIndexedSeq, tot))
       getHandle.registerTimer((minute + 1) * 60000L)
       Iterator.empty
     }
@@ -153,6 +170,107 @@ object DriftMonitorStream {
       .groupByKey(_.minute_id)
       .transformWithState(new Monitor(ref, refTotal),
         TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Pre-reduced per-source observation. */
+  case class SourceWordObs(source: String, minute_id: Long, wh: Long, n: Long)
+
+  /** One closed (source, minute) drift verdict. */
+  case class SourceDriftVerdict(source: String, minute_id: Long, n_words: Long,
+                                tv_num: Long, tv_den: Long, tv: Double)
+
+  class SourceMonitor(refs: Map[String, (Map[Long, Long], Long)])
+    extends StatefulProcessor[(String, Long), SourceWordObs, SourceDriftVerdict] {
+    @transient private var st: ValueState[MinuteCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MinuteCounts](
+        "counts", Encoders.product[MinuteCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[SourceWordObs],
+                                 timerValues: TimerValues): Iterator[SourceDriftVerdict] = {
+      if ((key._2 + 1) * 60000L <= timerValues.getCurrentWatermarkInMs())
+        return Iterator.empty
+      val s0 = if (st.exists()) st.get() else MinuteCounts(Seq.empty, Seq.empty, 0L)
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < s0.whs.length) { m.update(s0.whs(i), s0.ns(i)); i += 1 }
+      var tot = s0.total
+      rows.foreach { o =>
+        m.update(o.wh, m.getOrElse(o.wh, 0L) + o.n)
+        tot += o.n
+      }
+      val whs = new Array[Long](m.size)
+      val ns = new Array[Long](m.size)
+      var j = 0
+      m.foreach { case (k, v) => whs(j) = k; ns(j) = v; j += 1 }
+      st.update(MinuteCounts(whs.toIndexedSeq, ns.toIndexedSeq, tot))
+      getHandle.registerTimer((key._2 + 1) * 60000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SourceDriftVerdict] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      refs.get(key._1) match {
+        case Some((ref, refTotal)) =>
+          val (num, den) = tvAgainst(s.toMap, s.total, ref, refTotal)
+          Iterator.single(SourceDriftVerdict(key._1, key._2, s.total, num, den,
+            num.toDouble / den.toDouble))
+        case None => Iterator.empty // out-of-contract source: no reference pinned
+      }
+    }
+  }
+
+  /** Source-keyed drift monitor: state keyed by (source, minute), so
+    * parallelism is |sources| × watermark-lag minutes instead of being
+    * capped at watermark-lag minutes — the horizontal-scale variant the
+    * minute-only monitor's scaladoc promises. Each source's closed
+    * minute is scored against ITS OWN pinned reference in `refs`
+    * (sources without a reference emit nothing — pin one per ingest
+    * feed). Kernel, timer discipline, and boundary guard are identical
+    * to [[monitor]]; the composite key only widens the shuffle key. */
+  def monitorBySource(docs: DataFrame, tsCol: String, srcCol: String,
+                      textCol: String, refs: Map[String, (Map[Long, Long], Long)])
+                     (implicit spark: SparkSession): Dataset[SourceDriftVerdict] = {
+    import spark.implicits._
+    docs
+      .select(col(tsCol).as("ts"), col(srcCol).as("source"),
+        explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("ts"), col("source"), xxhash64(col("word")).as("wh"))
+      .withWatermark("ts", "10 seconds")
+      .as[(java.sql.Timestamp, String, Long)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+        it.foreach { case (ts, src, wh) =>
+          val k = (src, Math.floorDiv(ts.getTime, 60000L), wh)
+          acc.update(k, acc.getOrElse(k, 0L) + 1L)
+        }
+        acc.iterator.map { case ((src, minute, wh), n) =>
+          SourceWordObs(src, minute, wh, n) }
+      }
+      .groupByKey(o => (o.source, o.minute_id))
+      .transformWithState(new SourceMonitor(refs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** Batch helper: per-source references for [[monitorBySource]] —
+    * the collect is Σ per-source vocabulary (published-artifact sized). */
+  def referencesBySource(docs: DataFrame, srcCol: String,
+                         textCol: String): Map[String, (Map[Long, Long], Long)] = {
+    val rows = docs
+      .select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("source"), xxhash64(col("word")).as("wh"))
+      .groupBy("source", "wh").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).map { case (src, ws) =>
+      src -> (ws.map(w => w._2 -> w._3).toMap, ws.map(_._3).sum)
+    }
   }
 
   /** Batch helper: the reference (hash→count, total) of a corpus —

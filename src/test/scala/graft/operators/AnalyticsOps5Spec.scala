@@ -57,10 +57,33 @@ class AnalyticsOps5Spec extends SparkSpec {
       assert(r.getLong(5) <= r.getLong(1))
     }
     // out-of-range recomputed independently over the whole relation
+    // (integer-shape gate mirrors the operator's cast guard)
+    val kk = get_json_object(col("props"), "$.k")
     val oob = Tables.events(spark, sf)
-      .filter(!get_json_object(col("props"), "$.k").cast("long")
-        .between(AnalyticsOps5.KLo, AnalyticsOps5.KHi)).count()
+      .filter(kk.isNotNull && !coalesce(
+        when(kk.rlike("^-?\\d{1,18}$"), kk.cast("long"))
+          .between(AnalyticsOps5.KLo, AnalyticsOps5.KHi), lit(false))).count()
     assert(rows.map(_.getLong(5)).sum == oob)
+  }
+
+  test("props_json_audit: edge payloads match contract semantics") {
+    import spark.implicits._
+    // the literal 'null' is VALID JSON with k missing; non-integer k is
+    // out-of-range; invalid JSON is neither missing-k nor out-of-range
+    val df = Seq(
+      ("a", "null"),              // valid, missing k
+      ("a", """{"k": 1.5}"""),    // valid, k non-integer -> out of range
+      ("a", """{"k": 200}"""),    // valid, k integer out of bounds
+      ("a", """{"k": 5}"""),      // clean
+      ("a", """{k: 5"""),         // invalid JSON
+      ("a", null)                 // null props
+    ).toDF("event_type", "props")
+    val r = AnalyticsOps5.propsJsonAudit(df).collect().head
+    assert(r.getLong(1) == 6)
+    assert(r.getLong(2) == 1, "n_null")
+    assert(r.getLong(3) == 1, "n_invalid_json")
+    assert(r.getLong(4) == 1, "n_missing_k: the 'null' literal")
+    assert(r.getLong(5) == 2, "n_out_of_range: 1.5 and 200")
   }
 
   test("ohlc_minute: bars bound their minute; single-event bars degenerate") {

@@ -119,4 +119,76 @@ class DriftMonitorStreamSpec extends SparkSpec {
     assert(rows(0L) == 0.0, s"identical minute must score 0, got ${rows(0L)}")
     assert(rows(1L) == 1.0, s"disjoint minute must score 1, got ${rows(1L)}")
   } }
+
+  test("source-keyed monitor == per-source batch TV; unpinned sources silent") { withRocksDb {
+    implicit val sparkSession = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sources = docs.map(_._2).distinct.sorted
+    // pin references for all but one source — the unpinned one must
+    // produce NO verdicts (documented out-of-contract behavior)
+    val unpinned = sources.last
+    val refs = DriftMonitorStream.referencesBySource(
+        Tables.documents(spark, sf).filter(col("source") =!= unpinned),
+        "source", "text")
+    assert(!refs.contains(unpinned) && refs.size == sources.size - 1)
+
+    val data = docs.map { case (id, src, text) =>
+      (new java.sql.Timestamp((id % 2) * 60000L + (id % 50) * 1000L), src, text)
+    }.sortBy(_._1.getTime)
+    val sentinel = (m: Long) =>
+      Seq((new java.sql.Timestamp(m * 60000L), sources.head, "sentinelword"))
+    val batches = data.grouped((data.size + 1) / 2).toSeq :+
+      sentinel(20) :+ sentinel(21)
+
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = DriftMonitorStream.monitorBySource(
+        input.toDF().toDF("ts", "source", "text"), "ts", "source", "text", refs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_by_source").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table("drift_by_source").filter(col("minute_id") < 10)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+          .toMap
+      } finally q.stop()
+
+    assert(!got.keySet.exists(_._1 == unpinned),
+      s"unpinned source must emit nothing: ${got.keySet.filter(_._1 == unpinned)}")
+
+    // per-source batch recompute through the shared kernel
+    val hashOf = {
+      val words = data.flatMap(_._3.split(" ", -1)).filter(_.nonEmpty).distinct
+      words.zip(
+        spark.createDataset(words).toDF("word")
+          .select(xxhash64(col("word"))).collect().map(_.getLong(0))).toMap
+    }
+    val want = data
+      .groupBy { case (ts, src, _) => (src, Math.floorDiv(ts.getTime, 60000L)) }
+      .collect { case ((src, m), rows) if refs.contains(src) =>
+        val counts = rows.flatMap(_._3.split(" ", -1)).filter(_.nonEmpty)
+          .groupBy(hashOf).view.mapValues(_.size.toLong).toMap
+        val tot = counts.values.sum
+        val (refMap, refTotal) = refs(src)
+        val (num, den) = DriftMonitorStream.tvAgainst(counts, tot, refMap, refTotal)
+        (src, m) -> ((tot, num, den, num.toDouble / den.toDouble))
+      }
+    assert(got.nonEmpty && got.keySet == want.keySet,
+      s"keys differ: got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (k, w) => assert(got(k) == w, s"$k: got ${got(k)}, want $w") }
+  } }
+
+  test("tvAgainst fails loudly on 64-bit overflow instead of wrapping") {
+    // c·T_ref = 2^32 · 2^32 overflows a long — the kernel must throw
+    val big = 1L << 32
+    intercept[ArithmeticException] {
+      DriftMonitorStream.tvAgainst(Map(1L -> big), big, Map(2L -> big), big)
+    }
+  }
 }
