@@ -82,7 +82,8 @@ object SparkEntry {
       AnalyticsOps5.queries ++
       RetrievalOps2.queries ++
       TextOps7.queries ++
-      PlanningOps.queries
+      PlanningOps.queries ++
+      AnnEval.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -146,7 +147,8 @@ object SparkEntry {
       AnalyticsOps5.oracles ++
       RetrievalOps2.oracles ++
       TextOps7.oracles ++
-      PlanningOps.oracles
+      PlanningOps.oracles ++
+      AnnEval.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-index ANN quality grading — the eval family turned on the
+  * approximate indexes themselves.
+  *
+  * `eval_recall_at_k`/`eval_ndcg_at_k` grade EXACT search against
+  * label ground truth; the three approximate indexes (`ann_lsh` SRP
+  * multi-probe, `ann_ivf_probe` inverted lists, `ann_pq` IVFADC codes)
+  * were until now rows-only. This object runs the SAME fixed 16-query
+  * sample (vec_id ≡ 3 mod 7, 16 lowest — `RetrievalOps2`'s sample)
+  * through each index's probe path and grades the result against the
+  * exact quantized-cosine top-10:
+  *
+  *  - recall@10 — |index top-10 ∩ exact top-10| / 10, the standard
+  *    ANN quality number;
+  *  - NDCG@10 — same intersection, but discounted by the INDEX's rank
+  *    via the `RetrievalOps2.DcgW` integer constants, so an index that
+  *    finds the right vectors in the wrong order scores below one that
+  *    preserves the exact order. IDCG is the full prefix (exact leg
+  *    always has 10 rows against a ≥16-vector corpus).
+  *
+  * Output per index: one row per query (qid, n_returned, hits,
+  * recall, dcg_s, ndcg) — queries whose probe returns nothing (an LSH
+  * bucket miss) surface as zeros, not missing rows.
+  *
+  * No DuckDB oracle: the probe paths ride at-rest partitioned indexes
+  * and driver-enumerated probe sets that SQL cannot express; AnnSpec
+  * pins hits/recall against an independent driver-side intersection of
+  * the two legs and floors the per-index mean recall.
+  *
+  * Scale notes (100 TB):
+  *  - all three probes stay corpus-size-independent: LSH reads the
+  *    union of the 16 queries' hamming-≤2 bucket directories
+  *    (≤16·137 of 65 536 partitions, pruned at planning time); IVF
+  *    reads the union of 16×nprobe=2 inverted lists; PQ scans 4-byte
+  *    codes with a 2048-entry broadcast ADC table and reranks only
+  *    16×100 candidates;
+  *  - grading joins two ≤160-row relations per index — free;
+  *  - the exact leg is the one corpus-linear pass (16·N dot products),
+  *    exactly the ground-truth pass the scaladoc of RetrievalOps2
+  *    prescribes running on a sampled slice at real scale.
+  */
+object AnnEval {
+  type Q = (SparkSession, String) => DataFrame
+
+  import RetrievalOps2.{K, NQueries}
+
+  /** The fixed query sample's ids — a 16-row driver probe (bounded,
+    * same order as RetrievalOps2's sample). */
+  private def queryIds(s: SparkSession, d: String): Seq[Long] =
+    Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+      .select("vec_id").orderBy("vec_id").limit(NQueries)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Query vectors as doubles: (qid, qv) — broadcast side of every
+    * fine rerank. */
+  private def queryVecs(s: SparkSession, d: String, qids: Seq[Long]): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+
+  private def cosineRerank(cands: DataFrame, qvecs: DataFrame): DataFrame =
+    cands
+      .join(broadcast(qvecs), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+      .withColumn("nv", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("nq", expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("sim", col("dot") / sqrt(col("nv") * col("nq")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= K)
+      .select("qid", "vec_id", "rn")
+
+  /** SRP multi-probe top-10 per query: each query's 137 hamming-≤2
+    * buckets enumerated driver-side; ONE pruned scan over the union of
+    * all probe buckets, then a (qid, bucket) broadcast join routes
+    * candidates to their queries. */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.srp(s, d)
+    val qids = queryIds(s, d)
+    val sigs = SimilarityOps.srpSignature(
+        Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*)),
+        AnnIndex.SrpBits)
+      .select(col("vec_id"), col("srp_bucket").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val pairs = sigs.toSeq.flatMap { case (qid, b) =>
+      AnnIndex.hamming2Buckets(b).map(pb => (qid, pb)) }
+    val union = pairs.map(_._2).distinct
+    val probe = pairs.toDF("qid", "srp_bucket")
+    val cands = idx.filter(col("srp_bucket").isin(union: _*))
+      .join(broadcast(probe), Seq("srp_bucket"))
+      .select(col("qid"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    cosineRerank(cands, queryVecs(s, d, qids))
+  }
+
+  /** IVF nprobe=2 top-10 per query: centroid ranking per query is a
+    * 16×|cells| broadcast cross (tiny), the fine stage reads only the
+    * union of probed inverted lists. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (lists, cents) = AnnIndex.ivf(s, d)
+    val qids = queryIds(s, d)
+    val qvecs = queryVecs(s, d, qids)
+    val probed = cents.crossJoin(broadcast(qvecs))
+      .withColumn("cd", expr(
+        "aggregate(zip_with(centroid, qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cn", expr("aggregate(centroid, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("csim", col("cd") / sqrt(col("cn")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("label"))))
+      .filter(col("cr") <= 2)
+      .select(col("qid"), col("label"))
+      .collect().map(r => (r.getLong(0), r.get(1)))
+    val cells = probed.map(_._2).distinct.toSeq
+    val probeDf = probed.toSeq.map { case (q, l) => (q, String.valueOf(l)) }
+      .toDF("qid", "plabel")
+    val cands = lists.filter(col("label").isin(cells: _*))
+      .join(broadcast(probeDf), col("label").cast("string") === col("plabel"))
+      .select(col("qid"), col("vec_id"), col("v"))
+    cosineRerank(cands, qvecs)
+  }
+
+  /** PQ/ADC top-10 per query: same codebook + encoding as `ann_pq`,
+    * ADC table widened to (qid, m, code) — 2048 broadcast rows — then
+    * per-query approx-top-100 and exact rerank. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val M = 4; val sub = 16; val k = 32
+    val qids = queryIds(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val subExpr = s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $sub + 1, $sub) AS sv))"
+    val anchors = emb
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
+      .limit(k)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("code"), explode(expr(subExpr)).as("a"))
+      .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
+    val dist = "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
+    val codes = emb
+      .select(col("vec_id"), explode(expr(subExpr)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .join(broadcast(anchors), "m")
+      .withColumn("d2", expr(dist))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+    val qsub = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), explode(expr(subExpr)).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qsv"))
+    val qd = anchors.join(qsub, "m")
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(av, qsv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+      .select("qid", "m", "code", "qdot")
+    val approx = codes.join(broadcast(qd), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("qdot").as("approx_dot"))
+      .withColumn("ar", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id"))))
+      .filter(col("ar") <= 100)
+      .select("qid", "vec_id")
+    val cands = approx.join(emb, "vec_id").select(col("qid"), col("vec_id"), col("v"))
+    cosineRerank(cands, queryVecs(s, d, qids))
+  }
+
+  /** Grade an index's per-query top-10 against the exact leg: recall
+    * and exact-relevance NDCG discounted at the index's ranks. */
+  def grade(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
+    import s.implicits._
+    val idcg = RetrievalOps2.IdcgPrefix.last
+    val exact = RetrievalOps2.rankedTopK(s, d)
+      .select(col("qid"), col("vec_id"), lit(1).as("rel"))
+    val qids = queryIds(s, d).toDF("qid")
+    val per = ann.join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"),
+        sum(when(col("rel").isNotNull, RetrievalOps2.dcgWeight(col("rn")))
+          .otherwise(0L)).as("dcg_s"))
+    qids.join(per, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_s"), lit(0L)).as("dcg_s"))
+      .withColumn("recall", col("hits").cast("double") / lit(K.toDouble))
+      .withColumn("ndcg", col("dcg_s").cast("double") / lit(idcg.toDouble))
+      .orderBy("qid")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_eval_lsh" -> ((s, d) => grade(s, d, lshTopK(s, d))),
+    "ann_eval_ivf" -> ((s, d) => grade(s, d, ivfTopK(s, d))),
+    "ann_eval_pq" -> ((s, d) => grade(s, d, pqTopK(s, d)))
+  )
+
+  /** Not SQL-expressible (at-rest partitioned indexes + driver-side
+    * probe enumeration); AnnSpec pins the grading against an
+    * independent intersection of the two legs. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -113,7 +113,7 @@ object RetrievalOps2 {
       .filter(col("rn") <= K)
   }
 
-  private def rankedTopK(s: SparkSession, d: String): DataFrame =
+  private[operators] def rankedTopK(s: SparkSession, d: String): DataFrame =
     rankedTopKDims(s, d, None)
 
   /** Per-query same-label population (recall/ndcg denominators):
@@ -128,7 +128,7 @@ object RetrievalOps2 {
       .select(col("qid"), (col("n_label") - 1).as("n_rel"))
   }
 
-  private def dcgWeight(rnCol: org.apache.spark.sql.Column) =
+  private[operators] def dcgWeight(rnCol: org.apache.spark.sql.Column) =
     DcgW.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
       when(rnCol === (i + 1), lit(w)).otherwise(acc)
     }

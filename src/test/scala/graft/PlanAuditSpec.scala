@@ -80,6 +80,26 @@ class PlanAuditSpec extends SparkSpec {
       s"ann_ivf_probe scans every inverted list (no partition filter):\n$ivf")
   }
 
+  test("ANN eval grading keeps the pruned-probe discipline of the indexes it grades") {
+    // the 16-query eval must not regress the index probes into full
+    // scans: LSH reads only the union of the queries' hamming-≤2
+    // bucket directories, IVF only the probed inverted lists; all
+    // query-side/probe-side joins broadcast, nothing plans a cartesian
+    val lsh = finalPlan("ann_eval_lsh")
+    assert(lsh.contains("PartitionFilters: [srp_bucket"),
+      s"ann_eval_lsh scans the whole signature table:\n$lsh")
+    assert(!lsh.contains("CartesianProduct"))
+    val ivf = finalPlan("ann_eval_ivf")
+    assert(ivf.contains("PartitionFilters: [label"),
+      s"ann_eval_ivf scans every inverted list:\n$ivf")
+    assert(!ivf.contains("CartesianProduct"))
+    for (q <- Seq("ann_eval_lsh", "ann_eval_ivf", "ann_eval_pq")) {
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: probe/query joins must broadcast:\n$plan")
+    }
+  }
+
   test("top-k queries short-circuit via TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("get_top_sources", "returned_revenue_topk")) {
       val plan = finalPlan(q)

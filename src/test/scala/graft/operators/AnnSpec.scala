@@ -53,6 +53,56 @@ class AnnSpec extends SparkSpec {
       rerun.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  // ---- per-index quality grading (ann_eval_*) -------------------------
+  // The grading itself is pinned against an INDEPENDENT driver-side
+  // intersection of the index leg and the exact leg; floors reflect the
+  // measured quality ladder at this corpus (PQ reranks a top-100 funnel
+  // over the full code scan > IVF nprobe=2 > SRP-16 hamming≤2, which
+  // trades recall for a 0.2%-of-corpus probe footprint).
+
+  private def pinEval(name: String, topK: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    val graded = AnnEval.queries(name)(spark, sf).collect()
+    assert(graded.length == 16, s"$name must emit all 16 query rows")
+    val exact = RetrievalOps2.rankedTopK(spark, sf)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = topK(spark, sf)
+      .select("qid", "vec_id", "rn").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getInt(2)).toMap).toMap
+    graded.foreach { r =>
+      val (qid, nRet, hits, dcgS) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val annQ = ann.getOrElse(qid, Map.empty[Long, Int])
+      val inter = annQ.keySet.intersect(exact.getOrElse(qid, Set.empty))
+      assert(nRet == annQ.size, s"$name $qid n_returned")
+      assert(hits == inter.size, s"$name $qid: hits $hits != |∩| ${inter.size}")
+      val wantDcg = inter.toSeq.map(v => RetrievalOps2.DcgW(annQ(v) - 1)).sum
+      assert(dcgS == wantDcg, s"$name $qid: dcg_s $dcgS != $wantDcg")
+      assert(r.getDouble(4) == hits.toDouble / 10.0)
+      assert(r.getDouble(5) == dcgS.toDouble / RetrievalOps2.IdcgPrefix.last.toDouble)
+      assert(nRet <= 10 && hits <= nRet)
+    }
+  }
+
+  test("ann_eval_lsh: grading == independent intersection of legs") {
+    pinEval("ann_eval_lsh", AnnEval.lshTopK)
+  }
+
+  test("ann_eval_ivf: grading pinned; nprobe=2 recall floor holds") {
+    pinEval("ann_eval_ivf", AnnEval.ivfTopK)
+    val mean = AnnEval.queries("ann_eval_ivf")(spark, sf)
+      .agg(avg("recall")).first().getDouble(0)
+    assert(mean >= 0.1, s"IVF mean recall@10 collapsed: $mean")
+  }
+
+  test("ann_eval_pq: grading pinned; rerank-funnel recall floor holds") {
+    pinEval("ann_eval_pq", AnnEval.pqTopK)
+    val mean = AnnEval.queries("ann_eval_pq")(spark, sf)
+      .agg(avg("recall")).first().getDouble(0)
+    assert(mean >= 0.4, s"PQ mean recall@10 collapsed: $mean")
+  }
+
   test("brute-force top-1 is the global argmax of quantized cosine") {
     val top = SimilarityOps.queries("ann_topk")(spark, sf).first()
     val all = DedupOps.quantized(Tables.embeddings(spark, sf))
