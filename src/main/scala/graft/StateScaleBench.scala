@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{CorpusDedupStream, NoveltyStream, SessionDedup, SessionGateTws}
+import graft.streaming.{CorpusDedupStream, DriftMonitorStream, HeavyHitterStream, NoveltyStream, SessionDedup, SessionGateTws}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -54,8 +54,9 @@ object StateScaleBench {
     // and MORE partitions (more parallel RocksDB commits, smaller
     // per-store keyspaces) win — sweep via SPARK_GRAFT_STATE_PARTITIONS
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
-    // leg subset for targeted reruns: csv of session,dedup,novelty
-    val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS", "session,dedup,novelty")
+    // leg subset for targeted reruns: csv of session,dedup,novelty,hh,drift
+    val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS",
+        "session,dedup,novelty,hh,drift")
       .split(",").map(_.trim).toSet
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT", "BENCH_STATE.json")
     val spark: SparkSession = SparkSession.builder()
@@ -91,9 +92,9 @@ object StateScaleBench {
   private def ckpt(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** One full three-leg run at cardinality `keys`; returns the JSON row. */
+  /** One full run at cardinality `keys`; returns the JSON row. */
   def runAt(spark: SparkSession, keys: Long,
-            legs: Set[String] = Set("session", "dedup", "novelty")): String = {
+            legs: Set[String] = Set("session", "dedup", "novelty", "hh", "drift")): String = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: SparkSession = spark
@@ -221,7 +222,131 @@ object StateScaleBench {
     s""""gram_novelty":{"obs":$novObs,"sec":${f"$novSec%.2f"},"obs_per_sec":${(novObs / novSec).round},$novMetrics}"""
     }
 
-    (Seq(s""""keys":$keys""") ++ sessJson ++ dedupJson ++ novJson)
+    // ---- heavy hitters at K distinct keys (BOUNDED state — prove it) --
+    // The sketch's entire reason to exist is that 10⁶→10⁷ distinct keys
+    // cost the SAME state: P summaries × ≤k counters. The leg feeds K
+    // distinct key hashes (worst case for Misra-Gries: almost all mass
+    // is singletons) plus one genuinely heavy key at 10% batch
+    // frequency, then asserts (a) state rows == shard count at BOTH
+    // decades, (b) every emitted snapshot is ≤ k rows per shard,
+    // (c) the heavy key survives with its est inside [true−dec, true]
+    // — the sketch contract, not just "it ran".
+    val hhJson: Option[String] = if (!legs("hh")) None else Some {
+    val kCounters = 100
+    val shards = 8
+    val heavyKey = Long.MaxValue - 5
+    def hhBatch(b: Int): Seq[HeavyHitterStream.Obs] = {
+      val fresh = (0 until perBatch).map { i =>
+        val key = b.toLong * perBatch + i
+        HeavyHitterStream.Obs(Math.floorMod(key, shards), key)
+      }
+      val heavy = (0 until perBatch / 10).map { _ =>
+        HeavyHitterStream.Obs(Math.floorMod(heavyKey, shards), heavyKey)
+      }
+      fresh ++ heavy
+    }
+    val lastSnapshot =
+      new java.util.concurrent.atomic.AtomicReference[Array[HeavyHitterStream.HH]](Array.empty)
+    val maxPerShard = new AtomicLong
+    val hhIn = MemoryStream[HeavyHitterStream.Obs]
+    val hhQ = HeavyHitterStream.heavyHitters(hhIn.toDS(), kCounters)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[HeavyHitterStream.HH], _: Long) =>
+        val rows = df.collect() // ≤ shards × k rows per batch by the bound
+        if (rows.nonEmpty) lastSnapshot.set(rows)
+        val per = rows.groupBy(_.pid).values.map(_.length.toLong)
+        if (per.nonEmpty) maxPerShard.getAndUpdate(m => math.max(m, per.max)); ()
+      }
+      .option("checkpointLocation", ckpt("state_scale_hh"))
+      .start()
+    hhIn.addData(hhBatch(0)); hhQ.processAllAvailable()
+    val t0h = System.nanoTime()
+    (1 until BatchCount).foreach { b => hhIn.addData(hhBatch(b)); hhQ.processAllAvailable() }
+    val hhSec = (System.nanoTime() - t0h) / 1e9
+    val hhObs = (BatchCount - 1).toLong * (perBatch + perBatch / 10)
+    val hhMetrics = stateMetrics(hhQ)
+    val stateRows = Option(hhQ.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).headOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(stateRows == shards,
+      s"bounded-state sketch must hold exactly $shards summary rows at $keys keys: $stateRows")
+    assert(maxPerShard.get() <= kCounters,
+      s"summary exceeded its counter budget: ${maxPerShard.get()} > $kCounters")
+    val hh = lastSnapshot.get().filter(_.key == heavyKey)
+    val trueHeavy = BatchCount.toLong * (perBatch / 10)
+    assert(hh.nonEmpty, s"heavy key (freq $trueHeavy) missing from final summary")
+    assert(hh.head.est <= trueHeavy && hh.head.est >= trueHeavy - hh.head.dec,
+      s"heavy est ${hh.head.est} outside [${trueHeavy - hh.head.dec}, $trueHeavy]")
+    hhQ.stop()
+    s""""heavy_hitter":{"obs":$hhObs,"sec":${f"$hhSec%.2f"},"obs_per_sec":${(hhObs / hhSec).round},"state_rows_bounded":$stateRows,$hhMetrics}"""
+    }
+
+    // ---- drift monitor at K distinct word hashes ----------------------
+    // State is per-(source, minute) vocabulary: 32 sources share one
+    // event-time minute, so peak state is K hashes across 32 keys —
+    // the per-minute-vocabulary regime the operator's scaladoc claims.
+    // Deterministic parity: observed hashes are disjoint from every
+    // reference, so EVERY closed key must report tv == 1 exactly with
+    // n_words == its observation count — the algebraic absent-mass
+    // path is exercised at full cardinality, not just in the unit spec.
+    val driftJson: Option[String] = if (!legs("drift")) None else Some {
+    val nSources = 32
+    val srcNames = (0 until nSources).map(i => s"src_$i")
+    // tiny per-source references (negative hash space, disjoint from
+    // the observed stream) — ref size does NOT scale with K by design
+    val refs: Map[String, (Map[Long, Long], Long)] = srcNames.map { s =>
+      s -> ((1 to 10).map(i => (-(s.hashCode.toLong * 1000 + i), 1L)).toMap, 10L)
+    }.toMap
+    // batch b occupies [5b, 5b+4] s of minute 0 — event time is
+    // non-decreasing ACROSS batches (with the 10 s watermark margin),
+    // so no batch's rows fall late, while every batch still lands in
+    // the same minute key (max 49 s < 60 s: the minute never closes
+    // before the sentinels)
+    def driftBatch(b: Int): Seq[(java.sql.Timestamp, String, Long)] =
+      (0 until perBatch).map { i =>
+        val id = b.toLong * perBatch + i
+        (new java.sql.Timestamp(b * 5000L + (id % 5) * 1000L),
+          srcNames((i % nSources).toInt), id + 1L)
+      }
+    val verdicts =
+      new java.util.concurrent.ConcurrentLinkedQueue[DriftMonitorStream.SourceDriftVerdict]()
+    val driftIn = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val driftQ = DriftMonitorStream.monitorBySourceHashed(driftIn.toDS(), refs)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DriftMonitorStream.SourceDriftVerdict], _: Long) =>
+        df.collect().foreach(verdicts.add); () // ≤ |sources| rows per close
+      }
+      .option("checkpointLocation", ckpt("state_scale_drift"))
+      .start()
+    driftIn.addData(driftBatch(0)); driftQ.processAllAvailable()
+    val t0dr = System.nanoTime()
+    (1 until BatchCount).foreach { b => driftIn.addData(driftBatch(b)); driftQ.processAllAvailable() }
+    val driftSec = (System.nanoTime() - t0dr) / 1e9
+    val driftMetrics = stateMetrics(driftQ)
+    // sentinels: advance the watermark past minute 0, then let the
+    // now-eligible timers fire and close all 32 keys
+    driftIn.addData(Seq((new java.sql.Timestamp(20 * 60000L), srcNames.head, -999999L)))
+    driftQ.processAllAvailable()
+    driftIn.addData(Seq((new java.sql.Timestamp(21 * 60000L), srcNames.head, -999999L)))
+    driftQ.processAllAvailable()
+    val minute0 = {
+      import scala.jdk.CollectionConverters._
+      verdicts.asScala.filter(_.minute_id == 0L).toSeq
+    }
+    assert(minute0.size == nSources,
+      s"every (source, minute-0) key must close exactly once: got ${minute0.size}")
+    minute0.foreach { v =>
+      val want = BatchCount.toLong * (perBatch / nSources) +
+        (if (srcNames.indexOf(v.source) < perBatch % nSources) BatchCount.toLong else 0L)
+      assert(v.n_words == want, s"${v.source}: n_words ${v.n_words} != $want")
+      assert(v.tv == 1.0 && v.tv_num == v.tv_den,
+        s"disjoint-vocabulary minute must score tv=1: $v")
+    }
+    driftQ.stop()
+    val driftObs = (BatchCount - 1).toLong * perBatch
+    s""""drift_monitor":{"obs":$driftObs,"sec":${f"$driftSec%.2f"},"obs_per_sec":${(driftObs / driftSec).round},"sources":$nSources,$driftMetrics}"""
+    }
+
+    (Seq(s""""keys":$keys""") ++ sessJson ++ dedupJson ++ novJson ++ hhJson ++ driftJson)
       .mkString("{", ",", "}")
   }
 }

@@ -236,11 +236,23 @@ object DriftMonitorStream {
                       textCol: String, refs: Map[String, (Map[Long, Long], Long)])
                      (implicit spark: SparkSession): Dataset[SourceDriftVerdict] = {
     import spark.implicits._
-    docs
+    val hashed = docs
       .select(col(tsCol).as("ts"), col(srcCol).as("source"),
         explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .select(col("ts"), col("source"), xxhash64(col("word")).as("wh"))
+      .as[(java.sql.Timestamp, String, Long)]
+    monitorBySourceHashed(hashed, refs)
+  }
+
+  /** Pre-hashed entry: the same operator over an already word-hashed
+    * (ts, source, wh) stream — the shape an upstream that hashes once
+    * at ingest (or the state bench) feeds directly. */
+  def monitorBySourceHashed(hashed: Dataset[(java.sql.Timestamp, String, Long)],
+                            refs: Map[String, (Map[Long, Long], Long)])
+                           (implicit spark: SparkSession): Dataset[SourceDriftVerdict] = {
+    import spark.implicits._
+    hashed.toDF("ts", "source", "wh")
       .withWatermark("ts", "10 seconds")
       .as[(java.sql.Timestamp, String, Long)]
       .mapPartitions { it =>
