@@ -24,9 +24,12 @@ import org.apache.spark.sql.streaming._
   *    rows into (minute, word-hash, count) partials before anything
   *    shuffles — the map-side-combine discipline of the batch
   *    aggregates, without a second stateful operator in the chain;
-  *  - keyed by epoch MINUTE; per-key state is the minute's word-hash →
-  *    count map (parallel Seqs — the TWS Avro encoder has no MapType)
-  *    merged across micro-batches;
+  *  - keyed by epoch MINUTE; per-key state is a `MapState[Long, Long]`
+  *    (word-hash → count) plus a scalar running total — a micro-batch
+  *    costs O(hashes touched THIS batch) state point-writes, not a
+  *    deserialize+rewrite of the whole accumulated vocabulary (the
+  *    ValueState layout this replaced degraded linearly in vocabulary
+  *    size per batch: 4.5k obs/s at 10⁵ live hashes; see BENCH_STATE);
   *  - an event-time TIMER at the minute boundary (m+1)·60 s fires once
   *    the watermark passes: the verdict row is emitted and the state
   *    for that minute is CLEARED — state is bounded by
@@ -61,12 +64,6 @@ object DriftMonitorStream {
   case class DriftVerdict(minute_id: Long, n_words: Long,
                           tv_num: Long, tv_den: Long, tv: Double)
 
-  /** Minute state: parallel seqs (TWS Avro state encoder has no
-    * MapType) + total word count. */
-  case class MinuteCounts(whs: Seq[Long], ns: Seq[Long], total: Long) {
-    def toMap: Map[Long, Long] = whs.zip(ns).toMap
-  }
-
   /** The shared exact kernel: TV numerator/denominator between an
     * observed distribution and the reference,
     * N = Σ_∩ |c·T_q − q·T_m| + Σ_{obs∖ref} c·T_q + Σ_{ref∖obs} q·T_m,
@@ -74,7 +71,13 @@ object DriftMonitorStream {
     * (Σ_{ref∖obs} q = T_q − Σ_∩ q) so only observed words are
     * iterated. Returns (num, den); tv = num/den, both exact longs. */
   def tvAgainst(obs: Map[Long, Long], obsTotal: Long,
-                ref: Map[Long, Long], refTotal: Long): (Long, Long) = {
+                ref: Map[Long, Long], refTotal: Long): (Long, Long) =
+    tvAgainstIter(obs.iterator, obsTotal, ref, refTotal)
+
+  /** Iterator form of the kernel — one pass, nothing materialized; the
+    * shape `MapState.iterator()` feeds directly at timer close. */
+  def tvAgainstIter(obs: Iterator[(Long, Long)], obsTotal: Long,
+                    ref: Map[Long, Long], refTotal: Long): (Long, Long) = {
     // multiplyExact/addExact: c·T products approach 2^63 when
     // count×total nears 9.2e18 — past that the kernel must move to
     // 128-bit (BigInt here, DecimalType(38,0) in the batch twin, which
@@ -95,13 +98,59 @@ object DriftMonitorStream {
     (num, Math.multiplyExact(2L, Math.multiplyExact(obsTotal, refTotal)))
   }
 
+  /** Shared state discipline for both monitors: word counts live in a
+    * `MapState[Long, Long]` (RocksDB point read-modify-writes per hash
+    * touched in the batch), the running total in a `ValueState[Long]`.
+    * At timer close the map is streamed once through the kernel and
+    * both states are CLEARED. */
+  private[streaming] trait MinuteVocabState {
+    protected def handle: StatefulProcessorHandle
+    @transient protected var counts: MapState[Long, Long] = _
+    @transient protected var total: ValueState[Long] = _
+
+    protected def initVocabState(): Unit = {
+      counts = handle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      total = handle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Merge one batch's pre-reduced partials: the rows iterator holds
+      * one partial per (shuffle-source partition × distinct hash), so
+      * fold locally first, then do ONE state read-modify-write per
+      * distinct hash touched this batch. */
+    protected def mergeBatch(rows: Iterator[(Long, Long)]): Unit = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var add = 0L
+      rows.foreach { case (wh, n) =>
+        m.update(wh, m.getOrElse(wh, 0L) + n)
+        add += n
+      }
+      m.foreach { case (wh, n) =>
+        val prev = if (counts.containsKey(wh)) counts.getValue(wh) else 0L
+        counts.updateValue(wh, prev + n)
+      }
+      total.update((if (total.exists()) total.get() else 0L) + add)
+    }
+
+    /** Close the key: stream the vocabulary through the kernel once,
+      * clear both states, return (n_words, num, den). */
+    protected def closeKey(ref: Map[Long, Long], refTotal: Long): (Long, Long, Long) = {
+      val tot = total.get()
+      val (num, den) = tvAgainstIter(counts.iterator(), tot, ref, refTotal)
+      counts.clear(); total.clear()
+      (tot, num, den)
+    }
+
+    protected def stateExists: Boolean = total.exists()
+    protected def clearAll(): Unit = { counts.clear(); total.clear() }
+  }
+
   class Monitor(ref: Map[Long, Long], refTotal: Long)
-    extends StatefulProcessor[Long, WordObs, DriftVerdict] {
-    @transient private var st: ValueState[MinuteCounts] = _
+    extends StatefulProcessor[Long, WordObs, DriftVerdict] with MinuteVocabState {
+    override protected def handle: StatefulProcessorHandle = getHandle
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[MinuteCounts](
-        "counts", Encoders.product[MinuteCounts], TTLConfig.NONE)
+      initVocabState()
 
     override def handleInputRows(minute: Long, rows: Iterator[WordObs],
                                  timerValues: TimerValues): Iterator[DriftVerdict] = {
@@ -109,35 +158,16 @@ object DriftMonitorStream {
       // (or is being) closed by its timer — never re-open it
       if ((minute + 1) * 60000L <= timerValues.getCurrentWatermarkInMs())
         return Iterator.empty
-      val s0 = if (st.exists()) st.get() else MinuteCounts(Seq.empty, Seq.empty, 0L)
-      // mutable LongMap merge, no re-sort: per-batch cost is O(V) map
-      // rebuild + O(new words) inserts, not O(V log V) — the stored
-      // order is semantically erased by toMap, so determinism of the
-      // Seq layout buys nothing
-      val m = scala.collection.mutable.LongMap.empty[Long]
-      var i = 0
-      while (i < s0.whs.length) { m.update(s0.whs(i), s0.ns(i)); i += 1 }
-      var tot = s0.total
-      rows.foreach { o =>
-        m.update(o.wh, m.getOrElse(o.wh, 0L) + o.n)
-        tot += o.n
-      }
-      val whs = new Array[Long](m.size)
-      val ns = new Array[Long](m.size)
-      var j = 0
-      m.foreach { case (k, v) => whs(j) = k; ns(j) = v; j += 1 }
-      st.update(MinuteCounts(whs.toIndexedSeq, ns.toIndexedSeq, tot))
+      mergeBatch(rows.map(o => (o.wh, o.n)))
       getHandle.registerTimer((minute + 1) * 60000L)
       Iterator.empty
     }
 
     override def handleExpiredTimer(minute: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[DriftVerdict] = {
-      if (!st.exists()) return Iterator.empty
-      val s = st.get()
-      st.clear()
-      val (num, den) = tvAgainst(s.toMap, s.total, ref, refTotal)
-      Iterator.single(DriftVerdict(minute, s.total, num, den,
+      if (!stateExists) return Iterator.empty
+      val (tot, num, den) = closeKey(ref, refTotal)
+      Iterator.single(DriftVerdict(minute, tot, num, den,
         num.toDouble / den.toDouble))
     }
   }
@@ -180,46 +210,31 @@ object DriftMonitorStream {
                                 tv_num: Long, tv_den: Long, tv: Double)
 
   class SourceMonitor(refs: Map[String, (Map[Long, Long], Long)])
-    extends StatefulProcessor[(String, Long), SourceWordObs, SourceDriftVerdict] {
-    @transient private var st: ValueState[MinuteCounts] = _
+    extends StatefulProcessor[(String, Long), SourceWordObs, SourceDriftVerdict]
+    with MinuteVocabState {
+    override protected def handle: StatefulProcessorHandle = getHandle
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[MinuteCounts](
-        "counts", Encoders.product[MinuteCounts], TTLConfig.NONE)
+      initVocabState()
 
     override def handleInputRows(key: (String, Long), rows: Iterator[SourceWordObs],
                                  timerValues: TimerValues): Iterator[SourceDriftVerdict] = {
       if ((key._2 + 1) * 60000L <= timerValues.getCurrentWatermarkInMs())
         return Iterator.empty
-      val s0 = if (st.exists()) st.get() else MinuteCounts(Seq.empty, Seq.empty, 0L)
-      val m = scala.collection.mutable.LongMap.empty[Long]
-      var i = 0
-      while (i < s0.whs.length) { m.update(s0.whs(i), s0.ns(i)); i += 1 }
-      var tot = s0.total
-      rows.foreach { o =>
-        m.update(o.wh, m.getOrElse(o.wh, 0L) + o.n)
-        tot += o.n
-      }
-      val whs = new Array[Long](m.size)
-      val ns = new Array[Long](m.size)
-      var j = 0
-      m.foreach { case (k, v) => whs(j) = k; ns(j) = v; j += 1 }
-      st.update(MinuteCounts(whs.toIndexedSeq, ns.toIndexedSeq, tot))
+      mergeBatch(rows.map(o => (o.wh, o.n)))
       getHandle.registerTimer((key._2 + 1) * 60000L)
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[SourceDriftVerdict] = {
-      if (!st.exists()) return Iterator.empty
-      val s = st.get()
-      st.clear()
+      if (!stateExists) return Iterator.empty
       refs.get(key._1) match {
         case Some((ref, refTotal)) =>
-          val (num, den) = tvAgainst(s.toMap, s.total, ref, refTotal)
-          Iterator.single(SourceDriftVerdict(key._1, key._2, s.total, num, den,
+          val (tot, num, den) = closeKey(ref, refTotal)
+          Iterator.single(SourceDriftVerdict(key._1, key._2, tot, num, den,
             num.toDouble / den.toDouble))
-        case None => Iterator.empty // out-of-contract source: no reference pinned
+        case None => clearAll(); Iterator.empty // out-of-contract source: no reference pinned
       }
     }
   }
