@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+/** Checkpoint-restart recovery for the stateful streaming operators —
+  * the exactly-once story under the failure mode that actually happens
+  * in production: the query dies mid-stream and a new incarnation
+  * resumes from the RocksDB checkpoint.
+  *
+  * Each test stops a query between micro-batches, starts a NEW query
+  * object over the same source + checkpoint dir, and asserts the
+  * combined output of both incarnations equals the single-run result:
+  * accumulated state must survive (no loss → wrong aggregates),
+  * nothing may replay (no duplicates → double emission), and
+  * event-time TIMERS registered before the crash must still fire
+  * after it (a key that receives no post-restart input must still
+  * close).
+  *
+  * MemoryStream is replayable within the process, so the restarted
+  * query resumes from the committed offset exactly as a file/bus
+  * source would.
+  */
+class StreamRestartSpec extends SparkSpec {
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def ckpt(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("drift monitor: state AND timers survive restart; each minute closes exactly once") { withRocksDb {
+    implicit val ss = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference == minute-0's full content: the minute-0 verdict can
+    // only score tv == 0 if the pre-restart partial counts were
+    // neither lost (missing words ⇒ tv > 0) nor replayed (doubled
+    // counts ⇒ tv > 0) — the recovery proof is in the arithmetic
+    val (ref, refTotal) = DriftMonitorStream.referenceOf(
+      Seq("alpha beta beta gamma").toDF("text"), "text")
+    val at = (s: Long) => new Timestamp(s * 1000L)
+
+    val verdicts =
+      new java.util.concurrent.ConcurrentLinkedQueue[DriftMonitorStream.DriftVerdict]()
+    val input = MemoryStream[(Timestamp, String)]
+    val dir = ckpt("restart_drift")
+    def start() = DriftMonitorStream.monitor(
+        input.toDF().toDF("ts", "text"), "ts", "text", ref, refTotal)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DriftMonitorStream.DriftVerdict], _: Long) =>
+        df.collect().foreach(verdicts.add); ()
+      }
+      .option("checkpointLocation", dir)
+      .start()
+
+    // incarnation 1: ALL of minute 0 + half of minute 1, then die.
+    // Minute 0 gets no further input — its close depends entirely on
+    // the recovered state and the timer registered before the crash.
+    val q1 = start()
+    input.addData(Seq((at(1), "alpha beta"), (at(2), "beta gamma"),
+      (at(61), "delta")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // incarnation 2: rest of minute 1, then watermark sentinels
+    val q2 = start()
+    input.addData(Seq((at(62), "epsilon")))
+    q2.processAllAvailable()
+    input.addData(Seq((at(20 * 60), "x")))
+    q2.processAllAvailable()
+    input.addData(Seq((at(21 * 60), "x")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val byMinute = verdicts.asScala.toSeq.filter(_.minute_id < 10)
+      .groupBy(_.minute_id)
+    assert(byMinute.keySet == Set(0L, 1L), s"minutes closed: ${byMinute.keySet}")
+    assert(byMinute.values.forall(_.size == 1),
+      s"a minute closed more than once: $byMinute")
+    val m0 = byMinute(0L).head
+    assert(m0.n_words == 4L && m0.tv == 0.0,
+      s"minute 0 must recover to the exact reference distribution: $m0")
+    val m1 = byMinute(1L).head
+    assert(m1.n_words == 2L && m1.tv == 1.0,
+      s"minute 1 must merge across the restart (delta+epsilon, disjoint): $m1")
+  } }
+
+  test("session gate: last-ts state survives restart — in-gap event stays suppressed") { withRocksDb {
+    implicit val ss = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import SessionDedup.Ev
+
+    // epoch offset keeps every event strictly above the fresh query's
+    // initial watermark (0): a t=0 first event ties the watermark and
+    // is dropped as late in batch 0 — boundary behavior, not the
+    // operator under test
+    val at = (s: Long) => new Timestamp((1000L + s) * 1000L)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val input = MemoryStream[Ev]
+    val dir = ckpt("restart_gate")
+    def start() = SessionGateTws.dedup(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+        df.collect().foreach(e => emitted.add(e.event_id)); ()
+      }
+      .option("checkpointLocation", dir)
+      .start()
+
+    // incarnation 1: session opens at t=0
+    val q1 = start()
+    input.addData(Seq(Ev(1L, 7L, "click", at(0), 1.0)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // incarnation 2: t=10 is inside the recovered 30-s gap (must NOT
+    // re-open — lost state would emit it); t=100 opens a new session
+    val q2 = start()
+    input.addData(Seq(Ev(2L, 7L, "click", at(10), 1.0)))
+    q2.processAllAvailable()
+    input.addData(Seq(Ev(3L, 7L, "click", at(100), 1.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted == Seq(1L, 3L),
+      s"session starts across restart: ${emitted.asScala.toSeq.sorted} (2 emitted ⇒ state lost; 1 missing ⇒ replay suppressed it)")
+  } }
+
+  test("corpus dedup: the content registry survives restart — post-crash copy is a dup") { withRocksDb {
+    implicit val ss = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import CorpusDedupStream.{Doc, DocVerdict}
+
+    val verdicts = new java.util.concurrent.ConcurrentLinkedQueue[DocVerdict]()
+    val input = MemoryStream[Doc]
+    val dir = ckpt("restart_dedup")
+    def start() = CorpusDedupStream.dedup(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DocVerdict], _: Long) =>
+        df.collect().foreach(verdicts.add); ()
+      }
+      .option("checkpointLocation", dir)
+      .start()
+
+    val q1 = start()
+    input.addData(Seq(Doc(1L, "the quick brown fox"), Doc(2L, "lorem ipsum")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    input.addData(Seq(Doc(3L, "the quick brown fox"), Doc(4L, "novel text")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = verdicts.asScala.toSeq.sortBy(_.doc_id)
+    assert(got == Seq(
+      DocVerdict(1L, 1L, is_dup = false),
+      DocVerdict(2L, 2L, is_dup = false),
+      DocVerdict(3L, 1L, is_dup = true),
+      DocVerdict(4L, 4L, is_dup = false)),
+      s"registry must survive the restart (doc 3 == doc 1's content): $got")
+  } }
+}
