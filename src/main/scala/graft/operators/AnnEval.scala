@@ -82,23 +82,31 @@ object AnnEval {
     * buckets enumerated driver-side; ONE pruned scan over the union of
     * all probe buckets, then a (qid, bucket) broadcast join routes
     * candidates to their queries. */
-  def lshTopK(s: SparkSession, d: String): DataFrame = {
+  def lshTopK(s: SparkSession, d: String, radius: Int = 2, tables: Int = 1): DataFrame = {
     import s.implicits._
-    val idx = AnnIndex.srp(s, d)
     val qids = queryIds(s, d)
-    val sigs = SimilarityOps.srpSignature(
-        Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*)),
-        AnnIndex.SrpBits)
-      .select(col("vec_id"), col("srp_bucket").cast("int"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    val pairs = sigs.toSeq.flatMap { case (qid, b) =>
-      AnnIndex.hamming2Buckets(b).map(pb => (qid, pb)) }
-    val union = pairs.map(_._2).distinct
-    val probe = pairs.toDF("qid", "srp_bucket")
-    val cands = idx.filter(col("srp_bucket").isin(union: _*))
-      .join(broadcast(probe), Seq("srp_bucket"))
-      .select(col("qid"), col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val qemb = Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*))
+    val perTable = (0 until tables).map { t =>
+      val idx = AnnIndex.srpTable(s, d, t)
+      val sigs = SimilarityOps.srpSignature(qemb, AnnIndex.SrpBits,
+          planeOffset = t * AnnIndex.SrpBits)
+        .select(col("vec_id"), col("srp_bucket").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val pairs = sigs.toSeq.flatMap { case (qid, b) =>
+        AnnIndex.hammingBuckets(b, radius).map(pb => (qid, pb)) }
+      val union = pairs.map(_._2).distinct
+      val probe = pairs.toDF("qid", "srp_bucket")
+      idx.filter(col("srp_bucket").isin(union: _*))
+        .join(broadcast(probe), Seq("srp_bucket"))
+        .select(col("qid"), col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    }
+    // within one table a vector lives in exactly one bucket (no dups);
+    // across tables the same (qid, vec_id) can surface twice — dedupe
+    // only when it can happen so the single-table plan stays unchanged
+    val cands =
+      if (tables == 1) perTable.head
+      else perTable.reduce(_ union _).dropDuplicates("qid", "vec_id")
     cosineRerank(cands, queryVecs(s, d, qids))
   }
 
@@ -196,6 +204,13 @@ object AnnEval {
 
   val queries: Map[String, Q] = Map(
     "ann_eval_lsh" -> ((s, d) => grade(s, d, lshTopK(s, d))),
+    // the two recall dials of the SRP index, each a measured point:
+    // wider probe cone (radius 3 = 1.06 % of partitions, 5× the r2
+    // footprint) vs a second independent hash table (2 × 0.21 %).
+    // Candidate sets are supersets of ann_eval_lsh's, so per-query
+    // recall is monotone ≥ the base index (AnnSpec asserts it).
+    "ann_eval_lsh_r3" -> ((s, d) => grade(s, d, lshTopK(s, d, radius = 3))),
+    "ann_eval_lsh_2t" -> ((s, d) => grade(s, d, lshTopK(s, d, tables = 2))),
     "ann_eval_ivf" -> ((s, d) => grade(s, d, ivfTopK(s, d))),
     "ann_eval_pq" -> ((s, d) => grade(s, d, pqTopK(s, d)))
   )

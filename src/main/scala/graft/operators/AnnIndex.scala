@@ -137,12 +137,47 @@ object AnnIndex {
   /** All 137 16-bit buckets within hamming distance ≤ 2 of `qb` —
     * the multi-probe set, enumerated driver-side so the index scan is
     * a partition-pruning IN list, not a per-row bit_count filter. */
-  def hamming2Buckets(qb: Int): Seq[Int] = {
-    val one = (0 until SrpBits).map(i => qb ^ (1 << i))
-    val two = for { i <- 0 until SrpBits; j <- i + 1 until SrpBits }
-      yield qb ^ (1 << i) ^ (1 << j)
-    qb +: (one ++ two)
+  def hamming2Buckets(qb: Int): Seq[Int] = hammingBuckets(qb, 2)
+
+  /** The hamming-≤`radius` probe set of `qb` — the RECALL dial of the
+    * SRP index: r=2 → 137 of 65 536 buckets (0.21 % of partitions),
+    * r=3 → 697 (1.06 %). Enumerated driver-side (≤697 ints), so wider
+    * probes only widen the partition-pruning IN list — the plan shape
+    * is radius-independent. */
+  def hammingBuckets(qb: Int, radius: Int): Seq[Int] = {
+    require(radius >= 0 && radius <= 3, s"probe radius 0-3 supported: $radius")
+    val bits = 0 until SrpBits
+    val r1 = if (radius >= 1) bits.map(i => qb ^ (1 << i)) else Nil
+    val r2 = if (radius >= 2)
+      for { i <- bits; j <- bits if j > i } yield qb ^ (1 << i) ^ (1 << j)
+    else Nil
+    val r3 = if (radius >= 3)
+      for { i <- bits; j <- bits if j > i; k <- bits if k > j }
+        yield qb ^ (1 << i) ^ (1 << j) ^ (1 << k)
+    else Nil
+    qb +: (r1 ++ r2 ++ r3)
   }
+
+  /** Table `t` of a multi-table SRP index — the OTHER recall dial:
+    * each table hashes with a disjoint hyperplane family
+    * (planes t·16 … t·16+15), so a near neighbor that a single
+    * table's quantization separates gets an independent chance per
+    * table; probes union the per-table candidate sets. Table 0 IS the
+    * single-table index (same directory, bytes unchanged). */
+  def srpTable(spark: SparkSession, dir: String, table: Int): DataFrame =
+    if (table == 0) srp(spark, dir)
+    else {
+      require(table > 0 && table < 4, s"tables 0-3 supported: $table")
+      val path = ensure(dir, s"srp_t$table") { stg =>
+        SimilarityOps.srpSignature(Tables.embeddings(spark, dir), SrpBits,
+            planeOffset = table * SrpBits)
+          .withColumn("srp_bucket", col("srp_bucket").cast("int"))
+          .repartition(col("srp_bucket"))
+          .write.mode("overwrite").partitionBy("srp_bucket")
+          .parquet(s"$stg/sigs")
+      }
+      readCached(spark, s"$path/sigs")
+    }
 
   /** Builds every index for `dir` (bench warm-up hook: production
     * builds indexes at ingest, so probes measure the probe). */

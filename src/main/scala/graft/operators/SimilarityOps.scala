@@ -28,18 +28,25 @@ object SimilarityOps {
     * mix(plane, dim) via splitmix64-style integer mixing. */
   private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) = {
     // constants sized so the mix never overflows a long under ANSI mode:
-    // inner ≤ 16*73856093 + 64*19349663 + 7919 ≈ 2.4e9; ×104729 ≈ 2.6e14
+    // inner ≤ 63*73856093 + 64*19349663 + 7919 ≈ 5.9e9; ×104729 ≈ 6.2e14
+    // (plane ≤ 63 = 4 tables × 16 bits; require() guards the bound)
     val mixed = (lit(plane.toLong * 73856093L) + dim * lit(19349663L) + lit(7919L)) * lit(104729L)
     ((pmod(mixed, lit(1000003L)).cast("double") / lit(1000003.0)) - lit(0.5))
   }
 
-  /** 16-bit sign-random-projection signature over the embedding. */
-  def srpSignature(emb: DataFrame, bits: Int = 16): DataFrame = {
+  /** 16-bit sign-random-projection signature over the embedding.
+    * `planeOffset` selects an independent hyperplane family from the
+    * same deterministic generator (table t of a multi-table LSH index
+    * passes t·bits — planes never overlap across tables; the overflow
+    * bound in [[planeComponent]] holds through plane 63). */
+  def srpSignature(emb: DataFrame, bits: Int = 16, planeOffset: Int = 0): DataFrame = {
+    require(planeOffset >= 0 && planeOffset + bits <= 64,
+      s"plane indices must stay within the overflow-audited range [0, 64): offset=$planeOffset bits=$bits")
     val withIdx = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("embedding")).as(Seq("dim", "xf")))
       .withColumn("x", col("xf").cast("double"))
     val sigBits = (0 until bits).map { b =>
-      when(sum(col("x") * planeComponent(b, col("dim"))) > 0, shiftleft(lit(1L), b))
+      when(sum(col("x") * planeComponent(planeOffset + b, col("dim"))) > 0, shiftleft(lit(1L), b))
         .otherwise(0L)
     }
     withIdx.groupBy("vec_id")

@@ -86,7 +86,31 @@ class AnnSpec extends SparkSpec {
   }
 
   test("ann_eval_lsh: grading == independent intersection of legs") {
-    pinEval("ann_eval_lsh", AnnEval.lshTopK)
+    pinEval("ann_eval_lsh", (s, d) => AnnEval.lshTopK(s, d))
+  }
+
+  test("LSH recall dials are monotone: wider probe radius and a second table only add recall") {
+    pinEval("ann_eval_lsh_r3", (s, d) => AnnEval.lshTopK(s, d, radius = 3))
+    pinEval("ann_eval_lsh_2t", (s, d) => AnnEval.lshTopK(s, d, tables = 2))
+    def recalls(name: String): Map[Long, Double] =
+      AnnEval.queries(name)(spark, sf).select("qid", "recall")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = recalls("ann_eval_lsh")
+    val r3 = recalls("ann_eval_lsh_r3")
+    val t2 = recalls("ann_eval_lsh_2t")
+    // candidate sets are supersets of the base probe's, and an exact
+    // top-10 member can never be displaced from a candidate-set top-10
+    // (at most 9 corpus vectors rank above it) — so recall is monotone
+    // PER QUERY, not just on average
+    base.foreach { case (qid, r) =>
+      assert(r3(qid) >= r, s"radius 3 lost recall on qid $qid: ${r3(qid)} < $r")
+      assert(t2(qid) >= r, s"second table lost recall on qid $qid: ${t2(qid)} < $r")
+    }
+    // and the wider probes must actually BUY something on this corpus
+    assert(r3.values.sum > base.values.sum,
+      s"radius 3 bought no recall: ${r3.values.sum} vs ${base.values.sum}")
+    assert(t2.values.sum > base.values.sum,
+      s"second table bought no recall: ${t2.values.sum} vs ${base.values.sum}")
   }
 
   test("ann_eval_ivf: grading pinned; nprobe=2 recall floor holds") {
