@@ -83,7 +83,8 @@ object SparkEntry {
       RetrievalOps2.queries ++
       TextOps7.queries ++
       PlanningOps.queries ++
-      AnnEval.queries
+      AnnEval.queries ++
+      BitextOps.queries
 
   /** DuckDB equivalents for the driver's oracle compare. Queries absent
     * here (minhash/simhash/LSH/IVF/trained-kmeans/decode-stub) are not
@@ -148,7 +149,8 @@ object SparkEntry {
       RetrievalOps2.oracles ++
       TextOps7.oracles ++
       PlanningOps.oracles ++
-      AnnEval.oracles
+      AnnEval.oracles ++
+      BitextOps.oracles
       // EventGen has no oracle (JVM mixing is not SQL-expressible);
       // gen_events is distribution-checked in EventGenSpec
 }

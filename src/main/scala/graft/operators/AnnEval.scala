@@ -110,10 +110,12 @@ object AnnEval {
     cosineRerank(cands, queryVecs(s, d, qids))
   }
 
-  /** IVF nprobe=2 top-10 per query: centroid ranking per query is a
+  /** IVF top-10 per query: centroid ranking per query is a
     * 16×|cells| broadcast cross (tiny), the fine stage reads only the
-    * union of probed inverted lists. */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    * union of probed inverted lists. `nprobe` is IVF's recall dial —
+    * more inverted lists scanned per query, candidate volume (and
+    * recall) rising with it while the plan shape stays fixed. */
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int = 2): DataFrame = {
     import s.implicits._
     val (lists, cents) = AnnIndex.ivf(s, d)
     val qids = queryIds(s, d)
@@ -125,7 +127,7 @@ object AnnEval {
       .withColumn("csim", col("cd") / sqrt(col("cn")))
       .withColumn("cr", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("label"))))
-      .filter(col("cr") <= 2)
+      .filter(col("cr") <= nprobe)
       .select(col("qid"), col("label"))
       .collect().map(r => (r.getLong(0), r.get(1)))
     val cells = probed.map(_._2).distinct.toSeq
@@ -212,6 +214,8 @@ object AnnEval {
     "ann_eval_lsh_r3" -> ((s, d) => grade(s, d, lshTopK(s, d, radius = 3))),
     "ann_eval_lsh_2t" -> ((s, d) => grade(s, d, lshTopK(s, d, tables = 2))),
     "ann_eval_ivf" -> ((s, d) => grade(s, d, ivfTopK(s, d))),
+    // IVF's own recall dial: double the probed inverted lists
+    "ann_eval_ivf_np4" -> ((s, d) => grade(s, d, ivfTopK(s, d, nprobe = 4))),
     "ann_eval_pq" -> ((s, d) => grade(s, d, pqTopK(s, d)))
   )
 

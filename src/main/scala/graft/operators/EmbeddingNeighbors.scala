@@ -186,17 +186,30 @@ object EmbeddingNeighbors {
     *
     * Output: (vec_id, rn, cand, sim) with rn ∈ [1, k] — one row per
     * (vector, neighbor rank) that exists; vectors in corpora smaller
-    * than k+1 emit fewer rows, never padding. */
-  def topKNeighbors(emb: DataFrame, k: Int, numBlocks: Int = 0): DataFrame = {
+    * than k+1 emit fewer rows, never padding.
+    *
+    * `crossLabelOnly=true` restricts candidates to vectors with a
+    * DIFFERENT label (same null semantics as [[bestNeighbor]]: null-
+    * label vectors join no cross pair) — the cross-corpus kNN a bitext
+    * miner needs when `label` encodes the side. */
+  def topKNeighbors(emb: DataFrame, k: Int, numBlocks: Int = 0,
+                    crossLabelOnly: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = DedupOps.quantized(emb.select(col("vec_id"), col("embedding")))
+    val src =
+      if (crossLabelOnly) emb.filter(col("label").isNotNull)
+      else emb
+    val lab =
+      if (crossLabelOnly) src.select(col("vec_id"), col("label").cast("int").as("label"))
+      else src.select(col("vec_id"), lit(0).as("label"))
+    val q = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
+      .join(lab, "vec_id")
     val blocks =
       if (numBlocks > 0) numBlocks
-      else math.max(DefaultBlocks, (emb.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
+      else math.max(DefaultBlocks, (src.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
     val tiles: Dataset[Tile] = q
       .select(pmod(hash(col("vec_id")), lit(blocks)).cast("int").as("b"),
-        col("vec_id"), lit(0).as("label"), col("q"), col("n"))
+        col("vec_id"), col("label"), col("q"), col("n"))
       .as[(Int, Long, Int, Seq[Long], Long)]
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
@@ -205,6 +218,7 @@ object EmbeddingNeighbors {
       }
     val nb = blocks
     val kk = k
+    val xOnly = crossLabelOnly
     val partials = tiles
       .flatMap(t => Iterator.range(0, nb).map { o =>
         val lo = math.min(t.b, o); val hi = math.max(t.b, o)
@@ -243,16 +257,18 @@ object EmbeddingNeighbors {
           }
           var i = 0
           while (i < nx) {
-            val qi = x.qs(i); val ni = x.ns(i)
+            val qi = x.qs(i); val ni = x.ns(i); val li = x.labels(i)
             var j = if (sameTile) i + 1 else 0
             while (j < ny) {
-              val qj = y.qs(j)
-              var d = 0L; var kd = 0
-              val len = math.min(qi.length, qj.length)
-              while (kd < len) { d += qi(kd) * qj(kd); kd += 1 }
-              val sim = d / math.sqrt(ni.toDouble * y.ns(j).toDouble)
-              insert(bxSim(i), bxId(i), sim, y.ids(j))
-              insert(bySim(j), byId(j), sim, x.ids(i))
+              if (!xOnly || li != y.labels(j)) {
+                val qj = y.qs(j)
+                var d = 0L; var kd = 0
+                val len = math.min(qi.length, qj.length)
+                while (kd < len) { d += qi(kd) * qj(kd); kd += 1 }
+                val sim = d / math.sqrt(ni.toDouble * y.ns(j).toDouble)
+                insert(bxSim(i), bxId(i), sim, y.ids(j))
+                insert(bySim(j), byId(j), sim, x.ids(i))
+              }
               j += 1
             }
             i += 1

@@ -107,6 +107,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bitext mining rides the tiled kernel: top-pairs short-circuit, no pair join") {
+    val plan = finalPlan("bitext_margin_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bitext top pairs must short-circuit, not global-sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bitext margin joins must stay hash-equi on vec_id/cand:\n$plan")
+  }
+
   test("relational tranche is cartesian-free") {
     // every oracle-checked relational query must join on keys; a plan
     // regression to a cross product would still pass correctness at

@@ -114,10 +114,22 @@ class AnnSpec extends SparkSpec {
   }
 
   test("ann_eval_ivf: grading pinned; nprobe=2 recall floor holds") {
-    pinEval("ann_eval_ivf", AnnEval.ivfTopK)
+    pinEval("ann_eval_ivf", (s, d) => AnnEval.ivfTopK(s, d))
     val mean = AnnEval.queries("ann_eval_ivf")(spark, sf)
       .agg(avg("recall")).first().getDouble(0)
     assert(mean >= 0.1, s"IVF mean recall@10 collapsed: $mean")
+  }
+
+  test("IVF nprobe dial is monotone: 4 probed lists never lose recall vs 2") {
+    pinEval("ann_eval_ivf_np4", (s, d) => AnnEval.ivfTopK(s, d, nprobe = 4))
+    def recalls(name: String): Map[Long, Double] =
+      AnnEval.queries(name)(spark, sf).select("qid", "recall")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val np2 = recalls("ann_eval_ivf")
+    val np4 = recalls("ann_eval_ivf_np4")
+    np2.foreach { case (qid, r) =>
+      assert(np4(qid) >= r, s"nprobe 4 lost recall on qid $qid: ${np4(qid)} < $r")
+    }
   }
 
   test("ann_eval_pq: grading pinned; rerank-funnel recall floor holds") {

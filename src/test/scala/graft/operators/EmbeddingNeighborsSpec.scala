@@ -115,4 +115,68 @@ class EmbeddingNeighborsSpec extends SparkSpec {
     assert(got.toSet == Set((0L, 1, 1L), (1L, 1, 0L)),
       s"2 vectors → exactly one rank-1 neighbor each, got ${got.toSeq}")
   }
+
+  test("topKNeighbors crossLabelOnly: brute parity + every neighbor is other-label") {
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(k => ((i * 5 + k * 3) % 17).toFloat / 17f), (i % 2).toInt)
+    }
+    val emb = mkEmb(rows)
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    val n = q.map { case (id, a) => id -> a.map(x => x * x).sum }
+    val lab = rows.map(r => r._1 -> r._3).toMap
+    def sim(a: Long, b: Long): Double = {
+      val d = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      d / math.sqrt(n(a).toDouble * n(b).toDouble)
+    }
+    val expect = rows.map(_._1).flatMap { a =>
+      rows.map(_._1).filter(b => b != a && lab(b) != lab(a))
+        .map(b => (b, sim(a, b)))
+        .sortBy { case (b, s) => (-s, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, s), p) => (a, p + 1, b, s) }
+    }.toSeq
+    val forms = Seq(1, 4, 16).map(bl =>
+      EmbeddingNeighbors.topKNeighbors(emb, 3, numBlocks = bl, crossLabelOnly = true)
+        .orderBy("vec_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+    assert(forms(0) == expect, "cross-label top-3 must equal the brute ranking")
+    assert(forms(0) == forms(1) && forms(1) == forms(2),
+      "block partitioning must not change the cross-label graph")
+  }
+
+  test("bitext_margin_topk: margins equal the brute ratio-margin on the sf corpus") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .filter(col("label").isNotNull).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray,
+        if (r.getAs[Number](2).intValue >= 5) 1 else 0))
+    val n = rows.map { case (id, a, _) => id -> a.map(x => x * x).sum }.toMap
+    val side = rows.map(r => r._1 -> r._3).toMap
+    val q = rows.map(r => r._1 -> r._2).toMap
+    def sim(a: Long, b: Long): Double = {
+      val d = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      d / math.sqrt(n(a).toDouble * n(b).toDouble)
+    }
+    val ids = rows.map(_._1)
+    // top-4 cross-side neighborhood per vector, kernel tiebreak order
+    val top4 = ids.map { a =>
+      a -> ids.filter(b => side(b) != side(a))
+        .map(b => (b, sim(a, b))).sortBy { case (b, s) => (-s, b) }.take(4)
+    }.toMap
+    // explicit left-associated sum — the parity-pinned accumulation order
+    def hd(a: Long): Double = {
+      val s = top4(a).map(_._2)
+      (((s(0) + s(1)) + s(2)) + s(3)) / 8.0
+    }
+    val expect = ids.filter(side(_) == 0).map { a =>
+      val (b, s) = top4(a).head
+      (a, b, s, s / (hd(a) + hd(b)))
+    }.sortBy { case (a, _, _, m) => (-m, a) }.take(BitextOps.TopPairs)
+    val got = BitextOps.marginTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect.toSeq,
+      s"mined pairs diverge from brute margin: got ${got.take(3)}… expect ${expect.take(3)}…")
+  }
 }
