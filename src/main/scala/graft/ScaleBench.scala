@@ -50,6 +50,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    // SPARK_GRAFT_SCALE_ONLY=q1,q2 measures a subset (targeted rep of a
+    // new/regressed query against already-materialized factor dirs)
+    // and writes BENCH_SCALE_ONLY.json so the headline file stays the
+    // full headline set
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = only.getOrElse(Queries)
+    val outFile = if (only.isDefined) "BENCH_SCALE_ONLY.json" else "BENCH_SCALE.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,7 +82,7 @@ object ScaleBench {
     // min of 2 runs per (query, factor): damps shared-box noise without
     // letting a single lucky cache hit define the number (plans are
     // rebuilt and caches dropped between runs)
-    val times: Map[String, Map[Int, Double]] = Queries.map { name =>
+    val times: Map[String, Map[Int, Double]] = queries.map { name =>
       name -> Factors.map { f =>
         val dir = s"$workDir/x$f"
         val ts = (1 to 2).map { _ =>
@@ -96,7 +104,7 @@ object ScaleBench {
     }.toMap
 
     def fm(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val entries = Queries.map { q =>
+    val entries = queries.map { q =>
       val m = times(q)
       val ratio =
         if (m(1) > 0 && m(10) > 0) f"${m(10) / m(1)}%.2f" else "-1"
@@ -106,7 +114,7 @@ object ScaleBench {
       s"""{"metric":"scale_curve","base":"$baseDir","factors":[${Factors.mkString(",")}],
          |"note":"x10 replicates sf0.1 with disjoint gram/id spaces; ratio=t(x10)/t(x1); linear scaling => ratio<=10 (sub-linear typical: fixed overhead dominates x1)",
          |"queries":{${entries.mkString(",")}}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)

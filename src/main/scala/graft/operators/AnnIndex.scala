@@ -182,7 +182,7 @@ object AnnIndex {
   /** Builds every index for `dir` (bench warm-up hook: production
     * builds indexes at ingest, so probes measure the probe). */
   def ensureAll(spark: SparkSession, dir: String): Unit = {
-    srp(spark, dir); ivf(spark, dir)
+    srp(spark, dir); srpTable(spark, dir, 1); ivf(spark, dir)
   }
 
   /** Deployment-shape SRP builders against an EXPLICIT index path (a
