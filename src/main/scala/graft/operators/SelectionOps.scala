@@ -52,9 +52,10 @@ import org.apache.spark.sql.functions._
   *    TakeOrderedAndProject (per-partition k-heaps + driver merge of
   *    P·k rows) — no global sort, no coordination, and re-running on
   *    a re-sharded corpus returns the identical sample;
-  *  - gram_novelty: explode → one hash shuffle on the gram key for the
-  *    min-doc census, one shuffle back to join it — both linear in
-  *    total grams; no window over the corpus. Grams travel as xxhash64
+  *  - gram_novelty: explode → ONE hash shuffle on the gram key (the
+  *    min-doc census re-aggregates by first_doc; n_grams is row-local
+  *    |ghs|, so there is no gram-sized join-back) — linear in total
+  *    grams, no window over the corpus. Grams travel as xxhash64
   *    longs (16-byte shuffle rows, not strings), and the scan is
   *    repartitioned ahead of the shingling map so a few big input
   *    splits can't serialize the pipeline;
@@ -111,20 +112,27 @@ object SelectionOps {
     *
     * Grams ride as xxhash64 longs ([[DedupOps.docShingleArrays]] —
     * same 2⁻⁶⁴ collision tolerance as the jaccard family), so the
-    * census and the join-back shuffle 16-byte rows instead of gram
-    * strings, and the corpus scan is spread across the cluster before
-    * the heavy shingling map. The exploded gram relation feeds both
-    * the census and the join — checkpoint it once. */
+    * census shuffles 16-byte rows instead of gram strings, and the
+    * corpus scan is spread across the cluster before the heavy
+    * shingling map.
+    *
+    * ONE gram-keyed shuffle total: the min-doc census re-aggregates by
+    * its own first_doc into per-doc novel counts — the former
+    * gram-sized join-back was only fetching n_grams, which is
+    * row-local in |ghs| all along. The doc-array relation feeds the
+    * explode AND the final doc-sized join — checkpoint it (doc rows,
+    * not gram rows). */
   def gramNovelty(docs: DataFrame): DataFrame = {
-    val grams = DedupOps.docShingleArrays(docs)
-      .select(col("doc_id"), explode(col("ghs")).as("gh"))
-      .localCheckpoint(true)
-    val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val arr = DedupOps.docShingleArrays(docs).localCheckpoint(true)
+    val novel = arr.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .groupBy("gh").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    arr.filter(col("n") > 0) // gram-less docs emit no row, as before
+      .select(col("doc_id"), col("n").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
       .orderBy("doc_id")
   }
@@ -260,22 +268,38 @@ object SelectionOps {
     // source-keyed dim-sized aggs; all shuffles linear in grams.
     "novelty_by_source" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // ONE doc_id-keyed join attaches the source to every gram; the
-      // owner then falls out of min(struct(doc_id, source)) — doc_id
-      // leads the struct, so the min is the first-occurrence carrier
-      // and no census→dim second join is needed
-      val grams = DedupOps.docShingleArrays(docs)
-        .select(col("doc_id"), explode(col("ghs")).as("gh"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // source attaches per DOC (before the explode — a gram-sized
+      // enrichment join would shuffle every occurrence) as its
+      // xxhash64 (8-byte shuffle rows, the jaccard family's collision
+      // tolerance; names re-attach via a |sources|-row broadcast at
+      // the end). The occurrence relation collapses FIRST to distinct
+      // (gram, source) pairs with their min doc — a plain
+      // min() partial aggregate absorbs most occurrences map-side
+      // (collect_set partials measured no faster than the two-shuffle
+      // form; min/count partials are the cheap path). The pair
+      // relation R (≈ distinct grams × avg sources-per-gram) then
+      // serves both legs: per-source distinct census is a dim-sized
+      // count over R, and the owner census is a gh-keyed min over R —
+      // doc_id leads the struct, so the min is decided by doc_id
+      // alone. Checkpoint R: both legs read it.
+      val pairs = DedupOps.docShingleArrays(docs)
+        .join(docs.select(col("doc_id"), xxhash64(col("source")).as("sid")),
+          "doc_id")
+        .select(col("doc_id"), col("sid"), explode(col("ghs")).as("gh"))
+        .groupBy("gh", "sid")
+        .agg(min(col("doc_id")).as("d"))
         .localCheckpoint(true)
-      val owned = grams.groupBy("gh")
-        .agg(min(struct(col("doc_id"), col("source"))).as("f"))
-        .groupBy(col("f.source").as("source"))
+      val srcNames = broadcast(docs
+        .select(xxhash64(col("source")).as("sid"), col("source")).distinct())
+      val owned = pairs
+        .groupBy("gh")
+        .agg(min(struct(col("d"), col("sid"))).as("f"))
+        .groupBy(col("f.sid").as("sid"))
         .agg(count(lit(1)).as("n_owned"))
-      val distinctPerSource = grams
-        .select("source", "gh").distinct()
-        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
-      distinctPerSource.join(owned, Seq("source"), "left")
+      val distinctPerSource = pairs
+        .groupBy("sid").agg(count(lit(1)).as("n_distinct"))
+      distinctPerSource.join(owned, Seq("sid"), "left")
+        .join(srcNames, "sid")
         .withColumn("n_owned", coalesce(col("n_owned"), lit(0L)))
         .withColumn("owned_ppm", expr("n_owned * 1000000 div n_distinct"))
         .select("source", "n_distinct", "n_owned", "owned_ppm")
