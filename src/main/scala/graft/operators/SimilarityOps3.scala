@@ -32,11 +32,11 @@ object SimilarityOps3 {
     // w(g) = 1000·N / df(g) (integer linear idf — no log, so both
     // engines agree exactly), dot = Σ_{shared g} w(g)², norms row-local
     "sparse_cosine_topk" -> ((s, d) => {
-      // the shingle explode feeds the df tier, the norm tier, and both
-      // pair-join legs — materialize it once (eager localCheckpoint;
-      // lazy lineage recomputed the corpus explode ~5×). Grams ride as
-      // xxhash64 longs: df/weights/dots depend only on gram IDENTITY,
-      // so the hash is correctness-neutral (2⁻⁶⁴, the jaccard family's
+      // the shingle explode feeds the df tier and the weighted-gram
+      // join — materialize it once (eager localCheckpoint; lazy
+      // lineage recomputed the corpus explode). Grams ride as xxhash64
+      // longs: df/weights/dots depend only on gram IDENTITY, so the
+      // hash is correctness-neutral (2⁻⁶⁴, the jaccard family's
       // documented tolerance) and every shuffle key drops from a
       // ~17-char string to 8 bytes
       val grams = DedupOps.docShingleArrays(Tables.documents(s, d))
@@ -46,20 +46,34 @@ object SimilarityOps3 {
       // DF cut (see DedupOps.HotGramDfCap): grams above the cap are
       // dropped from the vocabulary entirely — weights, norms, and dots
       // all see the same capped gram space, so the result is a true
-      // cosine over the sub-vocabulary. Bounds the pair join at
-      // dfCap × |inverted index|; hot grams carry the smallest idf
+      // cosine over the sub-vocabulary. Bounds pair volume at
+      // dfCap² × |vocabulary| / 2; hot grams carry the smallest idf
       // weights, so the signal lost is the smallest terms of the dot.
       // Cap ≫ max df at every test scale ⇒ oracle hashes unchanged.
+      //
+      // tf is binary over DISTINCT shingles, so BOTH endpoints of a
+      // shared gram carry the same weight and every pair contribution
+      // is w(g)² — a per-GRAM constant. The former plan didn't use
+      // that: it joined per-occurrence weights into BOTH self-join
+      // legs and multiplied wa·wb per pair. Now w² attaches once per
+      // capped gram on ONE leg; the other leg is a bare (doc, g)
+      // projection and the pair sum is Σ w² with no per-pair multiply.
+      // (An in-partition combination-generation variant — collect the
+      // gram's doc array, explode the pair list — measured SLOWER than
+      // the streaming self-join: materializing up to cap² structs per
+      // row beats nothing; the join pipelines pairs straight into the
+      // partial aggregate.)
       val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= DedupOps.HotGramDfCap)
-      val w = grams.join(df, "g").crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("g"), expr("1000 * n div df").as("w"))
-        .localCheckpoint(true)
-      val norm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-      val a = w.select(col("doc_id").as("da"), col("g"), col("w").as("wa"))
-      val b = w.select(col("doc_id").as("db"), col("g"), col("w").as("wb"))
+      val wg = df.crossJoin(broadcast(nDocs))
+        .select(col("g"),
+          expr("(1000 * n div df) * (1000 * n div df)").as("w2"))
+      val gw = grams.join(wg, "g").localCheckpoint(true)
+      val norm = gw.groupBy("doc_id").agg(sum(col("w2")).as("n2"))
+      val a = gw.select(col("doc_id").as("da"), col("g"), col("w2"))
+      val b = gw.select(col("doc_id").as("db"), col("g"))
       val dots = a.join(b, Seq("g")).filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+        .groupBy("da", "db").agg(sum(col("w2")).as("dot"))
       dots
         .join(norm.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
         .join(norm.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")
