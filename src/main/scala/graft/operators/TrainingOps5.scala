@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *  - boilerplate df + mask both key the shuffle on the gram; mask
   *    join output is Σ df over boiler grams ≤ total gram occurrences
   *    (linear in corpus size — no pairing, so no df cap needed); the
-  *    position explode is ≤3 rows per occurrence;
+  *    masked count is a row-local interval-union fold over each doc's
+  *    sorted hit positions — no position explode, no dedup exchange;
   *  - the classifier's train side is one treeAggregate pass per LBFGS
   *    iteration over hashed sparse vectors (feature dim 4096, fixed);
   *    scoring is a row-local map — at real scale the model trains on
@@ -92,11 +93,23 @@ object TrainingOps5 {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= BoilerDfMin)
         .select("g")
+      // masked token count = |union of [pos, pos+2] windows| per doc.
+      // The former explode(sequence)+distinct shuffled 3× the hit rows
+      // and paid a full dedup exchange; the interval-union instead
+      // folds row-locally over each doc's SORTED hit positions (the
+      // substring_dup_rate discipline): each window adds
+      // pos+2 − greatest(covered_end, pos−1) newly-covered tokens.
+      // One hit row per (doc, boiler-gram occurrence) reaches the
+      // doc-keyed collect; nothing explodes.
       val masked = grams.join(boiler, "g")
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + 2)).as("p"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("masked_tokens"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+        .select(col("doc_id"), expr(
+          """aggregate(ps,
+            |  struct(CAST(0 AS BIGINT) AS cov, CAST(-1 AS BIGINT) AS e),
+            |  (acc, p) -> struct(acc.cov + p + 2 - greatest(acc.e, p - 1),
+            |                     p + 2),
+            |  acc -> acc.cov)""".stripMargin).as("masked_tokens"))
       toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
         .join(masked, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
