@@ -18,17 +18,15 @@ res = {
     "metric": "scale_curve_full_registry",
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
-             "shared-box timings carry +/-50% noise, so x10 is the per-query MIN of two "
-             "full cold passes. Round-9: the FULL 265-query registry (round-8's 243 "
-             "plus the curation second-pass, MERGE, governance, and metrics tranches), "
-             "median 1.40, worst 9.45 (text_normalize) - every query sub-linear; the "
-             ">=5x tail is exactly the per-character map stages (normalize/winnow/WAV "
-             "codecs: the 10x remap carries ~16x characters, so per character they are "
-             "sub-linear too). All 22 round-9 additions land <=2.1 "
-             "(dq_check_report/unigram_tv_drift/twap_user/eval_ndcg_at_k etc; the "
-             "eval_* trio rides a fixed 16-query sample, 1.14-1.26). The former "
-             "quadratics (dedup_embedding_near, hard_negatives) hold at 1.7-2.1 under "
-             "the blocked EmbeddingNeighbors kernel."),    "n_queries": len(out),
+             "shared-box timings carry +/-50% noise, so each factor is the per-query MIN of "
+             "two full cold passes. Round-10: the FULL 272-query registry (round-9's 265 "
+             "plus the ann_eval index-grading family, its three recall dials, and "
+             "bitext_margin_topk), median 1.41, worst 4.01 (media_resize_dims, PNG-deflate "
+             "byte volume - same worst row as round 9; every query sub-linear). The round-10 "
+             "rewrites hold their wins at 10x: boilerplate_mask 2.33 ratio, gram_novelty "
+             "1.57, novelty_by_source 2.29, sparse_cosine_topk 2.65 - all pair/census "
+             "volume, no plan regressions. The eval/dial family rides fixed probe "
+             "footprints (ann_eval/dials 1.18-1.60, bitext 1.65)."),    "n_queries": len(out),
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
     "queries": out,
