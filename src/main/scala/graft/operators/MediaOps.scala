@@ -207,8 +207,90 @@ object MediaOps {
         .reduce(_ + _)
       withBytes.select(col("media_id"), phash.as("phash"))
         .orderBy("media_id")
+    }),
+
+    // Image near-dup via banded perceptual-hash join — the multimodal
+    // twin of the SimHash/MinHash text dedup: a 63-bit gradient hash
+    // per image, split into four 16-bit LSH bands; images sharing ANY
+    // band become candidates, and an exact hamming verify (≤
+    // [[PhashHammingMax]]) confirms. Candidate volume is banded —
+    // Σ per-bucket pairs over 2¹⁶-value band spaces, never N²/2 — and
+    // the verify is a row-local xor/bit_count over four band values.
+    // The "luma" bytes are CONTENT-derived and locality-sensitive —
+    // the lengths of the payload's first 64 tokens (the decode stub
+    // contract: a real pipeline swaps in downsampled image luma; the
+    // gradient-hash → banding → verify plumbing is the real part, and
+    // the oracle recomputes the same bytes in SQL). Near-duplicate
+    // payloads share most "luma" values, so their gradient hashes land
+    // within the hamming radius — exactly how a real pHash behaves —
+    // while unrelated payloads need ≥1 of 4 16-bit bands to collide.
+    "media_phash_neardup" -> ((s, d) => {
+      val hh = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          split(col("text"), " ", -1).as("tk"))
+      // try_element_at: past-the-end tokens read as luma 0 (ANSI
+      // element_at THROWS out of bounds; DuckDB's list index is
+      // NULL-past-end, mirrored by the same coalesce). The luma mixes
+      // token length WITH the token's last character: a length-only
+      // feature makes any uniformly-token-edited copy (e.g. the scale
+      // sweep's suffixed replicas) a bit-exact clone, collapsing the
+      // whole corpus into a few giant buckets — content in the byte
+      // keeps unrelated docs decorrelated while single-token edits
+      // still move only one byte (≤2 gradient bits).
+      val bytes = (0 to 63).map { i =>
+        val t = s"try_element_at(tk, ${i + 1})"
+        coalesce(
+          (length(expr(t)) * lit(131L)) + expr(s"ascii(right($t, 1))"),
+          lit(0L)).cast("long")
+      }
+      val bit = (0 to 62).map(i =>
+        when(bytes(i) > bytes(i + 1), lit(1L)).otherwise(lit(0L)))
+      val bands = (0 to 3).map { j =>
+        val hi = math.min(j * 16 + 15, 62)
+        (j * 16 to hi).map(i => bit(i) * lit(1L << (i - j * 16)))
+          .reduce(_ + _).as(s"band$j")
+      }
+      val sig = hh.select(col("media_id") +: bands: _*).localCheckpoint(true)
+      val ex0 = sig.select(col("media_id"),
+        posexplode(array((0 to 3).map(j => col(s"band$j")): _*))
+          .as(Seq("j", "bv")))
+      // stop-band cap (the HotGramDfCap pattern): a band value shared
+      // by more than [[PhashBandCap]] images pairs quadratically in
+      // its bucket — drop it BEFORE the join, bounding candidates at
+      // cap × rows. A bucket that hot is a degenerate feature (blank
+      // frames, boilerplate thumbnails), not near-dup evidence; cap ≫
+      // every bucket at the test scales, so oracles are unchanged.
+      val hot = ex0.groupBy("j", "bv").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= PhashBandCap).select("j", "bv")
+      val ex = ex0.join(hot, Seq("j", "bv"), "left_semi")
+      val cands = ex.as("x").join(ex.as("y"),
+          col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"))
+        .distinct()
+      val va = (0 to 3).map(j => col(s"band$j").as(s"a$j"))
+      val vb = (0 to 3).map(j => col(s"band$j").as(s"b$j"))
+      cands
+        .join(sig.select(col("media_id").as("ma") +: va: _*), "ma")
+        .join(sig.select(col("media_id").as("mb") +: vb: _*), "mb")
+        .withColumn("hamming", (0 to 3).map(j =>
+          expr(s"bit_count(a$j ^ b$j)").cast("long")).reduce(_ + _))
+        .filter(col("hamming") <= PhashHammingMax)
+        .select(col("ma").as("media_id_a"), col("mb").as("media_id_b"),
+          col("hamming"))
+        .orderBy("media_id_a", "media_id_b")
     })
   )
+
+  /** Near-dup hamming radius. 4 bands guarantee every pair at hamming
+    * ≤ 3 shares a band (pigeonhole: 3 differing bits can spoil at most
+    * 3 of 4 bands) — the banding is exact at this radius, not just a
+    * recall heuristic. */
+  val PhashHammingMax = 3L
+
+  /** Per-(band, value) bucket cap for the near-dup join; buckets past
+    * it are dropped before pairing (see the query's scaladoc). */
+  val PhashBandCap = 1000L
 
   val oracles: Map[String, String] = Map(
     // decode parity: the PNG GENERATOR's dims derive from md5(text);
@@ -296,6 +378,43 @@ object MediaOps {
          |  FROM m)
          |SELECT media_id, CAST($bits AS BIGINT) AS phash
          |FROM bb ORDER BY media_id""".stripMargin
+    },
+
+    "media_phash_neardup" -> {
+      val byteDefs = (0 to 63).map(i =>
+        s"coalesce(len(tk[${i + 1}]) * 131 + ascii(right(tk[${i + 1}], 1)), 0) AS b$i")
+        .mkString(",\n  ")
+      val bandDefs = (0 to 3).map { j =>
+        val hi = math.min(j * 16 + 15, 62)
+        (j * 16 to hi).map(i =>
+          s"(CASE WHEN b$i > b${i + 1} THEN ${1L << (i - j * 16)} ELSE 0 END)")
+          .mkString(" + ") + s" AS band$j"
+      }.mkString(",\n  ")
+      val ex = (0 to 3).map(j =>
+        s"SELECT media_id, $j AS j, band$j AS bv FROM sg").mkString(" UNION ALL ")
+      val ham = (0 to 3).map(j =>
+        s"bit_count(xor(a.band$j, b.band$j))").mkString(" + ")
+      s"""WITH h AS (SELECT doc_id AS media_id,
+         |            string_split(text, ' ') AS tk FROM documents),
+         |bb AS (SELECT media_id,
+         |  $byteDefs
+         |  FROM h),
+         |sg AS (SELECT media_id,
+         |  $bandDefs
+         |  FROM bb),
+         |ex0 AS ($ex),
+         |hot AS (SELECT j, bv FROM ex0 GROUP BY j, bv HAVING count(*) <= 1000),
+         |ex AS (SELECT ex0.* FROM ex0 JOIN hot USING (j, bv)),
+         |cand AS (SELECT DISTINCT x.media_id AS ma, y.media_id AS mb
+         |         FROM ex x JOIN ex y
+         |           ON x.j = y.j AND x.bv = y.bv AND x.media_id < y.media_id),
+         |v AS (SELECT ma, mb, CAST($ham AS BIGINT) AS hamming
+         |      FROM cand
+         |      JOIN sg a ON a.media_id = ma
+         |      JOIN sg b ON b.media_id = mb)
+         |SELECT ma AS media_id_a, mb AS media_id_b, hamming
+         |FROM v WHERE hamming <= 3
+         |ORDER BY media_id_a, media_id_b""".stripMargin
     }
   )
 }

@@ -50,6 +50,32 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("phash near-dup: JVM brute-force parity on the sf corpus; edits within radius pair up") {
+    // brute-force the whole pipeline: token-length "luma" bytes,
+    // 63-bit gradient hash, exact hamming <= 3 — the banded query must
+    // return EXACTLY the brute pair set (banding is exact at radius 3:
+    // 3 differing bits can spoil at most 3 of 4 bands)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bits(t: String): Seq[Long] = {
+      // token luma = len*131 + last char (the query's formula); the
+      // band cap is inert at spec scale (every bucket ≪ 1000)
+      val lums = t.split(" ", -1)
+        .map(w => if (w.isEmpty) 0L else w.length.toLong * 131L + w.last.toLong)
+        .padTo(64, 0L).take(64)
+      (0 to 62).map(i => if (lums(i) > lums(i + 1)) 1L else 0L)
+    }
+    val hs = docs.map { case (id, t) => id -> bits(t) }.toMap
+    val expect = (for {
+      (a, ba) <- hs.toSeq; (b, bb) <- hs.toSeq if a < b
+      h = ba.zip(bb).count { case (x, y) => x != y } if h <= 3
+    } yield (a, b, h.toLong)).sortBy(p => (p._1, p._2))
+    val got = MediaOps.queries("media_phash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"banded join diverged from brute hamming: got " +
+      s"${got.size} pairs, want ${expect.size}")
+  }
+
   test("decode handles malformed payloads without failing the stage") {
     import spark.implicits._
     val bad = Seq(
