@@ -225,4 +225,89 @@ class StreamRestartSpec extends SparkSpec {
     // failure mode is actually distinguishable
     assert(s2.n != b2.size, "test vectors degenerate: n would not detect state loss")
   } }
+
+  test("novelty: the gram first-seen registry survives restart — post-crash repeat is stale") { withRocksDb {
+    implicit val ss = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import NoveltyStream.{GramObs, GramVerdict}
+
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[GramVerdict]()
+    val input = MemoryStream[GramObs]
+    val dir = ckpt("restart_novelty")
+    def start() = NoveltyStream.novelty(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[GramVerdict], _: Long) =>
+        df.collect().foreach(out.add); ()
+      }
+      .option("checkpointLocation", dir)
+      .start()
+
+    val q1 = start()
+    input.addData(Seq(GramObs(1L, 100L), GramObs(1L, 200L)))
+    q1.processAllAvailable()
+    q1.stop()
+    // gram 100 repeats after the crash: the recovered registry must
+    // verdict it stale; gram 300 is genuinely new
+    val q2 = start()
+    input.addData(Seq(GramObs(2L, 100L), GramObs(2L, 300L)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = out.asScala.toSeq.sortBy(v => (v.doc_id, v.gh))
+    assert(got == Seq(
+      GramVerdict(1L, 100L, novel = true), GramVerdict(1L, 200L, novel = true),
+      GramVerdict(2L, 100L, novel = false), GramVerdict(2L, 300L, novel = true)),
+      s"first-seen registry must survive the restart: $got")
+  } }
+
+  test("weighted reservoir: the k-sample merges across restart, not from scratch") { withRocksDb {
+    implicit val ss = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import WeightedSampleStream.Reservoir
+
+    val k = 2
+    val texts = (1L to 5L).map(i => (i, s"doc number $i body", 20L + i))
+    // ground truth priorities from the SAME deterministic batch kernel
+    val pri = graft.operators.SelectionOps.withPriority(
+        texts.toDF("doc_id", "text", "n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def topK(ids: Seq[Long]) =
+      ids.sortBy(id => (pri(id), id)).take(k)
+    val expectAll = topK(texts.map(_._1))
+    // the failure mode must be distinguishable: a from-scratch batch-2
+    // reservoir differs from the merged one
+    assert(expectAll != topK(Seq(4L, 5L)),
+      s"degenerate vectors: batch-2 docs alone already form the top-$k")
+
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val input = MemoryStream[(Long, String, Long)]
+    val dir = ckpt("restart_reservoir")
+    def start() = WeightedSampleStream.reservoir(
+        input.toDF().toDF("doc_id", "text", "n_chars"), k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Reservoir], _: Long) =>
+        df.collect().foreach(r => snaps.add(r.entries.map(_.doc_id))); ()
+      }
+      .option("checkpointLocation", dir)
+      .start()
+
+    val q1 = start()
+    input.addData(texts.take(3).map(t => (t._1, t._2, t._3)))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    input.addData(texts.drop(3).map(t => (t._1, t._2, t._3)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val all = snaps.asScala.toSeq
+    assert(all.head == topK(Seq(1L, 2L, 3L)),
+      s"pre-crash snapshot wrong: ${all.head}")
+    assert(all.last == expectAll,
+      s"post-restart reservoir must merge recovered state: ${all.last} want $expectAll")
+  } }
 }
