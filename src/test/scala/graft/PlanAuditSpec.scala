@@ -115,6 +115,14 @@ class PlanAuditSpec extends SparkSpec {
       s"bitext margin joins must stay hash-equi on vec_id/cand:\n$plan")
   }
 
+  test("phash near-dup stays banded: equi-join on (band, value), no cartesian") {
+    val plan = finalPlan("media_phash_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"phash candidates must come from the banded equi-join:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the stop-band cap must prune hot buckets before pairing:\n$plan")
+  }
+
   test("relational tranche is cartesian-free") {
     // every oracle-checked relational query must join on keys; a plan
     // regression to a cross product would still pass correctness at
