@@ -68,11 +68,14 @@ object EmbeddingNeighbors {
     val src =
       if (crossLabelOnly) emb.filter(col("label").isNotNull)
       else emb
-    val lab =
-      if (crossLabelOnly) src.select(col("vec_id"), col("label").cast("int").as("label"))
-      else src.select(col("vec_id"), lit(0).as("label"))
-    val q = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
-      .join(lab, "vec_id")
+    // label rides the tile only in cross mode; the default path takes a
+    // constant column instead of joining the input against its own
+    // projection
+    val q0 = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
+    val q =
+      if (crossLabelOnly)
+        q0.join(src.select(col("vec_id"), col("label").cast("int").as("label")), "vec_id")
+      else q0.withColumn("label", lit(0))
     val blocks =
       if (numBlocks > 0) numBlocks
       // count the bare input, not q: the vec_id join is 1:1, so this is
@@ -199,11 +202,14 @@ object EmbeddingNeighbors {
     val src =
       if (crossLabelOnly) emb.filter(col("label").isNotNull)
       else emb
-    val lab =
-      if (crossLabelOnly) src.select(col("vec_id"), col("label").cast("int").as("label"))
-      else src.select(col("vec_id"), lit(0).as("label"))
-    val q = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
-      .join(lab, "vec_id")
+    // label rides the tile only in cross mode; the default path takes a
+    // constant column instead of joining the input against its own
+    // projection
+    val q0 = DedupOps.quantized(src.select(col("vec_id"), col("embedding")))
+    val q =
+      if (crossLabelOnly)
+        q0.join(src.select(col("vec_id"), col("label").cast("int").as("label")), "vec_id")
+      else q0.withColumn("label", lit(0))
     val blocks =
       if (numBlocks > 0) numBlocks
       else math.max(DefaultBlocks, (src.select(col("vec_id")).count() / TargetPerTile).toInt + 1)
