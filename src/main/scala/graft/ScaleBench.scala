@@ -56,6 +56,7 @@ object ScaleBench {
     // full headline set
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // a blank knob means "full set", not "measure nothing"
     val queries = only.getOrElse(Queries)
     val outFile = if (only.isDefined) "BENCH_SCALE_ONLY.json" else "BENCH_SCALE.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -179,8 +179,11 @@ object AnnIndex {
       readCached(spark, s"$path/sigs")
     }
 
-  /** Builds every index for `dir` (bench warm-up hook: production
-    * builds indexes at ingest, so probes measure the probe). */
+  /** Builds every index a REGISTERED query probes (bench warm-up hook:
+    * production builds indexes at ingest, so probes measure the
+    * probe). SRP tables 2-3 stay lazy — no registered query reads
+    * them; an ad-hoc `lshTopK(tables = 3)` measurement must warm
+    * `srpTable(_, _, 2/3)` itself or its first run times the build. */
   def ensureAll(spark: SparkSession, dir: String): Unit = {
     srp(spark, dir); srpTable(spark, dir, 1); ivf(spark, dir)
   }

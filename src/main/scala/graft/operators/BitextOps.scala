@@ -79,14 +79,13 @@ object BitextOps {
       .localCheckpoint(true) // two margin joins + the best leg read it
     def rankSim(r: Int) = max(when(col("rn") === r, col("sim")))
     val halfAvg = g.groupBy("vec_id")
-      .agg(rankSim(1).as("s1"), rankSim(2).as("s2"),
-        rankSim(3).as("s3"), rankSim(4).as("s4"),
-        count(lit(1)).as("nk"))
+      .agg(rankSim(1).as("s1"),
+        (2 to MarginK).map(r => rankSim(r).as(s"s$r")) :+ count(lit(1)).as("nk"): _*)
       .filter(col("nk") === MarginK)
       // half the k-average: margin = sim / (hd_x + hd_y); explicit
       // left-associated sum order, mirrored verbatim in the oracle
       .select(col("vec_id"),
-        ((((col("s1") + col("s2")) + col("s3")) + col("s4"))
+        ((1 to MarginK).map(r => col(s"s$r")).reduce(_ + _)
           / lit((2 * MarginK).toDouble)).as("hd"))
     val hx = halfAvg.select(col("vec_id"), col("hd").as("hd_x"))
     val hy = halfAvg.select(col("vec_id").as("cand"), col("hd").as("hd_y"))
@@ -104,9 +103,15 @@ object BitextOps {
     "bitext_margin_topk" -> ((s, d) => marginTopK(s, d))
   )
 
+  /** Left-associated rank-ordered sum of the top-[[MarginK]] sims —
+    * the same association tree the Spark reduce builds. */
+  private val OracleRankSum = (1 to MarginK)
+    .map(r => s"max(CASE WHEN rn = $r THEN sim END)")
+    .reduce((a, b) => s"($a\n                 + $b)")
+
   val oracles: Map[String, String] = Map(
     "bitext_margin_topk" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id,
         |         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS side,
         |         generate_subscripts(embedding, 1) AS i,
@@ -128,13 +133,10 @@ object BitextOps {
         |                                 ORDER BY sim DESC, vb) AS rn
         |       FROM sims),
         |hd AS (SELECT va,
-        |              (((max(CASE WHEN rn = 1 THEN sim END)
-        |                 + max(CASE WHEN rn = 2 THEN sim END))
-        |                 + max(CASE WHEN rn = 3 THEN sim END))
-        |                 + max(CASE WHEN rn = 4 THEN sim END))
-        |                / CAST(8 AS DOUBLE) AS hd
-        |       FROM rk WHERE rn <= 4 GROUP BY va
-        |       HAVING count(*) = 4)
+        |              $OracleRankSum
+        |                / CAST(${2 * MarginK} AS DOUBLE) AS hd
+        |       FROM rk WHERE rn <= $MarginK GROUP BY va
+        |       HAVING count(*) = $MarginK)
         |SELECT b.va AS vec_id, b.vb AS cand, b.sim AS sim,
         |       b.sim / (ha.hd + hb.hd) AS margin
         |FROM rk b
@@ -143,6 +145,6 @@ object BitextOps {
         |JOIN norms nv ON nv.vec_id = b.va
         |WHERE b.rn = 1 AND nv.side = 0
         |ORDER BY margin DESC, vec_id
-        |LIMIT 25""".stripMargin
+        |LIMIT $TopPairs""".stripMargin
   )
 }

@@ -260,9 +260,9 @@ object MediaOps {
       // cap × rows. A bucket that hot is a degenerate feature (blank
       // frames, boilerplate thumbnails), not near-dup evidence; cap ≫
       // every bucket at the test scales, so oracles are unchanged.
-      val hot = ex0.groupBy("j", "bv").agg(count(lit(1)).as("bn"))
+      val kept = ex0.groupBy("j", "bv").agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= PhashBandCap).select("j", "bv")
-      val ex = ex0.join(hot, Seq("j", "bv"), "left_semi")
+      val ex = ex0.join(kept, Seq("j", "bv"), "left_semi")
       val cands = ex.as("x").join(ex.as("y"),
           col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
             col("x.media_id") < col("y.media_id"))
@@ -403,8 +403,9 @@ object MediaOps {
          |  $bandDefs
          |  FROM bb),
          |ex0 AS ($ex),
-         |hot AS (SELECT j, bv FROM ex0 GROUP BY j, bv HAVING count(*) <= 1000),
-         |ex AS (SELECT ex0.* FROM ex0 JOIN hot USING (j, bv)),
+         |kept AS (SELECT j, bv FROM ex0 GROUP BY j, bv
+         |         HAVING count(*) <= $PhashBandCap),
+         |ex AS (SELECT ex0.* FROM ex0 JOIN kept USING (j, bv)),
          |cand AS (SELECT DISTINCT x.media_id AS ma, y.media_id AS mb
          |         FROM ex x JOIN ex y
          |           ON x.j = y.j AND x.bv = y.bv AND x.media_id < y.media_id),
@@ -413,7 +414,7 @@ object MediaOps {
          |      JOIN sg a ON a.media_id = ma
          |      JOIN sg b ON b.media_id = mb)
          |SELECT ma AS media_id_a, mb AS media_id_b, hamming
-         |FROM v WHERE hamming <= 3
+         |FROM v WHERE hamming <= $PhashHammingMax
          |ORDER BY media_id_a, media_id_b""".stripMargin
     }
   )

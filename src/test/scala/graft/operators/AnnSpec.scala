@@ -60,6 +60,10 @@ class AnnSpec extends SparkSpec {
   // over the full code scan > IVF nprobe=2 > SRP-16 hamming≤2, which
   // trades recall for a 0.2%-of-corpus probe footprint).
 
+  private def recalls(name: String): Map[Long, Double] =
+    AnnEval.queries(name)(spark, sf).select("qid", "recall")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
   private def pinEval(name: String, topK: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
     val graded = AnnEval.queries(name)(spark, sf).collect()
     assert(graded.length == 16, s"$name must emit all 16 query rows")
@@ -92,9 +96,6 @@ class AnnSpec extends SparkSpec {
   test("LSH recall dials are monotone: wider probe radius and a second table only add recall") {
     pinEval("ann_eval_lsh_r3", (s, d) => AnnEval.lshTopK(s, d, radius = 3))
     pinEval("ann_eval_lsh_2t", (s, d) => AnnEval.lshTopK(s, d, tables = 2))
-    def recalls(name: String): Map[Long, Double] =
-      AnnEval.queries(name)(spark, sf).select("qid", "recall")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val base = recalls("ann_eval_lsh")
     val r3 = recalls("ann_eval_lsh_r3")
     val t2 = recalls("ann_eval_lsh_2t")
@@ -122,9 +123,6 @@ class AnnSpec extends SparkSpec {
 
   test("IVF nprobe dial is monotone: 4 probed lists never lose recall vs 2") {
     pinEval("ann_eval_ivf_np4", (s, d) => AnnEval.ivfTopK(s, d, nprobe = 4))
-    def recalls(name: String): Map[Long, Double] =
-      AnnEval.queries(name)(spark, sf).select("qid", "recall")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val np2 = recalls("ann_eval_ivf")
     val np4 = recalls("ann_eval_ivf_np4")
     np2.foreach { case (qid, r) =>
