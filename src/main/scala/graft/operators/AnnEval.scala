@@ -213,6 +213,10 @@ object AnnEval {
     // recall is monotone ≥ the base index (AnnSpec asserts it).
     "ann_eval_lsh_r3" -> ((s, d) => grade(s, d, lshTopK(s, d, radius = 3))),
     "ann_eval_lsh_2t" -> ((s, d) => grade(s, d, lshTopK(s, d, tables = 2))),
+    // both dials together — the grid corner; recall ≥ either single
+    // dial per query (superset argument, AnnSpec-pinned)
+    "ann_eval_lsh_r3_2t" -> ((s, d) =>
+      grade(s, d, lshTopK(s, d, radius = 3, tables = 2))),
     "ann_eval_ivf" -> ((s, d) => grade(s, d, ivfTopK(s, d))),
     // IVF's own recall dial: double the probed inverted lists
     "ann_eval_ivf_np4" -> ((s, d) => grade(s, d, ivfTopK(s, d, nprobe = 4))),

@@ -112,6 +112,15 @@ class AnnSpec extends SparkSpec {
       s"radius 3 bought no recall: ${r3.values.sum} vs ${base.values.sum}")
     assert(t2.values.sum > base.values.sum,
       s"second table bought no recall: ${t2.values.sum} vs ${base.values.sum}")
+    // the grid corner dominates BOTH single dials per query (its
+    // candidate set is the union of theirs and more)
+    pinEval("ann_eval_lsh_r3_2t", (s, d) =>
+      AnnEval.lshTopK(s, d, radius = 3, tables = 2))
+    val corner = recalls("ann_eval_lsh_r3_2t")
+    base.keys.foreach { qid =>
+      assert(corner(qid) >= r3(qid) && corner(qid) >= t2(qid),
+        s"grid corner lost recall on qid $qid: ${corner(qid)} vs r3 ${r3(qid)} / 2t ${t2(qid)}")
+    }
   }
 
   test("ann_eval_ivf: grading pinned; nprobe=2 recall floor holds") {
