@@ -66,9 +66,11 @@ object AnalyticsOps5 {
     // exactly, whereas a 17-significant-digit decimal survives some
     // (pyarrow Decimal) and not others (float64 coercion) — decimal
     // never escapes an operator's output schema (RegistrySchemaSpec).
-    // Spark casts an overflowing decimal→long to null (non-ANSI), so a
-    // per-user numerator past 2^63 cents surfaces as a null cell, not
-    // a silently wrong one.
+    // This session runs Spark 4's default ANSI mode (nothing disables
+    // it), so an overflowing decimal→long cast THROWS — a per-user
+    // numerator past 2^63 cents fails the query loudly rather than
+    // surfacing a wrong (or null) cell. Same posture as the
+    // GovernanceOps TV aggregate.
     seg.groupBy("user_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("v") * col("dur")).cast("decimal(38,2)").as("num_dec"),

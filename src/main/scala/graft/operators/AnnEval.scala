@@ -51,11 +51,17 @@ object AnnEval {
   import RetrievalOps2.{K, NQueries}
 
   /** The fixed query sample's ids — a 16-row driver probe (bounded,
-    * same order as RetrievalOps2's sample). */
+    * same order as RetrievalOps2's sample). Cached per corpus dir:
+    * every index builder AND grade() needs the sample, so one registry
+    * pass over the eval family would otherwise rerun the identical
+    * pruned scan ~2× per graded query (the sample is a pure function
+    * of the dir's contents, which the sandbox never mutates mid-run). */
+  private val qidCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
   private def queryIds(s: SparkSession, d: String): Seq[Long] =
-    Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
-      .select("vec_id").orderBy("vec_id").limit(NQueries)
-      .collect().map(_.getLong(0)).toSeq
+    qidCache.getOrElseUpdate(d,
+      Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+        .select("vec_id").orderBy("vec_id").limit(NQueries)
+        .collect().map(_.getLong(0)).toSeq)
 
   /** Query vectors as doubles: (qid, qv) — broadcast side of every
     * fine rerank. */
@@ -129,12 +135,16 @@ object AnnEval {
         Window.partitionBy("qid").orderBy(col("csim").desc, col("label"))))
       .filter(col("cr") <= nprobe)
       .select(col("qid"), col("label"))
-      .collect().map(r => (r.getLong(0), r.get(1)))
+      .collect().filter(!_.isNullAt(1)) // null cells route nowhere (r7 guard)
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
     val cells = probed.map(_._2).distinct.toSeq
-    val probeDf = probed.toSeq.map { case (q, l) => (q, String.valueOf(l)) }
-      .toDF("qid", "plabel")
+    // numeric routing join — a stringified label (the previous form)
+    // silently drops any cell whose JVM rendering differs from Spark's
+    // cast; the isin stays on the raw partition column so pruning is
+    // untouched, and only the broadcast join condition up-casts
+    val probeDf = probed.toSeq.toDF("qid", "plabel")
     val cands = lists.filter(col("label").isin(cells: _*))
-      .join(broadcast(probeDf), col("label").cast("string") === col("plabel"))
+      .join(broadcast(probeDf), col("label").cast("long") === col("plabel"))
       .select(col("qid"), col("vec_id"), col("v"))
     cosineRerank(cands, qvecs)
   }
@@ -143,27 +153,15 @@ object AnnEval {
     * ADC table widened to (qid, m, code) — 2048 broadcast rows — then
     * per-query approx-top-100 and exact rerank. */
   def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val M = 4; val sub = 16; val k = 32
     val qids = queryIds(s, d)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val subExpr = s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $sub + 1, $sub) AS sv))"
-    val anchors = emb
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
-      .limit(k)
-      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
-      .select(col("code"), explode(expr(subExpr)).as("a"))
-      .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
-    val dist = "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
-    val codes = emb
-      .select(col("vec_id"), explode(expr(subExpr)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-      .join(broadcast(anchors), "m")
-      .withColumn("d2", expr(dist))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+    // the SAME codebook + encode as ann_pq — one shared definition
+    // (SimilarityOps2.pqAnchorsCodes), so this grades exactly the
+    // deployed index, not a copy that can drift
+    val (anchors, codes) = SimilarityOps2.pqAnchorsCodes(emb)
     val qsub = emb.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"), explode(expr(subExpr)).as("s"))
+      .select(col("vec_id").as("qid"), explode(expr(SimilarityOps2.pqSubExpr)).as("s"))
       .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qsv"))
     val qd = anchors.join(qsub, "m")
       .withColumn("qdot", expr(

@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   * the second join broadcasts.
   */
 object SimilarityOps2 {
+
+  /** PQ operating point + codebook/encode shared by `ann_pq` and its
+    * eval twin ([[AnnEval.pqTopK]]): the eval grades EXACTLY the
+    * deployed index because both sides build from this one
+    * definition — a drifted copy here was the failure mode a review
+    * flagged. `emb` must carry (vec_id, v: array<double>). */
+  val PqM = 4; val PqSub = 16; val PqK = 32
+  def pqSubExpr: String =
+    s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(v, m * $PqSub + 1, $PqSub) AS sv))"
+  private val PqDist =
+    "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
+  /** (anchors: (code, m, av), codes: (vec_id, m, code)) — codes cover
+    * EVERY input vector; callers exclude their query ids themselves. */
+  def pqAnchorsCodes(emb: DataFrame): (DataFrame, DataFrame) = {
+    val anchors = emb
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
+      .limit(PqK)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("code"), explode(expr(pqSubExpr)).as("a"))
+      .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
+    val codes = emb
+      .select(col("vec_id"), explode(expr(pqSubExpr)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      .join(broadcast(anchors), "m")
+      .withColumn("d2", expr(PqDist))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+    (anchors, codes)
+  }
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -73,31 +102,16 @@ object SimilarityOps2 {
     // cluster-wide like the SRP planes). Rows-only (double math);
     // recall-vs-exact pinned in AnnSpec.
     "ann_pq" -> ((s, d) => {
-      val M = 4; val sub = 16; val k = 32
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val subExpr = s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(v, m * $sub + 1, $sub) AS sv))"
-      // codebook: k anchors per subspace, sampled by content-hash order
-      val anchors = emb
-        .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
-        .limit(k)
-        .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
-        .select(col("code"), explode(expr(subExpr)).as("a"))
-        .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
-      // encode: nearest anchor per (vector, subspace) — corpus stays a
-      // map stage against the broadcast 64-row codebook
-      val dist = "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
-      val codes = emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), explode(expr(subExpr)).as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-        .join(broadcast(anchors), "m")
-        .withColumn("d2", expr(dist))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      // shared codebook + encode (see pqAnchorsCodes); the query
+      // vector's own code rows drop out here
+      val (anchors, allCodes) = pqAnchorsCodes(emb)
+      val codes = allCodes.filter(col("vec_id") =!= 0)
       // query-side asymmetric distance table: dot(q_m, anchor) per
       // (m, code) — M*k entries, broadcast to score codes directly
       val qsub = emb.filter(col("vec_id") === 0)
-        .select(explode(expr(subExpr)).as("s"))
+        .select(explode(expr(pqSubExpr)).as("s"))
         .select(col("s.m").as("m"), col("s.sv").as("qv"))
       val qd = anchors.join(qsub, "m")
         .withColumn("qdot", expr(

@@ -14,4 +14,24 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
+
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * previous provider after — ONE definition for every streaming
+    * suite, so a provider-conf change (changelog checkpointing, state
+    * schema knobs) lands everywhere at once. */
+  def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Fresh checkpoint dir for a streaming test. */
+  def ckpt(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 }

@@ -13,18 +13,6 @@ class AnomalyStreamSpec extends SparkSpec {
 
   /** transformWithState needs the multi-column-family (RocksDB) state
     * store; restore the previous provider afterwards. */
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("stream verdicts == batch ewma_anomaly on closed minutes (3 batches)") { withRocksDb {
     implicit val sparkSession = spark
     import spark.implicits._

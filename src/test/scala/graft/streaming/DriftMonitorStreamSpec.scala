@@ -9,18 +9,6 @@ import org.apache.spark.sql.functions._
   * must clear per-minute state on emission. */
 class DriftMonitorStreamSpec extends SparkSpec {
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Spread the sf docs over `nMinutes` event-time minutes by doc_id. */
   private def timestamped(nMinutes: Int): Seq[(java.sql.Timestamp, String)] =
     Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
@@ -152,11 +140,15 @@ class DriftMonitorStreamSpec extends SparkSpec {
     val got =
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }
-        spark.table("drift_by_source").filter(col("minute_id") < 10)
+        val rows = spark.table("drift_by_source").filter(col("minute_id") < 10)
           .collect()
           .map(r => (r.getString(0), r.getLong(1)) ->
             ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
-          .toMap
+        // exactly-once is part of the contract: a double emission for
+        // one (source, minute) would vanish inside .toMap — count first
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"duplicate (source, minute) emissions: ${rows.map(_._1).toSeq}")
+        rows.toMap
       } finally q.stop()
 
     assert(!got.keySet.exists(_._1 == unpinned),

@@ -13,18 +13,6 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 class StateCardinalitySpec extends SparkSpec {
   private val keys = 50000
-  private val rocksKey = "spark.sql.streaming.stateStore.providerClass"
-
-  private def withRocksDb[T](body: => T): T = {
-    val prev = spark.conf.getOption(rocksKey)
-    spark.conf.set(rocksKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(rocksKey, v)
-      case None => spark.conf.unset(rocksKey)
-    }
-  }
 
   test("session gate at 50k keys: exactly one start per key, all state live (RocksDB)") {
     withRocksDb {

@@ -25,21 +25,6 @@ import java.sql.Timestamp
   */
 class StreamRestartSpec extends SparkSpec {
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
-  private def ckpt(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
   test("drift monitor: state AND timers survive restart; each minute closes exactly once") { withRocksDb {
     implicit val ss = spark
     import spark.implicits._
