@@ -23,23 +23,46 @@ object SimilarityOps2 {
     * eval twin ([[AnnEval.pqTopK]]): the eval grades EXACTLY the
     * deployed index because both sides build from this one
     * definition — a drifted copy here was the failure mode a review
-    * flagged. `emb` must carry (vec_id, v: array<double>). */
+    * flagged. `emb` must carry (vec_id, v: array<double>).
+    *
+    * Two operating points on the measured recall/footprint frontier
+    * (r11, graded by AnnEval against the exact quantized top-10):
+    *  - m=4 × 16-dim subspaces × 32 anchors — 4 B/vec codes, the
+    *    original memory-floor point (mean recall@10 ≈ 0.64/0.40 at
+    *    sf0.01/0.1);
+    *  - m=8 × 8-dim subspaces × 256 anchors (`PqM8`…) — the classic
+    *    8-bit-code PQ8 layout, 8 B/vec: finer subspace quantization
+    *    lifts mean recall@10 to ≈ 0.97/0.89 under the same top-100
+    *    rerank funnel, still a 32× compression of the 64×4 B floats.
+    *    Served at rest by [[AnnIndex.pq8]]; graded as `ann_eval_pq_m8`. */
   val PqM = 4; val PqSub = 16; val PqK = 32
-  def pqSubExpr: String =
-    s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(v, m * $PqSub + 1, $PqSub) AS sv))"
+  val PqM8 = 8; val PqSub8 = 8; val PqK8 = 256
+  def pqSubExpr: String = pqSubExprOf(PqM, PqSub)
+  def pqSubExprOf(m: Int, sub: Int): String =
+    s"transform(sequence(0, ${m - 1}), m -> struct(m AS m, slice(v, m * $sub + 1, $sub) AS sv))"
   private val PqDist =
     "aggregate(zip_with(sv, av, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)"
   /** (anchors: (code, m, av), codes: (vec_id, m, code)) — codes cover
     * EVERY input vector; callers exclude their query ids themselves. */
-  def pqAnchorsCodes(emb: DataFrame): (DataFrame, DataFrame) = {
+  def pqAnchorsCodes(emb: DataFrame): (DataFrame, DataFrame) =
+    pqAnchorsCodesOf(emb, PqM, PqSub, PqK)
+
+  /** Parameterized codebook build: anchors are the first `k` vectors
+    * by content hash (deterministic, reproducible cluster-wide — no
+    * RNG, no training job); each vector's per-subspace code is its
+    * nearest anchor subvector. At 100 TB the anchor sample is a
+    * constant-size head of one content-hash order — the same
+    * train-on-a-sample discipline every PQ deployment uses. */
+  def pqAnchorsCodesOf(emb: DataFrame, m: Int, sub: Int, k: Int): (DataFrame, DataFrame) = {
+    val subExpr = pqSubExprOf(m, sub)
     val anchors = emb
       .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
-      .limit(PqK)
+      .limit(k)
       .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
-      .select(col("code"), explode(expr(pqSubExpr)).as("a"))
+      .select(col("code"), explode(expr(subExpr)).as("a"))
       .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
     val codes = emb
-      .select(col("vec_id"), explode(expr(pqSubExpr)).as("s"))
+      .select(col("vec_id"), explode(expr(subExpr)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
       .join(broadcast(anchors), "m")
       .withColumn("d2", expr(PqDist))

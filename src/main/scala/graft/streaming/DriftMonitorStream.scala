@@ -102,7 +102,17 @@ object DriftMonitorStream {
     * `MapState[Long, Long]` (RocksDB point read-modify-writes per hash
     * touched in the batch), the running total in a `ValueState[Long]`.
     * At timer close the map is streamed once through the kernel and
-    * both states are CLEARED. */
+    * both states are CLEARED.
+    *
+    * CHECKPOINT COMPATIBILITY (r10 layout change): "counts" was a
+    * `ValueState[MinuteCounts]` before the MapState rewrite, and
+    * "total" did not exist. A query restarted from a pre-r10
+    * checkpoint fails state-schema validation rather than resume —
+    * restart such a pipeline from a fresh checkpoint directory (the
+    * monitors are windowed aggregators over a replayable source, so a
+    * fresh start re-derives state from the current minute onward; no
+    * long-lived checkpoints predate the rewrite in any supported
+    * deployment of this repo). */
   private[streaming] trait MinuteVocabState {
     protected def handle: StatefulProcessorHandle
     @transient protected var counts: MapState[Long, Long] = _

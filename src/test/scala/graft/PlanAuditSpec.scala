@@ -93,10 +93,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(ivf.contains("PartitionFilters: [label"),
       s"ann_eval_ivf scans every inverted list:\n$ivf")
     assert(!ivf.contains("CartesianProduct"))
-    for (q <- Seq("ann_eval_lsh", "ann_eval_ivf", "ann_eval_pq")) {
+    for (q <- Seq("ann_eval_lsh", "ann_eval_ivf", "ann_eval_pq", "ann_eval_pq_m8")) {
       val plan = finalPlan(q)
-      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-        s"$q: probe/query joins must broadcast:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: probe/query joins must broadcast-hash:\n$plan")
+      // the ONLY nested-loop broadcast allowed is the exact leg's
+      // 16-query fanout (rankedTopK's crossJoin against the broadcast
+      // query sample — a keyless fanout that CANNOT be a hash join);
+      // a probe-side equi-join degrading from BroadcastHashJoin to
+      // BroadcastNestedLoopJoin would add a second occurrence and fail.
+      // Count in the FINAL plan only — AQE's tree string appends an
+      // "== Initial Plan ==" section that duplicates every node.
+      val finalOnly = plan.split("== Initial Plan ==").head
+      val bnlj = finalOnly.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+      assert(bnlj <= 1,
+        s"$q: a probe join degraded to BroadcastNestedLoopJoin ($bnlj found):\n$plan")
     }
   }
 

@@ -146,6 +146,18 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.4, s"PQ mean recall@10 collapsed: $mean")
   }
 
+  test("ann_eval_pq_m8: the shipping operating point holds mean recall@10 >= 0.8") {
+    pinEval("ann_eval_pq_m8", AnnEval.pqTopK8)
+    val mean = AnnEval.queries("ann_eval_pq_m8")(spark, sf)
+      .agg(avg("recall")).first().getDouble(0)
+    assert(mean >= 0.8, s"PQ8 mean recall@10 below the shipping floor: $mean")
+    // and the finer codebook must dominate the m=4 point on average —
+    // the reason this dial exists
+    val m4 = AnnEval.queries("ann_eval_pq")(spark, sf)
+      .agg(avg("recall")).first().getDouble(0)
+    assert(mean > m4, s"PQ8 ($mean) did not improve on PQ m=4 ($m4)")
+  }
+
   test("brute-force top-1 is the global argmax of quantized cosine") {
     val top = SimilarityOps.queries("ann_topk")(spark, sf).first()
     val all = DedupOps.quantized(Tables.embeddings(spark, sf))
