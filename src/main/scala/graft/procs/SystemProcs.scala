@@ -56,6 +56,40 @@ object SystemProcs {
       import s.implicits._
       prof.toDF("procedure", "invocations", "p50_us", "p95_us", "max_us")
         .orderBy("procedure")
+    }),
+
+    // rows-only: the dashboard WARM-path contract as a continuously
+    // graded row. The reference dashboard polls these five procedures
+    // every second (web/js/voltdb-dashboard.js:50-75); the serving
+    // design computes each key once (Spark job over the cached view
+    // tier) and answers repeats from the driver result cache. This row
+    // cold-primes each procedure, then times 100 warm calls — ~100 s
+    // of 1 Hz polling — and reports p50/p99/max micros per procedure.
+    // SystemProcsSpec floors p99 < 1 s (the 1 Hz budget) and pins that
+    // the warm calls actually hit the cache, not Spark.
+    "proc_warm_latency" -> ((s, d) => {
+      val srv = new graft.server.QueryServer(s, d)
+      val rows =
+        try {
+          val calls = Seq(
+            "GetTopUsers" -> Seq("60", "10"),
+            "GetTopDests" -> Seq("60", "10"),
+            "GetTopSources" -> Seq("10"),
+            "GetTopSrcDests" -> Seq("10"),
+            "GetEventsByCluster" -> Seq("60"))
+          calls.map { case (p, a) =>
+            srv.call(p, a) // cold prime: pays the one Spark job, installs the cache entry
+            val lat = Array.fill(100) {
+              val t0 = System.nanoTime(); srv.call(p, a); System.nanoTime() - t0
+            }.sorted
+            (p, lat.length.toLong, lat(lat.length / 2) / 1000,
+              lat(math.min(lat.length - 1, (0.99 * lat.length).toInt)) / 1000,
+              lat.last / 1000)
+          }
+        } finally srv.stop()
+      import s.implicits._
+      rows.toDF("procedure", "warm_calls", "p50_us", "p99_us", "max_us")
+        .orderBy("procedure")
     })
   )
 }
