@@ -33,7 +33,12 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * All three keep ALL K keys live at peak (nothing ages out inside the
   * run), so the reported state_rows/memory are the true at-cardinality
-  * figures. Counting goes through foreachBatch accumulators, not
+  * figures. A fourth leg (`session_gate_evict`) runs the SAME gate
+  * with its event-time eviction timers actually firing (batches 45 s
+  * apart, past the 30 s gap), pinning the steady-state regime: live
+  * state stays ~2 batches of keys no matter how many keys the run has
+  * processed — the reason session-gate state is workload-bounded, not
+  * history-bounded, at 100 TB. Counting goes through foreachBatch accumulators, not
   * memory sinks — at 10⁷ emitted rows a memory sink would itself
   * become the benchmark.
   *
@@ -56,7 +61,7 @@ object StateScaleBench {
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
     // leg subset for targeted reruns: csv of session,dedup,novelty,hh,drift
     val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS",
-        "session,dedup,novelty,hh,drift")
+        "session,session_evict,dedup,novelty,hh,drift")
       .split(",").map(_.trim).toSet
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STATE_OUT", "BENCH_STATE.json")
     val spark: SparkSession = SparkSession.builder()
@@ -139,6 +144,53 @@ object StateScaleBench {
       s"session gate must emit exactly 1 start per key: got ${emitted.get()} for $keys keys")
     sessQ.stop()
     s""""session_gate":{"events":$sessEvents,"sec":${f"$sessSec%.2f"},"events_per_sec":${(sessEvents / sessSec).round},$sessMetrics}"""
+    }
+
+    // ---- session gate with EVICTION ACTIVE (steady-state regime) ------
+    // Same operator, but batches advance event time 45 s apart, so the
+    // watermark overtakes every earlier batch's last+30 s eviction
+    // timer: by the time batch b processes, sessions from batches
+    // ≤ b−2 have been evicted by their event-time timers. Live state is
+    // WORKLOAD-bounded (≈ the last two batches' keys) instead of
+    // history-bounded — the regime a long-running 100 TB deployment
+    // actually sits in, where total keys processed grows without bound
+    // but live (src,dest) pairs inside the 30 s gap do not. Keys are
+    // fresh per batch, so parity is unchanged: exactly one session
+    // start per key must emit, eviction on or off.
+    val evictJson: Option[String] = if (!legs("session_evict")) None else Some {
+    def evictBatch(b: Int): Seq[SessionDedup.Ev] =
+      (0 until perBatch).flatMap { i =>
+        val key = b.toLong * perBatch + i
+        val t0 = base + b.toLong * 45000000L + (i % 1000) * 500L
+        Seq(SessionDedup.Ev(key * 2, key, "view", new java.sql.Timestamp(t0 / 1000), 1.0),
+          SessionDedup.Ev(key * 2 + 1, key, "view", new java.sql.Timestamp((t0 + 10000000L) / 1000), 1.0))
+      }
+    val emittedE = new AtomicLong
+    val evIn = MemoryStream[SessionDedup.Ev]
+    val evQ = SessionGateTws.dedup(evIn.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SessionDedup.Ev], _: Long) =>
+        emittedE.addAndGet(df.count()); ()
+      }
+      .option("checkpointLocation", ckpt("state_scale_sess_evict"))
+      .start()
+    evIn.addData(evictBatch(0)); evQ.processAllAvailable() // warm
+    val t0e = System.nanoTime()
+    (1 until BatchCount).foreach { b => evIn.addData(evictBatch(b)); evQ.processAllAvailable() }
+    val evSec = (System.nanoTime() - t0e) / 1e9
+    val evEvents = (BatchCount - 1).toLong * perBatch * 2
+    val evMetrics = stateMetrics(evQ)
+    assert(emittedE.get() == keys,
+      s"evicting session gate must still emit exactly 1 start per key: got ${emittedE.get()} for $keys keys")
+    val evLive = Option(evQ.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).headOption.map(_.numRowsTotal).getOrElse(-1L)
+    // the boundedness claim, asserted: live state after 10 batches is
+    // ~2·perBatch (watermark lags one batch), never the K of the
+    // no-eviction leg
+    assert(evLive <= 3L * perBatch,
+      s"eviction must bound live state to ~2 batches of keys: $evLive rows for $keys keys")
+    evQ.stop()
+    s""""session_gate_evict":{"events":$evEvents,"sec":${f"$evSec%.2f"},"events_per_sec":${(evEvents / evSec).round},"live_state_rows_at_end":$evLive,$evMetrics}"""
     }
 
     // ---- corpus dedup at K distinct contents -------------------------
@@ -346,7 +398,7 @@ object StateScaleBench {
     s""""drift_monitor":{"obs":$driftObs,"sec":${f"$driftSec%.2f"},"obs_per_sec":${(driftObs / driftSec).round},"sources":$nSources,$driftMetrics}"""
     }
 
-    (Seq(s""""keys":$keys""") ++ sessJson ++ dedupJson ++ novJson ++ hhJson ++ driftJson)
+    (Seq(s""""keys":$keys""") ++ sessJson ++ evictJson ++ dedupJson ++ novJson ++ hhJson ++ driftJson)
       .mkString("{", ",", "}")
   }
 }
