@@ -157,6 +157,42 @@ object SimilarityOps2 {
         .select("vec_id", "sim")
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // the PQ8 serving path: same ADC + top-100 rerank funnel as
+    // `ann_pq`, but probing the AT-REST m=8 × 256-anchor index
+    // ([[AnnIndex.pq8]]) — no per-query codebook build, 8 B/vec code
+    // scan, and the recall@10 ≥ 0.8 operating point the eval family
+    // grades as `ann_eval_pq_m8`. Rows-only (double math); AnnSpec
+    // pins determinism + a ≥0.8 funnel-recall floor vs ann_topk.
+    "ann_pq8" -> ((s, d) => {
+      val (anchors, codes) = AnnIndex.pq8(s, d)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val qsub = emb.filter(col("vec_id") === 0)
+        .select(explode(expr(pqSubExprOf(PqM8, PqSub8))).as("s"))
+        .select(col("s.m").as("m"), col("s.sv").as("qv"))
+      val qd = anchors.join(qsub, "m")
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(av, qv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+        .select("m", "code", "qdot")
+      val approx = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qd), Seq("m", "code"))
+        .groupBy("vec_id").agg(sum("qdot").as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(100)
+        .select("vec_id")
+      val query = emb.filter(col("vec_id") === 0).select(col("v").as("qfull"))
+      emb.join(broadcast(approx), "vec_id")
+        .crossJoin(broadcast(query))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(v, qfull, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
+        .withColumn("nv", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+        .withColumn("nq", expr("aggregate(qfull, 0D, (acc, x) -> acc + x * x)"))
+        .withColumn("sim", col("dot") / sqrt(col("nv") * col("nq")))
+        .select("vec_id", "sim")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
     })
   )
 

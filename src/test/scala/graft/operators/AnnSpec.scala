@@ -53,6 +53,25 @@ class AnnSpec extends SparkSpec {
       rerun.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("ann_pq8: at-rest index serves the shipping operating point deterministically") {
+    val pq8 = SimilarityOps2.queries("ann_pq8")(spark, sf).collect()
+    assert(pq8.nonEmpty && pq8.length <= 10)
+    val brute = SimilarityOps.queries("ann_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact rerank: returned sims match brute force to quantization tol
+    pq8.foreach { r =>
+      brute.get(r.getLong(0)).foreach(bq =>
+        assert(math.abs(bq - r.getDouble(1)) < 5e-3))
+    }
+    // the shipping floor: the PQ8 funnel must recall >= 8 of the true
+    // top-10 for the deployed query vector (m=4's floor is 5)
+    val hit = pq8.map(_.getLong(0)).toSet.intersect(brute.keySet).size
+    assert(hit >= 8, s"PQ8 recall@10 below shipping floor: $hit/10")
+    val rerun = SimilarityOps2.queries("ann_pq8")(spark, sf).collect()
+    assert(pq8.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   // ---- per-index quality grading (ann_eval_*) -------------------------
   // The grading itself is pinned against an INDEPENDENT driver-side
   // intersection of the index leg and the exact leg; floors reflect the
