@@ -153,12 +153,43 @@ object AnnIndex {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val (anchors, codes) = SimilarityOps2.pqAnchorsCodesOf(
-        emb, SimilarityOps2.PqM8, SimilarityOps2.PqSub8, SimilarityOps2.PqK8)
-      anchors.coalesce(1).write.mode("overwrite").parquet(s"$stg/anchors")
-      codes.write.mode("overwrite").parquet(s"$stg/codes")
+      buildPq8At(stg, emb)
     }
     (readCached(spark, s"$path/anchors"), readCached(spark, s"$path/codes"))
+  }
+
+  /** Deployment-shape PQ8 builders against an EXPLICIT index path
+    * (the SRP analogues: [[buildSrpAt]]/[[appendSrpAt]]). The PQ
+    * freshness contract differs from SRP's in one load-bearing way:
+    * SRP's hyperplanes are data-independent, but the PQ codebook is
+    * trained from the build-time corpus and then FROZEN — an append
+    * encodes new vectors against the STORED anchors
+    * ([[SimilarityOps2.pqEncode]]), never retrains, because every ADC
+    * distance table is built from the anchors and retraining would
+    * silently mis-score all codes already at rest. (The standard PQ
+    * deployment discipline: train on a sample once, `add()` forever;
+    * re-training is a full index REBUILD, i.e. `buildPq8At` again.)
+    * `vectors` must carry (vec_id, v: array<double>). */
+  def buildPq8At(path: String, vectors: DataFrame): Unit = {
+    val (anchors, codes) = SimilarityOps2.pqAnchorsCodesOf(
+      vectors, SimilarityOps2.PqM8, SimilarityOps2.PqSub8, SimilarityOps2.PqK8)
+    anchors.coalesce(1).write.mode("overwrite").parquet(s"$path/anchors")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append codes for new vectors under the index's frozen codebook.
+    * Self-describing: m and the subspace width are read back from the
+    * stored anchor table (2048 rows — a driver-side metadata probe),
+    * so a caller cannot encode with mismatched geometry. Appended
+    * code files accrete next to the originals; the ADC probe plan is
+    * unchanged (it scans the codes relation and joins the broadcast
+    * distance table — no partition structure to preserve). */
+  def appendPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val anchors = spark.read.parquet(s"$path/anchors")
+    val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
+    val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
+    SimilarityOps2.pqEncode(vectors, anchors, m, sub)
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** All 137 16-bit buckets within hamming distance ≤ 2 of `qb` —

@@ -61,15 +61,24 @@ object SimilarityOps2 {
       .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
       .select(col("code"), explode(expr(subExpr)).as("a"))
       .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
-    val codes = emb
-      .select(col("vec_id"), explode(expr(subExpr)).as("s"))
+    (anchors, pqEncode(emb, anchors, m, sub))
+  }
+
+  /** Encode vectors against an EXISTING (frozen) anchor table — the
+    * PQ freshness primitive: a deployment trains the codebook once
+    * and every later ingest batch encodes against it (retraining
+    * would silently mis-score all codes already at rest, because ADC
+    * tables are built from the anchors). One map-side explode + a
+    * broadcast join + a (vec_id, m) min-aggregate — no shuffle of the
+    * vector payload beyond the code rows themselves. */
+  def pqEncode(emb: DataFrame, anchors: DataFrame, m: Int, sub: Int): DataFrame =
+    emb
+      .select(col("vec_id"), explode(expr(pqSubExprOf(m, sub))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
       .join(broadcast(anchors), "m")
       .withColumn("d2", expr(PqDist))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
-    (anchors, codes)
-  }
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

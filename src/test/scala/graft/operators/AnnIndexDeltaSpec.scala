@@ -97,6 +97,40 @@ class AnnIndexDeltaSpec extends SparkSpec {
     assert(AnnIndex.compactSrpAt(spark, dir, trigger).isEmpty)
   }
 
+  test("PQ8 append encodes against the FROZEN codebook; anchors untouched") {
+    import org.apache.spark.sql.functions.expr
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq8_inc").toString
+    AnnIndex.buildPq8At(dir, a)
+    def anchorRows() = spark.read.parquet(s"$dir/anchors")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val anchorsBefore = anchorRows()
+    AnnIndex.appendPq8At(spark, dir, b)
+    // the codebook is frozen: append must not touch the anchor table
+    assert(anchorRows() == anchorsBefore, "append retrained/rewrote the codebook")
+    // appended codes == direct encode of B against A's anchors — the
+    // invariant that keeps every at-rest ADC table valid. (A full
+    // rebuild over A∪B would pick DIFFERENT anchors — content-hash
+    // sampled from the bigger corpus — which is exactly why append
+    // must never be implemented as retrain.)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val atRest = codeSet(spark.read.parquet(s"$dir/codes"))
+    val anchorsDf = spark.read.parquet(s"$dir/anchors")
+    val wantB = codeSet(SimilarityOps2.pqEncode(
+      b, anchorsDf, SimilarityOps2.PqM8, SimilarityOps2.PqSub8))
+    val wantA = codeSet(SimilarityOps2.pqEncode(
+      a, anchorsDf, SimilarityOps2.PqM8, SimilarityOps2.PqSub8))
+    assert(atRest == wantA ++ wantB, "at-rest codes diverged from frozen-codebook encode")
+    // every vector carries exactly m=8 code rows
+    val n = emb.count()
+    assert(atRest.size.toLong == n * SimilarityOps2.PqM8)
+  }
+
   test("flat and batch-keyed layouts refuse to mix under one root") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val flatRoot = java.nio.file.Files.createTempDirectory("graft_srp_flat").toString
