@@ -22,13 +22,15 @@ res = {
     "note": ("ratio = t(10x sf0.1)/t(1x sf0.1) from graft.Bench runs over the same "
              "file layout; linear => <=10; sub-linear typical (fixed overhead dominates 1x); "
              "shared-box timings carry +/-50% noise, so each factor is the per-query MIN of "
-             "two full cold passes. Round-11: the FULL 277-query registry (round-10's 274 "
+             "two full cold passes. Round-11: the FULL 279-query registry (round-10's 274 "
              "incl. the r3_2t dial corner the r10 headline file lacked, plus ann_eval_pq_m8, "
-             "ann_pq8, and proc_warm_latency), median 1.42, worst 4.16 (media_resize_dims, "
+             "ann_pq8, proc_warm_latency, and the composed-IVFADC rows ann_eval_ivfpq/"
+             "ann_eval_ivfpq_np16), median 1.42, worst 4.16 (media_resize_dims, "
              "PNG-deflate byte volume - same worst row three rounds running; every query "
              "sub-linear). The r11 PQ8 family rides its at-rest 8 B/vec code scan: "
-             "ann_pq8 1.52, ann_eval_pq_m8 1.59; the dashboard warm row 1.41 (cold primes "
-             "scale, the 500 warm cache hits do not)."),    "n_queries": len(out),
+             "ann_pq8 1.52, ann_eval_pq_m8 1.59, ivfpq 1.17/1.13 (partition-pruned probe "
+             "footprint); the dashboard warm row 1.41 (cold primes scale, the 500 warm "
+             "cache hits do not)."),    "n_queries": len(out),
     "missing": missing,
     "worst": [{"q": q, **out[q]} for r, q in ranked[-10:][::-1]],
     "median_ratio": ranked[len(ranked) // 2][0] if ranked else -1,
