@@ -59,7 +59,8 @@ object StateScaleBench {
     // and MORE partitions (more parallel RocksDB commits, smaller
     // per-store keyspaces) win — sweep via SPARK_GRAFT_STATE_PARTITIONS
     val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
-    // leg subset for targeted reruns: csv of session,dedup,novelty,hh,drift
+    // leg subset for targeted reruns:
+    // csv of session,session_evict,dedup,novelty,hh,drift
     val legs = sys.env.getOrElse("SPARK_GRAFT_STATE_LEGS",
         "session,session_evict,dedup,novelty,hh,drift")
       .split(",").map(_.trim).toSet

@@ -54,18 +54,26 @@ object AnnEval {
     * same order as RetrievalOps2's sample). Cached per (session, dir):
     * every index builder AND grade() needs the sample, so one registry
     * pass over the eval family would otherwise rerun the identical
-    * pruned scan ~2× per graded query. The session key means a corpus
-    * rebuilt and re-read through a NEW session can never be served
-    * another session's stale ids; within one session the sample is a
-    * pure function of the dir's contents, which no supported run
-    * mutates mid-session (same single-run contract as `relCache`
-    * in [[AnnIndex]]). */
-  private val qidCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
-  private def queryIds(s: SparkSession, d: String): Seq[Long] =
-    qidCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    * pruned scan ~2× per graded query. The outer map holds the session
+    * by WEAK reference — a live session object IS its own cache key
+    * (no identity-hash collisions: a dead session's hash being reused
+    * cannot resurrect its entries, because the entry died with the
+    * session), and entries for closed sessions evaporate with GC
+    * instead of accumulating for the JVM lifetime. Within one live
+    * session the sample is a pure function of the dir's contents,
+    * which no supported run mutates mid-session. */
+  private val qidCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Seq[Long]]]()
+  private def queryIds(s: SparkSession, d: String): Seq[Long] = {
+    val perSession = qidCache.synchronized {
+      qidCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, Seq[Long]])
+    }
+    perSession.getOrElseUpdate(d,
       Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
         .select("vec_id").orderBy("vec_id").limit(NQueries)
         .collect().map(_.getLong(0)).toSeq)
+  }
 
   /** Query vectors as doubles: (qid, qv) — coarse-routing side only
     * (IVF centroid ranking, PQ ADC tables). The graded fine rerank
@@ -205,18 +213,37 @@ object AnnEval {
   private def pqAdcTopK(s: SparkSession, d: String, anchors: DataFrame,
                         codes: DataFrame, m: Int, sub: Int): DataFrame = {
     val qids = queryIds(s, d)
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val qsub = emb.filter(col("vec_id").isin(qids: _*))
+    val qd = adcQueryTable(s, d, anchors, m, sub, qids)
+    val scored = codes.join(broadcast(qd), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+    adcFunnelRerank(s, d, scored, qids)
+  }
+
+  /** The per-(qid, m, code) ADC distance table — ONE definition for
+    * every PQ-family probe, so funnel/table changes cannot drift
+    * between the flat and composed paths (the drifted-copy failure
+    * mode a prior review flagged on the codebook itself). */
+  private def adcQueryTable(s: SparkSession, d: String, anchors: DataFrame,
+                            m: Int, sub: Int, qids: Seq[Long]): DataFrame = {
+    val qsub = Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"),
-        explode(expr(SimilarityOps2.pqSubExprOf(m, sub))).as("s"))
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("qid"), explode(expr(SimilarityOps2.pqSubExprOf(m, sub))).as("s"))
       .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qsv"))
-    val qd = anchors.join(qsub, "m")
+    anchors.join(qsub, "m")
       .withColumn("qdot", expr(
         "aggregate(zip_with(av, qsv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
       .select("qid", "m", "code", "qdot")
-    val approx = codes.join(broadcast(qd), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("qid"))
+  }
+
+  /** Shared funnel tail: sum per-(qid, vec_id) ADC partials, keep the
+    * approx-top-100, exact-rerank with the quantized kernel. `scored`
+    * carries (qid, vec_id, qdot) rows however the caller routed them. */
+  private def adcFunnelRerank(s: SparkSession, d: String,
+                              scored: DataFrame, qids: Seq[Long]): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val approx = scored
       .groupBy("qid", "vec_id").agg(sum("qdot").as("approx_dot"))
       .withColumn("ar", row_number().over(
         Window.partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id"))))
@@ -257,31 +284,16 @@ object AnnEval {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     val cells = probed.map(_._2).distinct.toSeq
     val probeDf = probed.toSeq.toDF("qid", "pcell")
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val qsub = emb.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"),
-        explode(expr(SimilarityOps2.pqSubExprOf(
-          SimilarityOps2.PqM8, SimilarityOps2.PqSub8))).as("s"))
-      .select(col("qid"), col("s.m").as("m"), col("s.sv").as("qsv"))
-    val qd = anchors.join(qsub, "m")
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(av, qsv, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"))
-      .select("qid", "m", "code", "qdot")
+    val qd = adcQueryTable(s, d, anchors,
+      SimilarityOps2.PqM8, SimilarityOps2.PqSub8, qids)
     // the isin stays on the raw partition column (pruning); the qid
     // routing join then restricts each candidate to the queries that
     // actually probed its cell
-    val approx = codes.filter(col("cell").isin(cells: _*))
+    val scored = codes.filter(col("cell").isin(cells: _*))
       .join(broadcast(probeDf), col("cell").cast("int") === col("pcell"))
       .join(broadcast(qd), Seq("qid", "m", "code"))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id").agg(sum("qdot").as("approx_dot"))
-      .withColumn("ar", row_number().over(
-        Window.partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id"))))
-      .filter(col("ar") <= 100)
-      .select("qid", "vec_id")
-    val cands = approx.join(emb, "vec_id").select(col("qid"), col("vec_id"), col("v"))
-    quantRerank(s, cands, queryVecsQ(s, d, qids))
+    adcFunnelRerank(s, d, scored, qids)
   }
 
   /** Grade an index's per-query top-10 against the exact leg: recall

@@ -193,7 +193,18 @@ object AnnIndex {
         .setK(IvfPqCells).setSeed(20260815L).setMaxIter(20)
         .setFeaturesCol("feat").setPredictionCol("cell")
       val model = km.fit(normed)
-      val assigned = model.transform(normed).select(col("vec_id"), col("cell"))
+      // zero-norm vectors cannot be cell-assigned by cosine (their
+      // normalization is undefined and they are excluded from the fit)
+      // but the index must still COVER them — same contract as flat
+      // pq8, whose codes relation holds every input row. Park them in
+      // cell 0: a probe that ranks cell 0 scans them like any other
+      // member; their exact-rerank cosine is NaN-guarded upstream by
+      // the quantized kernel's n > 0 data (none exist in the driver
+      // corpora — this is a coverage invariant, not a tuning choice).
+      val assigned = emb.select(col("vec_id"))
+        .join(model.transform(normed).select(col("vec_id"), col("cell")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("cell"), lit(0)).as("cell"))
       import spark.implicits._
       model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
@@ -241,6 +252,15 @@ object AnnIndex {
     val anchors = spark.read.parquet(s"$path/anchors")
     val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
     val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
+    // geometry guard: slicing a shorter vector would zip_with against
+    // nulls and append garbage codes to the LIVE index with no error —
+    // check the incoming dimension against the codebook's m·sub before
+    // anything is written (a one-row probe; mixed-width input inside
+    // one batch is the caller's schema bug and still lands here on
+    // whichever row the probe samples)
+    val dim = vectors.select(size(col("v"))).head().getInt(0)
+    require(dim == m * sub,
+      s"appendPq8At: vectors are $dim-dim but the index codebook is m=$m x sub=$sub = ${m * sub}-dim")
     SimilarityOps2.pqEncode(vectors, anchors, m, sub)
       .write.mode("append").parquet(s"$path/codes")
   }

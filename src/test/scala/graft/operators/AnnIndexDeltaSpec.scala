@@ -129,6 +129,13 @@ class AnnIndexDeltaSpec extends SparkSpec {
     // every vector carries exactly m=8 code rows
     val n = emb.count()
     assert(atRest.size.toLong == n * SimilarityOps2.PqM8)
+    // geometry guard: appending vectors of the wrong dimension must
+    // fail BEFORE anything lands in the live codes dir (slicing a
+    // short vector would zip_with nulls into garbage codes)
+    val short = b.withColumn("v", expr("slice(v, 1, 32)"))
+    intercept[IllegalArgumentException] { AnnIndex.appendPq8At(spark, dir, short) }
+    assert(codeSet(spark.read.parquet(s"$dir/codes")) == atRest,
+      "a rejected append must leave the codes dir untouched")
   }
 
   test("flat and batch-keyed layouts refuse to mix under one root") {
