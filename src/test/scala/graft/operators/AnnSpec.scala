@@ -185,8 +185,11 @@ class AnnSpec extends SparkSpec {
     val np8 = mean("ann_eval_ivfpq")
     val np16 = mean("ann_eval_ivfpq_np16")
     assert(np8 >= 0.5, s"IVFPQ np8 mean recall collapsed: $np8")
-    // the second shipping-grade point: >= 0.8 while partition pruning
-    // drops half the code bytes (measured 0.83-0.88 across SFs)
+    // the second shipping-grade point: measured 0.83-0.88 across SFs
+    // while partition pruning drops half the code bytes. The FLOOR is
+    // 0.75, deliberately below the 0.8 shipping claim: the tightest
+    // measured SF sits at 0.831, and a hard 0.8 assert would flake on
+    // sampling noise rather than catch regressions (docs state this).
     assert(np16 >= 0.75, s"IVFPQ np16 below its floor: $np16")
     // MEAN ordering only: under a fixed 100-slot ADC funnel the wider
     // probe is not per-query monotone (extra cells' codes can evict a
