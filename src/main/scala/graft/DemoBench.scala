@@ -1,0 +1,390 @@
+package graft
+
+import graft.sources.EventGen
+import graft.streaming.{IngestPipeline, Retention, SessionDedup, StreamingViews}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+/** Integrated demo-parity bench: the reference's actual operating mode
+  * is everything AT ONCE — `run.sh:144-159` starts the 20k-events/s
+  * client and the retention nibbler together while the dashboard
+  * (`web/js/voltdb-dashboard.js:50-75`) polls five procedures plus one
+  * `@Statistics` call every second for the whole 900-s demo. Every
+  * other bench here measures one leg in isolation; this one runs them
+  * simultaneously and grades the two contract numbers UNDER each
+  * other's load:
+  *
+  *  - a feeder thread lands seeded [[EventGen]] tranches at the offered
+  *    rate (one wall-second of traffic per tranche, event time advancing
+  *    one second per tranche — the reference client's wall-clock µs
+  *    stamping);
+  *  - the ingest streaming query runs the full hot path (3 broadcast dim
+  *    lookups → k-means scoring → 30-s session gate) and appends
+  *    session-openers to an export sink partitioned by event-time
+  *    minute;
+  *  - a second streaming query continuously maintains the per-second
+  *    view tier (A4, [[StreamingViews.eventsBySecond]]) — the
+  *    reference's synchronous view maintenance as its streaming
+  *    analogue;
+  *  - a retention thread ticks every `retentionEverySec`, dropping
+  *    export-sink partitions older than `keepSeconds` of event time
+  *    (the nibbler's chunked deletes as O(partitions) directory drops —
+  *    `nibbler/src/nibbler/ContinuousDeleter.java:94-172`);
+  *  - a dashboard thread fires the reference dashboard's exact call set
+  *    (5 procedures + @Statistics) at 1 Hz over HTTP against a live
+  *    [[graft.server.QueryServer]], while a refresher thread
+  *    re-materializes the serving tier every `refreshEverySec` — so the
+  *    latency distribution includes the post-refresh cold recomputes,
+  *    not just driver-cache hits.
+  *
+  * Reported floors (BENCH_DEMO.json, spec-pinned in DemoParitySpec):
+  * sustained ingest ≥ 20,000 events/s AND dashboard p99 < 1 s, both
+  * measured inside the same timed window.
+  */
+object DemoBench {
+
+  final case class ProcStats(proc: String, calls: Int,
+                             p50Ms: Double, p99Ms: Double, maxMs: Double)
+
+  final case class DemoResult(
+    durationSec: Double, offeredEps: Double, sustainedEps: Double,
+    landedRows: Long, processedRows: Long, backlogRows: Long,
+    batchMsMean: Double, batches: Int,
+    dashCalls: Int, dashP50Ms: Double, dashP99Ms: Double, dashMaxMs: Double,
+    dashErrors: Int, refreshes: Int, droppedPartitions: Int,
+    viewRows: Long, exportRows: Long, perProc: Seq[ProcStats]) {
+
+    def json: String = {
+      val procs = perProc.map(p =>
+        f""""${p.proc}":{"calls":${p.calls},"p50_ms":${p.p50Ms}%.1f,"p99_ms":${p.p99Ms}%.1f,"max_ms":${p.maxMs}%.1f}""")
+        .mkString("{", ",", "}")
+      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"per_proc":$procs}"""
+    }
+  }
+
+  /** The dashboard's exact 1 Hz call set (voltdb-dashboard.js:50-75):
+    * five registered procedures plus the @Statistics poll. */
+  private val DashCalls: Seq[(String, String)] = Seq(
+    "GetTopUsers" -> "[60,10]",
+    "GetTopDests" -> "[60,10]",
+    "GetTopSources" -> "[10]",
+    "GetTopSrcDests" -> "[10]",
+    "GetEventsByCluster" -> "[60]",
+    "@Statistics" -> "[\"PROCEDUREPROFILE\"]")
+
+  /** Run the integrated demo for `durationSec` of TIMED window after
+    * `warmSec` of warm-up (JIT + first state-store commits + the
+    * serving tier's initial materialization are once-per-process costs
+    * a sustained-rate claim must not bill). All legs run through warm-up
+    * AND the timed window; stats come from the timed window only. */
+  def run(spark: SparkSession, sfDir: String,
+          durationSec: Int, offeredEps: Int = 25000, warmSec: Int = 20,
+          refreshEverySec: Int = 15, retentionEverySec: Int = 30,
+          keepSeconds: Int = 120, streamParts: String = "8",
+          bucketPattern: String = "yyyy-MM-dd-HH-mm"): DemoResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    // RocksDB + changelog checkpointing: the session-gate state is
+    // workload-bounded (~gap-window × offered-rate keys) but still
+    // ~1M live entries at 25k events/s — the default in-heap provider's
+    // periodic full-map snapshots turned into GC pressure that degraded
+    // every leg over a 300-s run (measured 25k→15k events/s drift);
+    // RocksDB keeps state off-heap and changelog checkpointing makes
+    // the per-batch commit O(delta), the same config the state-scale
+    // benches validated flat to 10^7 keys
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChg = spark.conf.getOption(chgKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(chgKey, "true")
+    val base = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val drop = s"$base/drop"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val viewSink = s"$base/view_sink"; val viewCkpt = s"$base/view_ckpt"
+
+    // ---- feeder: one offered-second of traffic per tranche ----------
+    // Tranches are PRE-GENERATED into a staging area, and the live
+    // feeder only MOVES files into the drop dir at 1 Hz (the
+    // rename-harvest arrival shape): a same-filesystem rename is
+    // instant and load-independent, so the offered rate holds exactly
+    // no matter how busy the scheduler is — generating tranches with
+    // Spark jobs DURING the run measured the feeder itself degrading
+    // under contention (offered 25k→16k over 300 s), which turns the
+    // sustained-eps floor into a feeder test instead of a pipeline test.
+    // The feeder isn't the system under test (ThroughputBench
+    // precedent: generation/landing is excluded from timed windows).
+    val per = offeredEps
+    val genBase = 1700000000000000L // EventGen's default baseTsMicros
+    val tsScale = math.max(1L, 1000000L / per) // spread a tranche across its second
+    val landed = new AtomicLong(0)
+    val latestTrancheMicros = new AtomicLong(genBase)
+    val stop = new AtomicBoolean(false)
+    val stage = s"$base/stage"
+    val nTranches = warmSec + durationSec + 90 // slack: shutdown + feeder never starves
+    // one generation job for the whole feed, dynamic-partitioned by
+    // tranche (event time advances one second per tranche, spread
+    // across the second within it)
+    EventGen.events(spark, nTranches.toLong * per, seed = 9000L)
+      .withColumn("ts", expr(
+        s"timestamp_micros(${genBase}L + (event_id DIV ${per}L) * 1000000L + (event_id % ${per}L) * ${tsScale}L)"))
+      .drop("ts_micros")
+      .withColumn("tranche", expr(s"CAST(event_id DIV ${per}L AS INT)"))
+      .repartition(col("tranche"))
+      .write.mode("overwrite").partitionBy("tranche").parquet(stage)
+    def land(t: Int): Unit = {
+      val src = new java.io.File(s"$stage/tranche=$t")
+      src.listFiles().filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(drop, f"t$t%05d_${f.getName}"))
+      }
+      latestTrancheMicros.set(genBase + t.toLong * 1000000L)
+      landed.addAndGet(per)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+    land(0) // first tranche synchronously: the stream needs a schema
+    val schema = spark.read.parquet(drop).schema
+    val feeder = new Thread(() => {
+      var t = 1
+      var next = System.nanoTime()
+      while (!stop.get() && t < nTranches) {
+        land(t); t += 1
+        next += 1000000000L
+        val sleepMs = (next - System.nanoTime()) / 1000000L
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+    }, "demo-feeder")
+
+    // ---- progress listener: per-query processed rows + batch times --
+    val rowsByQuery = new ConcurrentHashMap[java.util.UUID, AtomicLong]()
+    val ingestBatchMs = new ConcurrentLinkedQueue[java.lang.Long]()
+    @volatile var ingestId: java.util.UUID = null
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        rowsByQuery.computeIfAbsent(p.id, _ => new AtomicLong()).addAndGet(p.numInputRows)
+        if (p.id == ingestId && p.numInputRows > 0)
+          ingestBatchMs.add(p.durationMs.get("triggerExecution"))
+      }
+    }
+    spark.streams.addListener(listener)
+
+    // ---- ingest query: the full reference hot path ------------------
+    // maxFilesPerTrigger=4 = up to FOUR offered-seconds per batch (one
+    // file per tranche): at steady state each 1-s trigger clears one
+    // arriving tranche; after a hiccup the query catches up at 4x the
+    // offered rate instead of letting backlog ratchet
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(drop)
+    val enriched = IngestPipeline.enrich(stream, EventGen.dests(spark), EventGen.agents(spark))
+    val scored = enriched.withColumn("cluster",
+      graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
+        pmod(col("src").cast("double"), lit(100.0)), col("value").cast("double")).cast("int"))
+    val rich = scored.select(
+      col("event_id"), col("src").cast("long").as("user_id"),
+      col("dest").as("event_type"), col("ts"), col("value").cast("double").as("value"),
+      col("dest_id"), col("referral_id"), col("agent_id"), col("cluster"))
+      .as[SessionDedup.RichEv]
+    val gated = SessionDedup.dedupRich(rich)
+    // plain-parquet append in foreachBatch (no _spark_metadata log), so
+    // the retention tick can drop whole event-time partitions without
+    // corrupting a sink manifest
+    val ingestQ = gated.toDF()
+      .withColumn("date_min", date_format(col("ts"), bucketPattern))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("date_min").parquet(sink)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    ingestId = ingestQ.id
+
+    // ---- view-maintenance query (A4 per-second tier) ----------------
+    val viewQ = StreamingViews.eventsBySecond(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(drop)
+          .select(col("src").cast("long").as("user_id"), col("ts")))
+      .writeStream
+      .option("checkpointLocation", viewCkpt)
+      .format("parquet").option("path", viewSink)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+    // ---- dashboard over live HTTP ------------------------------------
+    val srv = new graft.server.QueryServer(spark, sfDir) // tier materializes here (warm phase)
+    val port = srv.start()
+    val http = java.net.http.HttpClient.newHttpClient()
+    final case class Sample(atNanos: Long, proc: String, latNanos: Long, ok: Boolean)
+    val samples = new ConcurrentLinkedQueue[Sample]()
+    val dashErrors = new AtomicLong(0)
+    def fire(proc: String, params: String): Unit = {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:$port/api/1.0/?Procedure=" +
+          java.net.URLEncoder.encode(proc, "UTF-8") +
+          "&Parameters=" + java.net.URLEncoder.encode(params, "UTF-8"))
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          val resp = http.send(
+            java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() == 200 && resp.body().contains("\"status\":1")
+        } catch { case _: Exception => false }
+      if (!ok) dashErrors.incrementAndGet()
+      samples.add(Sample(t0, proc, System.nanoTime() - t0, ok))
+    }
+    val dash = new Thread(() => {
+      var next = System.nanoTime()
+      while (!stop.get()) {
+        DashCalls.foreach { case (p, a) => fire(p, a) }
+        next += 1000000000L
+        val sleepMs = (next - System.nanoTime()) / 1000000L
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        else next = System.nanoTime() // overran the tick: resume at now, don't burst
+      }
+    }, "demo-dashboard")
+    val refreshes = new AtomicLong(0)
+    val refresher = new Thread(() => {
+      while (!stop.get()) {
+        val deadline = System.nanoTime() + refreshEverySec * 1000000000L
+        srv.refresh(); refreshes.incrementAndGet()
+        val sleepMs = (deadline - System.nanoTime()) / 1000000L
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+    }, "demo-refresher")
+
+    // ---- retention tick ----------------------------------------------
+    val dropped = new ConcurrentLinkedQueue[String]()
+    val retain = new Thread(() => {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(bucketPattern)
+        .withZone(java.time.ZoneOffset.UTC)
+      while (!stop.get()) {
+        Thread.sleep(retentionEverySec * 1000L)
+        val horizonMicros = latestTrancheMicros.get() - keepSeconds * 1000000L
+        val minKeep = fmt.format(java.time.Instant.ofEpochSecond(horizonMicros / 1000000L))
+        Retention.dropOldPartitions(sink, minKeep).foreach(dropped.add)
+      }
+    }, "demo-retention")
+
+    feeder.setDaemon(true); dash.setDaemon(true)
+    refresher.setDaemon(true); retain.setDaemon(true)
+    feeder.start(); dash.start(); refresher.start(); retain.start()
+
+    // ---- timed window -------------------------------------------------
+    Thread.sleep(warmSec * 1000L)
+    def processed(id: java.util.UUID): Long =
+      Option(rowsByQuery.get(id)).map(_.get()).getOrElse(0L)
+    val rows0 = processed(ingestQ.id); val viewRows0 = processed(viewQ.id)
+    val landed0 = landed.get()
+    val windowStart = System.nanoTime()
+    Thread.sleep(durationSec * 1000L)
+    val windowEnd = System.nanoTime()
+    val rows1 = processed(ingestQ.id); val viewRows1 = processed(viewQ.id)
+    val landed1 = landed.get()
+
+    stop.set(true)
+    Seq(feeder, dash, refresher, retain).foreach(_.join(20000))
+    // drain the backlog so the landed-vs-processed bookkeeping below
+    // reflects steady state, not shutdown timing
+    Thread.sleep(2000)
+    ingestQ.stop(); viewQ.stop(); srv.stop()
+    spark.streams.removeListener(listener)
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    prevProv match {
+      case Some(v) => spark.conf.set(provKey, v); case None => spark.conf.unset(provKey)
+    }
+    prevChg match {
+      case Some(v) => spark.conf.set(chgKey, v); case None => spark.conf.unset(chgKey)
+    }
+
+    val wallSec = (windowEnd - windowStart) / 1e9
+    val windowSamples = samples.toArray(Array.empty[Sample])
+      .filter(s => s.atNanos >= windowStart && s.atNanos < windowEnd)
+    def pctMs(lats: Array[Long], p: Double): Double =
+      if (lats.isEmpty) 0.0
+      else lats(math.min(lats.length - 1, math.ceil(p * lats.length).toInt - 1)) / 1e6
+    val allLat = windowSamples.map(_.latNanos).sorted
+    val perProc = DashCalls.map(_._1).map { proc =>
+      val l = windowSamples.filter(_.proc == proc).map(_.latNanos).sorted
+      ProcStats(proc, l.length, pctMs(l, 0.50), pctMs(l, 0.99),
+        if (l.isEmpty) 0.0 else l.last / 1e6)
+    }
+    val batchTimes = ingestBatchMs.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    val exportRows =
+      try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
+    val res = DemoResult(
+      durationSec = wallSec,
+      offeredEps = (landed1 - landed0) / wallSec,
+      sustainedEps = (rows1 - rows0) / wallSec,
+      landedRows = landed1 - landed0, processedRows = rows1 - rows0,
+      backlogRows = math.max(0L, landed.get() - processed(ingestQ.id)),
+      batchMsMean =
+        if (batchTimes.isEmpty) 0.0 else batchTimes.sum.toDouble / batchTimes.length,
+      batches = batchTimes.length,
+      dashCalls = windowSamples.length,
+      dashP50Ms = pctMs(allLat, 0.50), dashP99Ms = pctMs(allLat, 0.99),
+      dashMaxMs = if (allLat.isEmpty) 0.0 else allLat.last / 1e6,
+      dashErrors = dashErrors.get().toInt,
+      refreshes = refreshes.get().toInt,
+      droppedPartitions = dropped.size(),
+      viewRows = viewRows1 - viewRows0,
+      exportRows = exportRows,
+      perProc = perProc)
+    graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
+    res
+  }
+
+  /** Allocation file declaring the default pool internally FAIR (all
+    * demo jobs share it; fair task-slot sharing is what lets a 50-ms
+    * dashboard render finish while a 1-s micro-batch is mid-flight). */
+  private def fairPoolFile: String = {
+    val f = java.nio.file.Files.createTempFile("graft_fair", ".xml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin.getBytes("UTF-8"))
+    f.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val durationSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_SEC", "300").toInt
+    val offered = sys.env.getOrElse("SPARK_GRAFT_DEMO_EPS", "25000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // FAIR job scheduling: the demo multiplexes micro-batches, tier
+      // refreshes, and sub-second dashboard renders on one scheduler —
+      // under FIFO a dashboard job queues behind a whole refresh
+      // aggregation. NOTE: mode=FAIR alone is not enough — without an
+      // allocation file the single "default" pool schedules its jobs
+      // FIFO internally, so the pool itself must be declared FAIR.
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairPoolFile)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val res = run(spark, sfDir, durationSec = durationSec, offeredEps = offered)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DEMO.json"),
+      (res.json + "\n").getBytes("UTF-8"))
+    println(s"[demo] ${res.json}")
+    spark.stop()
+  }
+}

@@ -20,6 +20,25 @@ final class ServingTier(spark: SparkSession, dir: String) {
 
   @volatile private var views: Map[String, DataFrame] = Map.empty
 
+  /** The previous generation, kept alive for one refresh interval.
+    * localCheckpoint blocks are only reclaimed when the ContextCleaner
+    * notices the RDD is unreachable — under a 1 Hz dashboard with a
+    * 15-s refresh cadence that lag let 20+ multi-million-row view
+    * generations accumulate in block storage (measured: a 300-s
+    * integrated demo run degraded 25k→15k events/s from the resulting
+    * GC pressure). Explicit unpersist bounds live generations to two.
+    * The one-generation grace matters: a render that grabbed the old
+    * map just before a refresh still holds valid blocks — unpersisting
+    * a localCheckpoint mid-read would FAIL that job (truncated
+    * lineage), not recompute it. */
+  @volatile private var retiring: Map[String, DataFrame] = Map.empty
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+
   def refresh(): Unit = {
     val ev = Tables.events(spark, dir)
     val bySec = ev.groupBy(date_trunc("second", col("ts")).as("second_ts"), col("user_id"))
@@ -50,7 +69,10 @@ final class ServingTier(spark: SparkSession, dir: String) {
       "events_by_cluster" -> clusterBySec.localCheckpoint(true),
       "events_by_src_view" -> bySrc.localCheckpoint(true),
       "events_by_src_dest" -> bySrcDest.localCheckpoint(true))
+    val expired = retiring
+    retiring = views
     views = next // atomic repoint — readers see old or new, never mixed
+    expired.valuesIterator.foreach(unpersistCheckpoint)
   }
 
   refresh()

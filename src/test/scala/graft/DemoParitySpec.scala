@@ -1,0 +1,44 @@
+package graft
+
+/** Pins the integrated demo-parity contract (reference `run.sh:144-159`
+  * + `web/js/voltdb-dashboard.js:50-75`): ingest, view maintenance,
+  * retention, and the 1 Hz dashboard running SIMULTANEOUSLY, graded on
+  * the two numbers the reference operates at — sustained events/s and
+  * dashboard latency under load. The committed 300-s artifact
+  * (BENCH_DEMO.json, 32 cores) measured 25,000 events/s sustained with
+  * dashboard p99 424 ms; this spec runs the same harness at suite scale
+  * (local[4], 45-s timed window) and pins the floors.
+  */
+class DemoParitySpec extends SparkSpec {
+
+  test("integrated demo: >=20k events/s sustained AND dashboard p99 < 1 s, simultaneously") {
+    // streamParts=2 on the 4-core suite session: the shared test
+    // context is FIFO (no FAIR pool file), so micro-batch stages that
+    // fill every core would queue each cold dashboard render behind a
+    // whole batch — leaving 2 cores free is the 4-core analogue of the
+    // FAIR slot-sharing the 32-core main configures. Second-granular
+    // retention buckets let the tick actually drop partitions inside a
+    // 60-s window (minute buckets need 90+ s of event time).
+    val res = DemoBench.run(spark, sf,
+      durationSec = 45, offeredEps = 25000, warmSec = 15,
+      refreshEverySec = 15, retentionEverySec = 10, keepSeconds = 30,
+      streamParts = "2", bucketPattern = "yyyy-MM-dd-HH-mm-ss")
+    info(res.json)
+    // the two contract floors, measured inside the same timed window
+    assert(res.sustainedEps >= 20000,
+      s"sustained ingest below the reference operating point: ${res.sustainedEps}")
+    assert(res.dashP99Ms < 1000,
+      s"dashboard p99 blew the 1 Hz poll budget under load: ${res.dashP99Ms} ms")
+    // contract mechanics: every dashboard call answered, the backlog
+    // stayed bounded (pipeline kept up, not just averaged out), the
+    // view tier was actually maintained, and retention actually ticked
+    assert(res.dashErrors == 0, s"${res.dashErrors} dashboard calls failed")
+    assert(res.dashCalls > 0)
+    assert(res.backlogRows <= 4L * 25000,
+      s"ingest fell behind by ${res.backlogRows} rows (> 4 offered-seconds)")
+    assert(res.viewRows > 0, "per-second view query processed nothing")
+    assert(res.droppedPartitions >= 1,
+      "retention tick dropped nothing despite a 30-s horizon over a 60-s run")
+    assert(res.refreshes >= 2, "serving tier never re-materialized under load")
+  }
+}
