@@ -195,45 +195,98 @@ object AnnIndex {
     * frontier, at half the bytes of the flat scan. */
   def ivfpq8(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val path = ensure(dir, "ivfpq8") { stg =>
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = Tables.embeddings(spark, dir)
+      buildIvfPq8At(stg, Tables.embeddings(spark, dir)
         .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val normed = emb
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-        .filter(col("nrm") > 0)
-        .withColumn("feat", array_to_vector(expr("transform(v, x -> x / nrm)")))
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(IvfPqCells).setSeed(20260815L).setMaxIter(20)
-        .setFeaturesCol("feat").setPredictionCol("cell")
-      val model = km.fit(normed)
-      // zero-norm vectors cannot be cell-assigned by cosine (their
-      // normalization is undefined and they are excluded from the fit)
-      // but the index must still COVER them — same contract as flat
-      // pq8, whose codes relation holds every input row. Park them in
-      // cell 0: a probe that ranks cell 0 scans them like any other
-      // member; their exact-rerank cosine is NaN-guarded upstream by
-      // the quantized kernel's n > 0 data (none exist in the driver
-      // corpora — this is a coverage invariant, not a tuning choice).
-      val assigned = emb.select(col("vec_id"))
-        .join(model.transform(normed).select(col("vec_id"), col("cell")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("cell"), lit(0)).as("cell"))
-      import spark.implicits._
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$stg/cents")
-      val (anchors, codes) = SimilarityOps2.pqAnchorsCodesOf(
-        emb, SimilarityOps2.PqM8, SimilarityOps2.PqSub8, SimilarityOps2.PqK8)
-      anchors.coalesce(1).write.mode("overwrite").parquet(s"$stg/anchors")
-      codes.join(assigned, "vec_id")
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$stg/codes")
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
     }
     (readCached(spark, s"$path/anchors"),
       readCached(spark, s"$path/codes"),
       readCached(spark, s"$path/cents"))
+  }
+
+  /** Deployment-shape IVFADC builder against an EXPLICIT path.
+    * `vectors` carries (vec_id, v: array<double>). Writes the three
+    * relations the probe rides: `cents` (the seeded-k-means coarse
+    * centroids over L2-normalized vectors), `anchors` (the
+    * content-hash-sampled PQ codebook), `codes` (PQ codes partitioned
+    * by coarse cell). */
+  def buildIvfPq8At(path: String, vectors: DataFrame): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    val emb = vectors
+    val normed = emb
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .filter(col("nrm") > 0)
+      .withColumn("feat", array_to_vector(expr("transform(v, x -> x / nrm)")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(IvfPqCells).setSeed(20260815L).setMaxIter(20)
+      .setFeaturesCol("feat").setPredictionCol("cell")
+    val model = km.fit(normed)
+    // zero-norm vectors cannot be cell-assigned by cosine (their
+    // normalization is undefined and they are excluded from the fit)
+    // but the index must still COVER them — same contract as flat
+    // pq8, whose codes relation holds every input row. Park them in
+    // cell 0: a probe that ranks cell 0 scans them like any other
+    // member; their exact-rerank cosine is NaN-guarded upstream by
+    // the quantized kernel's n > 0 data (none exist in the driver
+    // corpora — this is a coverage invariant, not a tuning choice).
+    val assigned = emb.select(col("vec_id"))
+      .join(model.transform(normed).select(col("vec_id"), col("cell")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cell"), lit(0)).as("cell"))
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    val (anchors, codes) = SimilarityOps2.pqAnchorsCodesOf(
+      emb, SimilarityOps2.PqM8, SimilarityOps2.PqSub8, SimilarityOps2.PqK8)
+    anchors.coalesce(1).write.mode("overwrite").parquet(s"$path/anchors")
+    codes.join(assigned, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    invalidateCached(path)
+  }
+
+  /** Append new vectors into an at-rest IVFADC index under BOTH frozen
+    * artifacts: cell assignment uses the STORED coarse centroids
+    * (never re-trains — moving a centroid would silently re-route
+    * probes away from every code already at rest in that cell), and
+    * encoding uses the STORED anchor codebook (same discipline and
+    * rationale as [[appendPq8At]]). Assignment reproduces the
+    * build-time rule exactly: argmin squared-Euclidean between the
+    * L2-NORMALIZED vector and the raw-space centroid (what seeded
+    * spark.ml k-means assigned), ties to the lowest cell id, zero-norm
+    * rows parked in cell 0. Appended code files accrete inside the
+    * existing `cell=` partition directories, so probe-side partition
+    * pruning is untouched. */
+  def appendIvfPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val anchors = spark.read.parquet(s"$path/anchors")
+    val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
+    val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
+    // same batch-wide geometry guard as appendPq8At: empty input is a
+    // clean no-op; any batch containing a width != m·sub is rejected
+    // before anything lands
+    val widths = vectors.select(size(col("v")).as("w")).distinct()
+      .limit(3).collect().map(_.getInt(0)).sorted
+    if (widths.isEmpty) return
+    require(widths.sameElements(Array(m * sub)),
+      s"appendIvfPq8At: vector widths ${widths.mkString(",")} but the index codebook is m=$m x sub=$sub = ${m * sub}-dim")
+    val cents = broadcast(spark.read.parquet(s"$path/cents"))
+    val assigned = vectors
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .crossJoin(cents)
+      .withColumn("d2", expr(
+        "aggregate(zip_with(centroid, transform(v, x -> x / nrm), (c, u) -> (c - u) * (c - u)), 0D, (acc, e) -> acc + e)"))
+      .groupBy("vec_id")
+      .agg(min(when(col("nrm") > 0, struct(col("d2"), col("cell")))
+        .otherwise(struct(lit(0D).as("d2"), lit(0).as("cell"))))
+        .getField("cell").as("cell"))
+    SimilarityOps2.pqEncode(vectors, anchors, m, sub)
+      .join(assigned, "vec_id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    invalidateCached(path)
   }
 
   /** Deployment-shape PQ8 builders against an EXPLICIT index path

@@ -138,6 +138,78 @@ class AnnIndexDeltaSpec extends SparkSpec {
       "a rejected append must leave the codes dir untouched")
   }
 
+  test("IVFADC append: frozen centroids + frozen codebook; appended codes land in pruned cells") {
+    import org.apache.spark.sql.functions.expr
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    AnnIndex.buildIvfPq8At(dir, a)
+    def centRows() = spark.read.parquet(s"$dir/cents")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    def anchorRows() = spark.read.parquet(s"$dir/anchors")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val centsBefore = centRows()
+    val anchorsBefore = anchorRows()
+    AnnIndex.appendIvfPq8At(spark, dir, b)
+    // both frozen artifacts untouched: a moved centroid re-routes
+    // probes away from codes already at rest; a retrained codebook
+    // silently mis-scores them
+    assert(centRows() == centsBefore, "append moved the coarse centroids")
+    assert(anchorRows() == anchorsBefore, "append retrained/rewrote the codebook")
+    // every appended vector is present with exactly m code rows, coded
+    // against the frozen anchors
+    val codes = spark.read.parquet(s"$dir/codes")
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "m", "code").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val anchorsDf = spark.read.parquet(s"$dir/anchors")
+    val wantB = codeSet(SimilarityOps2.pqEncode(
+      b, anchorsDf, SimilarityOps2.PqM8, SimilarityOps2.PqSub8))
+    assert(codeSet(codes.filter(col("vec_id") % 2 =!= 0)) == wantB,
+      "appended codes diverged from frozen-codebook encode")
+    assert(codes.count() == emb.count() * SimilarityOps2.PqM8)
+    // appended rows' cells reproduce the FROZEN-centroid assignment
+    // rule (argmin squared-Euclidean of the normalized vector vs the
+    // stored raw-space centroids, ties to lowest cell) — checked
+    // against an independent driver-side evaluation
+    val cents = centsBefore.map { case (c, cent) => (c, cent.toArray) }
+    def assignOf(v: Array[Double]): Int = {
+      val nrm = math.sqrt(v.foldLeft(0d)((acc, x) => acc + x * x))
+      if (!(nrm > 0)) 0
+      else cents.map { case (c, cent) =>
+        val d = cent.zip(v).foldLeft(0d) { case (acc, (ci, xi)) =>
+          val e = ci - xi / nrm; acc + e * e
+        }
+        (d, c)
+      }.min._2
+    }
+    val bVecs = b.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val atRestCells = codes.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "cell").distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toMap
+    bVecs.foreach { case (id, v) =>
+      assert(atRestCells(id) == assignOf(v),
+        s"vec $id landed in cell ${atRestCells(id)}, frozen-centroid argmin says ${assignOf(v)}")
+    }
+    // a probe over the appended index still partition-prunes on cell
+    val someCell = atRestCells.values.head
+    val probe = spark.read.parquet(s"$dir/codes").filter(col("cell") === someCell)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"IVFADC probe scan lost its cell partition filter:\n$plan")
+    // empty append is a clean no-op; wrong geometry is rejected whole
+    val before = codes.count()
+    AnnIndex.appendIvfPq8At(spark, dir, b.filter(col("vec_id") < 0))
+    assert(spark.read.parquet(s"$dir/codes").count() == before)
+    val short = b.withColumn("v", expr("slice(v, 1, 32)"))
+    intercept[IllegalArgumentException] { AnnIndex.appendIvfPq8At(spark, dir, short) }
+    assert(spark.read.parquet(s"$dir/codes").count() == before,
+      "a rejected append must leave the codes dir untouched")
+  }
+
   test("flat and batch-keyed layouts refuse to mix under one root") {
     val emb = Tables.embeddings(spark, sf).limit(20)
     val flatRoot = java.nio.file.Files.createTempDirectory("graft_srp_flat").toString
