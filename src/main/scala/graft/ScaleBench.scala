@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   * (sub-linear is common: fixed planning/setup overhead dominates 1×).
   */
 object ScaleBench {
-  val Factors = Seq(1, 10)
+  /** 1× and 10× by default; SPARK_GRAFT_SCALE_FACTORS="1,10,40" runs a
+    * deeper curve (r11 verdict task #4: the pair-join family trends ~3×
+    * at 10× — a deeper factor turns the "100×" claim into data). Each
+    * factor dir materializes once and persists under the work dir. */
+  val Factors: Seq[Int] = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+    .map(_.split(",").map(_.trim.toInt).toSeq.sorted)
+    .getOrElse(Seq(1, 10))
   /** Judge-named headline set + the two formerly-weak capped pair joins
     * (the point of measuring is to prove the DF cap made them linear). */
   val Queries = Seq(
@@ -58,7 +64,8 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty) // a blank knob means "full set", not "measure nothing"
     val queries = only.getOrElse(Queries)
-    val outFile = if (only.isDefined) "BENCH_SCALE_ONLY.json" else "BENCH_SCALE.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      if (only.isDefined) "BENCH_SCALE_ONLY.json" else "BENCH_SCALE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,8 +79,12 @@ object ScaleBench {
 
     Factors.foreach(f => materialize(spark, baseDir, s"$workDir/x$f", f))
     // at-rest ANN indexes per factor dir (same warm-up discipline as
-    // Bench: probes time the probe, not index construction)
-    Factors.foreach(f => operators.AnnIndex.ensureAll(spark, s"$workDir/x$f"))
+    // Bench: probes time the probe, not index construction) — skipped
+    // when the measured set touches no index, e.g. the deep pair-join
+    // curve, where building four index families per factor would
+    // dominate the harness for nothing
+    if (queries.exists(q => q.startsWith("ann")))
+      Factors.foreach(f => operators.AnnIndex.ensureAll(spark, s"$workDir/x$f"))
 
     def runFully(df: DataFrame): Long = df.queryExecution.toRdd.count()
     def cleanup(): Unit = {
@@ -105,15 +116,18 @@ object ScaleBench {
     }.toMap
 
     def fm(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val fMax = Factors.max
     val entries = queries.map { q =>
       val m = times(q)
+      val parts = Factors.map(f => s""""x$f":${fm(m(f))}""")
       val ratio =
-        if (m(1) > 0 && m(10) > 0) f"${m(10) / m(1)}%.2f" else "-1"
-      s""""$q":{"x1":${fm(m(1))},"x10":${fm(m(10))},"ratio":$ratio}"""
+        if (Factors.contains(1) && m(1) > 0 && m(fMax) > 0)
+          f"${m(fMax) / m(1)}%.2f" else "-1"
+      s""""$q":{${parts.mkString(",")},"ratio":$ratio}"""
     }
     val json =
       s"""{"metric":"scale_curve","base":"$baseDir","factors":[${Factors.mkString(",")}],
-         |"note":"x10 replicates sf0.1 with disjoint gram/id spaces; ratio=t(x10)/t(x1); linear scaling => ratio<=10 (sub-linear typical: fixed overhead dominates x1)",
+         |"note":"each xF replicates sf0.1 F times with disjoint gram/id spaces; ratio=t(x$fMax)/t(x1); linear scaling => ratio<=$fMax (sub-linear typical: fixed overhead dominates x1)",
          |"queries":{${entries.mkString(",")}}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

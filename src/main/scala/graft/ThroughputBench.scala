@@ -73,23 +73,28 @@ object ThroughputBench {
     // wall-clock second" and the 1×/10× pair isolates state growth
     // (10× the live session keys) from batch-size effects
     def tranchesFor(rows: Long): Int = math.max(2, (rows / 20000L).toInt)
-    val eps1 = fileSourceEps(spark, n, tranches = tranchesFor(n), tag = "1x")
+    val (eps1, _) = fileSourceEps(spark, n, tranches = tranchesFor(n), tag = "1x")
     println(f"[throughput] stream 1x file-source steady-state: $eps1%.0f events/s")
-    val eps10 = fileSourceEps(spark, n * 10, tranches = tranchesFor(n * 10), tag = "10x")
-    println(f"[throughput] stream 10x file-source steady-state: $eps10%.0f events/s")
-    // throughput-optimal trigger at the same 10× feed: 8 files = 40k
-    // events (TWO reference-seconds) per micro-batch. The per-batch
-    // fixed cost (~150-250 ms: offset/commit WAL + planning + commit
-    // of P state stores and P sink files) is batch-count-, not
-    // row-count-bound, so doubling the batch nearly doubles events/s —
-    // the measured latency/throughput dial a deployment picks its
-    // trigger by (1 s batches ≈ 35k eps ceiling; 2 s batches clear
-    // ~60k eps; the component means print per run above).
-    val eps10w = fileSourceEps(spark, n * 10, tranches = tranchesFor(n * 10),
-      tag = "10x_2s", maxFiles = 8)
-    println(f"[throughput] stream 10x 2s-batches: $eps10w%.0f events/s")
-
-    val json = f"""{"batch_eps":$batchEps%.0f,"stream_eps_1x":$eps1%.0f,"stream_eps_10x":$eps10%.0f,"stream_eps_10x_2s":$eps10w%.0f,"n_1x":$n}"""
+    // the latency/throughput CURVE at the 10× feed: the per-batch fixed
+    // cost (~150-250 ms: offset/commit WAL + planning + commit of P
+    // state stores and P sink files) is batch-count-, not row-count-
+    // bound, so events/s scales with trigger size while end-to-end
+    // latency is bounded by the batch wall time — the dial a deployment
+    // picks its trigger by. Three measured points (one reference-second
+    // = 20k events, two, four), each (trigger_events, eps, batch_ms):
+    val curve = Seq(4, 8, 16).map { maxFiles =>
+      val tag = s"10x_${maxFiles / 4}s"
+      val (eps, bms) = fileSourceEps(spark, n * 10,
+        tranches = tranchesFor(n * 10), tag = tag, maxFiles = maxFiles)
+      println(f"[throughput] stream $tag (${maxFiles * 5000} events/trigger): $eps%.0f events/s, batch $bms%.0f ms")
+      (maxFiles * 5000, eps, bms)
+    }
+    val eps10 = curve(0)._2
+    val eps10w = curve(1)._2
+    val curveJson = curve.map { case (te, eps, bms) =>
+      f"""{"trigger_events":$te,"eps":$eps%.0f,"batch_ms":$bms%.0f}""" }
+      .mkString("[", ",", "]")
+    val json = f"""{"batch_eps":$batchEps%.0f,"stream_eps_1x":$eps1%.0f,"stream_eps_10x":$eps10%.0f,"stream_eps_10x_2s":$eps10w%.0f,"n_1x":$n,"curve":$curveJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (json + "\n").getBytes("UTF-8"))
     println(s"[throughput] $json")
@@ -112,7 +117,7 @@ object ThroughputBench {
     * The timed query then processes the FULL n-event feed from a
     * fresh checkpoint with every batch at steady state. */
   def fileSourceEps(spark: SparkSession, n: Long, tranches: Int, tag: String,
-                    maxFiles: Int = sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "4").toInt): Double = {
+                    maxFiles: Int = sys.env.getOrElse("SPARK_GRAFT_MAX_FILES", "4").toInt): (Double, Double) = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
     val base = java.nio.file.Files.createTempDirectory(s"graft_tp_$tag").toString
@@ -133,7 +138,7 @@ object ThroughputBench {
     land(warmDrop, 0, per, seed = 7L)
     val schema = spark.read.parquet(warmDrop).schema
 
-    def runOnce(drop: String, ckpt: String, sink: String): Double = {
+    def runOnce(drop: String, ckpt: String, sink: String): (Double, Double) = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFiles).parquet(drop)
       // the reference hot path: 3 broadcast dim lookups (J5), k-means
@@ -162,8 +167,10 @@ object ThroughputBench {
       // is query start/stop overhead — fixed per deployment, amortized
       // to nothing in a long-running stream)
       val prog = q.recentProgress.filter(_.numInputRows > 0)
+      var meanBatchMs = 0.0
       if (prog.nonEmpty) {
         val batchSecs = prog.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
+        meanBatchMs = batchSecs.sum * 1000.0 / prog.length
         println(f"[throughput] $tag: ${prog.length} data batches, " +
           f"batch wall ${batchSecs.sum}%.2f s of $wall%.2f s total " +
           f"(start/stop overhead ${wall - batchSecs.sum}%.2f s); " +
@@ -179,7 +186,7 @@ object ThroughputBench {
         }
         println(s"[throughput] $tag per-batch component means: ${means.mkString(" ")}")
       }
-      wall
+      (wall, meanBatchMs)
     }
     // warm leg: three 20k batches of the same plan over the warm feed
     // (the measured JIT decay horizon), throwaway checkpoint/sink
@@ -190,10 +197,10 @@ object ThroughputBench {
       val hi = if (t == tranches - 1) n else (t + 1) * per
       land(drop, t * per, hi, seed = 42L + t)
     }
-    val sec = runOnce(drop, ckpt, sink)
+    val (sec, meanBatchMs) = runOnce(drop, ckpt, sink)
     val eps = n / sec
     val exported = spark.read.parquet(sink).count()
     println(f"[throughput] $tag: $n timed events ($exported total exported session-openers), $sec%.2f s")
-    eps
+    (eps, meanBatchMs)
   }
 }
