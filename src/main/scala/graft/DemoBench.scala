@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.EventGen
-import graft.streaming.{IngestPipeline, Retention, SessionDedup, StreamingViews}
+import graft.streaming.{IngestPipeline, Retention, StreamingViews}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
@@ -88,23 +88,19 @@ object DemoBench {
     import spark.implicits._
     implicit val sp: SparkSession = spark
 
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
-    // RocksDB + changelog checkpointing: the session-gate state is
-    // workload-bounded (~gap-window × offered-rate keys) but still
-    // ~1M live entries at 25k events/s — the default in-heap provider's
-    // periodic full-map snapshots turned into GC pressure that degraded
-    // every leg over a 300-s run (measured 25k→15k events/s drift);
-    // RocksDB keeps state off-heap and changelog checkpointing makes
-    // the per-batch commit O(delta), the same config the state-scale
-    // benches validated flat to 10^7 keys
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProv = spark.conf.getOption(provKey)
-    val prevChg = spark.conf.getOption(chgKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(chgKey, "true")
+    val stop = new AtomicBoolean(false)
+    /** Sleep toward a deadline in ≤1-s slices, bailing as soon as the
+      * run is stopped — so shutdown never waits out a long tick sleep
+      * (a 30-s retention sleep would otherwise outlive the join grace
+      * and race the final sink read / temp-dir delete). */
+    def sleepUntil(deadlineNanos: Long): Unit = {
+      var remMs = (deadlineNanos - System.nanoTime()) / 1000000L
+      while (!stop.get() && remMs > 0) {
+        Thread.sleep(math.min(1000L, remMs))
+        remMs = (deadlineNanos - System.nanoTime()) / 1000000L
+      }
+    }
+
     val base = java.nio.file.Files.createTempDirectory("graft_demo").toString
     val drop = s"$base/drop"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
     val viewSink = s"$base/view_sink"; val viewCkpt = s"$base/view_ckpt"
@@ -125,7 +121,6 @@ object DemoBench {
     val tsScale = math.max(1L, 1000000L / per) // spread a tranche across its second
     val landed = new AtomicLong(0)
     val latestTrancheMicros = new AtomicLong(genBase)
-    val stop = new AtomicBoolean(false)
     val stage = s"$base/stage"
     val nTranches = warmSec + durationSec + 90 // slack: shutdown + feeder never starves
     // one generation job for the whole feed, dynamic-partitioned by
@@ -156,14 +151,17 @@ object DemoBench {
       while (!stop.get() && t < nTranches) {
         land(t); t += 1
         next += 1000000000L
-        val sleepMs = (next - System.nanoTime()) / 1000000L
-        if (sleepMs > 0) Thread.sleep(sleepMs)
+        sleepUntil(next)
       }
     }, "demo-feeder")
 
     // ---- progress listener: per-query processed rows + batch times --
+    // batch samples carry an arrival timestamp so batch_ms_mean can be
+    // computed over the TIMED WINDOW only, like every other stat —
+    // billing the warm-up's JIT/first-commit batches would overstate
+    // the steady-state batch time the artifact reports
     val rowsByQuery = new ConcurrentHashMap[java.util.UUID, AtomicLong]()
-    val ingestBatchMs = new ConcurrentLinkedQueue[java.lang.Long]()
+    val ingestBatch = new ConcurrentLinkedQueue[(Long, Long)]() // (atNanos, ms)
     @volatile var ingestId: java.util.UUID = null
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -172,11 +170,35 @@ object DemoBench {
         val p = e.progress
         rowsByQuery.computeIfAbsent(p.id, _ => new AtomicLong()).addAndGet(p.numInputRows)
         if (p.id == ingestId && p.numInputRows > 0)
-          ingestBatchMs.add(p.durationMs.get("triggerExecution"))
+          ingestBatch.add((System.nanoTime(), p.durationMs.get("triggerExecution").toLong))
       }
     }
     spark.streams.addListener(listener)
 
+    // session-conf mutations land HERE, immediately before the guarded
+    // region, so any failure after them reaches the finally that
+    // restores the previous values (the suite shares this session).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    // RocksDB + changelog checkpointing: the session-gate state is
+    // workload-bounded (~gap-window × offered-rate keys) but still
+    // ~1M live entries at 25k events/s — the default in-heap provider's
+    // periodic full-map snapshots turned into GC pressure that degraded
+    // every leg over a 300-s run (measured 25k→15k events/s drift);
+    // RocksDB keeps state off-heap and changelog checkpointing makes
+    // the per-batch commit O(delta), the same config the state-scale
+    // benches validated flat to 10^7 keys
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChg = spark.conf.getOption(chgKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(chgKey, "true")
+    var ingestQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var viewQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var srv: graft.server.QueryServer = null
+    try {
     // ---- ingest query: the full reference hot path ------------------
     // maxFilesPerTrigger=4 = up to FOUR offered-seconds per batch (one
     // file per tranche): at steady state each 1-s trigger clears one
@@ -184,20 +206,13 @@ object DemoBench {
     // offered rate instead of letting backlog ratchet
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(drop)
-    val enriched = IngestPipeline.enrich(stream, EventGen.dests(spark), EventGen.agents(spark))
-    val scored = enriched.withColumn("cluster",
-      graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
-        pmod(col("src").cast("double"), lit(100.0)), col("value").cast("double")).cast("int"))
-    val rich = scored.select(
-      col("event_id"), col("src").cast("long").as("user_id"),
-      col("dest").as("event_type"), col("ts"), col("value").cast("double").as("value"),
-      col("dest_id"), col("referral_id"), col("agent_id"), col("cluster"))
-      .as[SessionDedup.RichEv]
-    val gated = SessionDedup.dedupRich(rich)
+    // the ONE shared hot-path definition (IngestPipeline.hotPath) —
+    // this harness must measure exactly what ThroughputBench measures
+    val gated = IngestPipeline.hotPath(stream)
     // plain-parquet append in foreachBatch (no _spark_metadata log), so
     // the retention tick can drop whole event-time partitions without
     // corrupting a sink manifest
-    val ingestQ = gated.toDF()
+    ingestQ = gated.toDF()
       .withColumn("date_min", date_format(col("ts"), bucketPattern))
       .writeStream
       .option("checkpointLocation", ckpt)
@@ -209,7 +224,7 @@ object DemoBench {
     ingestId = ingestQ.id
 
     // ---- view-maintenance query (A4 per-second tier) ----------------
-    val viewQ = StreamingViews.eventsBySecond(
+    viewQ = StreamingViews.eventsBySecond(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(drop)
           .select(col("src").cast("long").as("user_id"), col("ts")))
       .writeStream
@@ -220,7 +235,7 @@ object DemoBench {
       .start()
 
     // ---- dashboard over live HTTP ------------------------------------
-    val srv = new graft.server.QueryServer(spark, sfDir) // tier materializes here (warm phase)
+    srv = new graft.server.QueryServer(spark, sfDir) // tier materializes here (warm phase)
     val port = srv.start()
     val http = java.net.http.HttpClient.newHttpClient()
     final case class Sample(atNanos: Long, proc: String, latNanos: Long, ok: Boolean)
@@ -247,31 +262,39 @@ object DemoBench {
       while (!stop.get()) {
         DashCalls.foreach { case (p, a) => fire(p, a) }
         next += 1000000000L
-        val sleepMs = (next - System.nanoTime()) / 1000000L
-        if (sleepMs > 0) Thread.sleep(sleepMs)
+        if (next > System.nanoTime()) sleepUntil(next)
         else next = System.nanoTime() // overran the tick: resume at now, don't burst
       }
     }, "demo-dashboard")
     val refreshes = new AtomicLong(0)
+    val srvRef = srv
     val refresher = new Thread(() => {
       while (!stop.get()) {
         val deadline = System.nanoTime() + refreshEverySec * 1000000000L
-        srv.refresh(); refreshes.incrementAndGet()
-        val sleepMs = (deadline - System.nanoTime()) / 1000000L
-        if (sleepMs > 0) Thread.sleep(sleepMs)
+        srvRef.refresh(); refreshes.incrementAndGet()
+        sleepUntil(deadline)
       }
     }, "demo-refresher")
 
     // ---- retention tick ----------------------------------------------
     val dropped = new ConcurrentLinkedQueue[String]()
     val retain = new Thread(() => {
+      // format the horizon in the SESSION time zone — partition names
+      // come from date_format(ts, bucketPattern), which renders in
+      // spark.sql.session.timeZone; a hard-coded UTC formatter on a
+      // non-UTC session would mis-target by the zone offset (west of
+      // UTC it would drop the partition currently being appended)
       val fmt = java.time.format.DateTimeFormatter.ofPattern(bucketPattern)
-        .withZone(java.time.ZoneOffset.UTC)
+        .withZone(java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID)))
       while (!stop.get()) {
-        Thread.sleep(retentionEverySec * 1000L)
-        val horizonMicros = latestTrancheMicros.get() - keepSeconds * 1000000L
-        val minKeep = fmt.format(java.time.Instant.ofEpochSecond(horizonMicros / 1000000L))
-        Retention.dropOldPartitions(sink, minKeep).foreach(dropped.add)
+        sleepUntil(System.nanoTime() + retentionEverySec * 1000000000L)
+        if (!stop.get()) {
+          val horizonMicros = latestTrancheMicros.get() - keepSeconds * 1000000L
+          val minKeep = fmt.format(java.time.Instant.ofEpochSecond(horizonMicros / 1000000L))
+          Retention.dropOldPartitions(sink, minKeep).foreach(dropped.add)
+        }
       }
     }, "demo-retention")
 
@@ -284,27 +307,19 @@ object DemoBench {
     def processed(id: java.util.UUID): Long =
       Option(rowsByQuery.get(id)).map(_.get()).getOrElse(0L)
     val rows0 = processed(ingestQ.id); val viewRows0 = processed(viewQ.id)
-    val landed0 = landed.get()
+    val landed0 = landed.get(); val refreshes0 = refreshes.get()
     val windowStart = System.nanoTime()
     Thread.sleep(durationSec * 1000L)
     val windowEnd = System.nanoTime()
     val rows1 = processed(ingestQ.id); val viewRows1 = processed(viewQ.id)
-    val landed1 = landed.get()
+    val landed1 = landed.get(); val refreshes1 = refreshes.get()
 
     stop.set(true)
-    Seq(feeder, dash, refresher, retain).foreach(_.join(20000))
+    Seq(feeder, dash, refresher, retain).foreach(_.join(5000))
     // drain the backlog so the landed-vs-processed bookkeeping below
     // reflects steady state, not shutdown timing
     Thread.sleep(2000)
     ingestQ.stop(); viewQ.stop(); srv.stop()
-    spark.streams.removeListener(listener)
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    prevProv match {
-      case Some(v) => spark.conf.set(provKey, v); case None => spark.conf.unset(provKey)
-    }
-    prevChg match {
-      case Some(v) => spark.conf.set(chgKey, v); case None => spark.conf.unset(chgKey)
-    }
 
     val wallSec = (windowEnd - windowStart) / 1e9
     val windowSamples = samples.toArray(Array.empty[Sample])
@@ -318,7 +333,13 @@ object DemoBench {
       ProcStats(proc, l.length, pctMs(l, 0.50), pctMs(l, 0.99),
         if (l.isEmpty) 0.0 else l.last / 1e6)
     }
-    val batchTimes = ingestBatchMs.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    // every rate/latency stat below is windowed to [windowStart,
+    // windowEnd): batch times by their arrival stamp, errors by their
+    // sample stamp, refreshes by counter snapshots. droppedPartitions
+    // stays run-cumulative (a mechanics counter — drops only become
+    // possible once event time outruns the keep horizon).
+    val batchTimes = ingestBatch.toArray(Array.empty[(Long, Long)])
+      .filter(b => b._1 >= windowStart && b._1 < windowEnd).map(_._2)
     val exportRows =
       try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
     val res = DemoResult(
@@ -333,14 +354,35 @@ object DemoBench {
       dashCalls = windowSamples.length,
       dashP50Ms = pctMs(allLat, 0.50), dashP99Ms = pctMs(allLat, 0.99),
       dashMaxMs = if (allLat.isEmpty) 0.0 else allLat.last / 1e6,
-      dashErrors = dashErrors.get().toInt,
-      refreshes = refreshes.get().toInt,
+      dashErrors = windowSamples.count(!_.ok),
+      refreshes = (refreshes1 - refreshes0).toInt,
       droppedPartitions = dropped.size(),
       viewRows = viewRows1 - viewRows0,
       exportRows = exportRows,
       perProc = perProc)
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res
+    } finally {
+      // reached on BOTH paths; everything here is idempotent. On a
+      // mid-run failure this stops the daemon threads (their sleeps are
+      // sliced on `stop`), tears down queries/server, and restores the
+      // session confs — without it, a single query-start failure in the
+      // shared suite session would leave shuffle.partitions and the
+      // RocksDB provider set for every subsequent suite, the HTTP port
+      // bound, and the feeder landing tranches forever.
+      stop.set(true)
+      if (ingestQ != null) try ingestQ.stop() catch { case _: Exception => }
+      if (viewQ != null) try viewQ.stop() catch { case _: Exception => }
+      if (srv != null) try srv.stop() catch { case _: Exception => }
+      spark.streams.removeListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v); case None => spark.conf.unset(provKey)
+      }
+      prevChg match {
+        case Some(v) => spark.conf.set(chgKey, v); case None => spark.conf.unset(chgKey)
+      }
+    }
   }
 
   /** Allocation file declaring the default pool internally FAIR (all

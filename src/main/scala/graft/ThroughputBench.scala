@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.IngestOps
 import graft.sources.EventGen
-import graft.streaming.{IngestPipeline, SessionDedup}
+import graft.streaming.IngestPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -141,19 +141,9 @@ object ThroughputBench {
     def runOnce(drop: String, ckpt: String, sink: String): (Double, Double) = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFiles).parquet(drop)
-      // the reference hot path: 3 broadcast dim lookups (J5), k-means
-      // scoring (J3/M2), 30-s session gate (J4/ST4) — one query, every
-      // stage's columns surviving to the sink
-      val enriched = IngestPipeline.enrich(stream, EventGen.dests(spark), EventGen.agents(spark))
-      val scored = enriched.withColumn("cluster",
-        graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
-          pmod(col("src").cast("double"), lit(100.0)), col("value").cast("double")).cast("int"))
-      val rich = scored.select(
-        col("event_id"), col("src").cast("long").as("user_id"),
-        col("dest").as("event_type"), col("ts"), col("value").cast("double").as("value"),
-        col("dest_id"), col("referral_id"), col("agent_id"), col("cluster"))
-        .as[SessionDedup.RichEv]
-      val gated = SessionDedup.dedupRich(rich)
+      // the reference hot path (enrich → score → 30-s gate), the ONE
+      // shared definition every harness measures — IngestPipeline.hotPath
+      val gated = IngestPipeline.hotPath(stream)
       val t0 = System.nanoTime()
       val q = gated.toDF().writeStream
         .option("checkpointLocation", ckpt)

@@ -107,7 +107,11 @@ object AnnIndex {
     val it = relCache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
-      if (k.substring(k.indexOf(':') + 1).startsWith(path)) it.remove()
+      val cached = k.substring(k.indexOf(':') + 1)
+      // path-separator boundary: invalidating /data/idx must not evict
+      // a sibling /data/idx2's listings (over-invalidation re-walks
+      // thousands of bucket dirs on the untouched index's next probe)
+      if (cached == path || cached.startsWith(path + "/")) it.remove()
     }
   }
 

@@ -104,6 +104,15 @@ object RetrievalOps2 {
           col("n").as("nq"), col("label").as("qlabel")))
     q.crossJoin(queries)
       .filter(col("vec_id") =!= col("qid"))
+      // candidate-side NaN guard (redundant under dims=Some, which
+      // already filters): a zero-quantized candidate scores 0/0 = NaN
+      // and Spark orders NaN above every real double, so it would top
+      // EVERY query's exact ranking — and the ANN legs (which carry
+      // the same guard) could then never match the exact top-10,
+      // silently capping every recall row below 1.0. Query selection
+      // and the label census stay unguarded so both legs and the
+      // DuckDB oracle keep identical query sets and denominators.
+      .filter(col("n") > 0)
       .withColumn("dot",
         graft.functions.VectorFunctions.dot_i64(col("q"), col("qq")))
       .withColumn("sim", col("dot") / sqrt((col("n") * col("nq")).cast("double")))
@@ -254,7 +263,7 @@ object RetrievalOps2 {
       |           ORDER BY CAST(d.dot AS DOUBLE)
       |                    / sqrt(CAST(nm.n * d.nq AS DOUBLE)) DESC, d.vec_id)
       |           AS rn
-      |  FROM dots d JOIN norms nm ON d.vec_id = nm.vec_id),
+      |  FROM dots d JOIN norms nm ON d.vec_id = nm.vec_id AND nm.n > 0),
       |topk AS (SELECT * FROM ranked WHERE rn <= 10),
       |census AS (SELECT label, count(*) AS n_label FROM norms GROUP BY label),
       |rel AS (

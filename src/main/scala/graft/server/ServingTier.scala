@@ -39,7 +39,7 @@ final class ServingTier(spark: SparkSession, dir: String) {
       case _ =>
     }
 
-  def refresh(): Unit = {
+  def refresh(): Unit = synchronized {
     val ev = Tables.events(spark, dir)
     val bySec = ev.groupBy(date_trunc("second", col("ts")).as("second_ts"), col("user_id"))
       .agg(count(lit(1)).as("count_values"))

@@ -36,6 +36,32 @@ object IngestPipeline {
       .drop("dest_key", "referral_key", "agent_key")
   }
 
+  /** The full reference hot path over a raw generated-event stream:
+    * 3 broadcast dim lookups (J5) → k-means scoring against the
+    * literal center set (J3/M2) → enriched-shape projection → 30-s
+    * session gate (J4/ST4). ONE definition shared by every harness
+    * that claims to measure "the reference hot path"
+    * (ThroughputBench's steady-state legs and DemoBench's integrated
+    * run) — two hand-maintained copies measured the same claim while
+    * being free to drift apart. */
+  def hotPath(stream: DataFrame)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[SessionDedup.RichEv] = {
+    import spark.implicits._
+    val enriched = enrich(stream,
+      graft.sources.EventGen.dests(spark), graft.sources.EventGen.agents(spark))
+    val scored = enriched.withColumn("cluster",
+      graft.ml.MLOps.scoreExpr(graft.ml.MLOps.literalCenterSeq,
+        pmod(col("src").cast("double"), lit(100.0)),
+        col("value").cast("double")).cast("int"))
+    val rich = scored.select(
+      col("event_id"), col("src").cast("long").as("user_id"),
+      col("dest").as("event_type"), col("ts"),
+      col("value").cast("double").as("value"),
+      col("dest_id"), col("referral_id"), col("agent_id"), col("cluster"))
+      .as[SessionDedup.RichEv]
+    SessionDedup.dedupRich(rich)
+  }
+
   /** J3/M2 scoring expression against the model currently held by
     * `swap` — call inside foreachBatch so each micro-batch reads one
     * consistent version. Features (f1, f2) score against (c1, c2). */
