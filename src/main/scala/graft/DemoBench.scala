@@ -85,7 +85,6 @@ object DemoBench {
           refreshEverySec: Int = 15, retentionEverySec: Int = 30,
           keepSeconds: Int = 120, streamParts: String = "8",
           bucketPattern: String = "yyyy-MM-dd-HH-mm"): DemoResult = {
-    import spark.implicits._
     implicit val sp: SparkSession = spark
 
     val stop = new AtomicBoolean(false)
@@ -156,12 +155,14 @@ object DemoBench {
     }, "demo-feeder")
 
     // ---- progress listener: per-query processed rows + batch times --
-    // batch samples carry an arrival timestamp so batch_ms_mean can be
-    // computed over the TIMED WINDOW only, like every other stat —
-    // billing the warm-up's JIT/first-commit batches would overstate
-    // the steady-state batch time the artifact reports
+    // batch samples are stamped with the TRIGGER's own wall-clock
+    // timestamp (p.timestamp), not listener-delivery time — the async
+    // listener bus can back up under warm-up load and deliver a
+    // warm-up batch's event after the window opens, which would bill
+    // exactly the JIT/first-commit batch the windowing exists to
+    // exclude. Window bounds for batches are therefore wall-clock ms.
     val rowsByQuery = new ConcurrentHashMap[java.util.UUID, AtomicLong]()
-    val ingestBatch = new ConcurrentLinkedQueue[(Long, Long)]() // (atNanos, ms)
+    val ingestBatch = new ConcurrentLinkedQueue[(Long, Long)]() // (triggerEpochMs, ms)
     @volatile var ingestId: java.util.UUID = null
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -170,15 +171,26 @@ object DemoBench {
         val p = e.progress
         rowsByQuery.computeIfAbsent(p.id, _ => new AtomicLong()).addAndGet(p.numInputRows)
         if (p.id == ingestId && p.numInputRows > 0)
-          ingestBatch.add((System.nanoTime(), p.durationMs.get("triggerExecution").toLong))
+          ingestBatch.add((java.time.Instant.parse(p.timestamp).toEpochMilli,
+            p.durationMs.get("triggerExecution").toLong))
       }
     }
-    spark.streams.addListener(listener)
 
-    // session-conf mutations land HERE, immediately before the guarded
-    // region, so any failure after them reaches the finally that
-    // restores the previous values (the suite shares this session).
+    // previous conf values are READ here; the mutations themselves
+    // happen as the first statements inside the guarded region, so any
+    // failure after the first set reaches the finally that restores
+    // them (the suite shares this session). Restoring an unmutated key
+    // to its just-read previous value is a harmless no-op.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChg = spark.conf.getOption(chgKey)
+    var ingestQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var viewQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var srv: graft.server.QueryServer = null
+    try {
+    spark.streams.addListener(listener)
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     // RocksDB + changelog checkpointing: the session-gate state is
     // workload-bounded (~gap-window × offered-rate keys) but still
@@ -188,17 +200,9 @@ object DemoBench {
     // RocksDB keeps state off-heap and changelog checkpointing makes
     // the per-batch commit O(delta), the same config the state-scale
     // benches validated flat to 10^7 keys
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProv = spark.conf.getOption(provKey)
-    val prevChg = spark.conf.getOption(chgKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(chgKey, "true")
-    var ingestQ: org.apache.spark.sql.streaming.StreamingQuery = null
-    var viewQ: org.apache.spark.sql.streaming.StreamingQuery = null
-    var srv: graft.server.QueryServer = null
-    try {
     // ---- ingest query: the full reference hot path ------------------
     // maxFilesPerTrigger=4 = up to FOUR offered-seconds per batch (one
     // file per tranche): at steady state each 1-s trigger clears one
@@ -240,7 +244,6 @@ object DemoBench {
     val http = java.net.http.HttpClient.newHttpClient()
     final case class Sample(atNanos: Long, proc: String, latNanos: Long, ok: Boolean)
     val samples = new ConcurrentLinkedQueue[Sample]()
-    val dashErrors = new AtomicLong(0)
     def fire(proc: String, params: String): Unit = {
       val uri = java.net.URI.create(
         s"http://127.0.0.1:$port/api/1.0/?Procedure=" +
@@ -249,12 +252,15 @@ object DemoBench {
       val t0 = System.nanoTime()
       val ok =
         try {
+          // request timeout bounds shutdown: an untimed send parked on
+          // a socket the teardown just closed would outlive the join
+          // grace and keep the dash thread alive into the next suite
           val resp = http.send(
-            java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+            java.net.http.HttpRequest.newBuilder(uri)
+              .timeout(java.time.Duration.ofSeconds(10)).GET().build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           resp.statusCode() == 200 && resp.body().contains("\"status\":1")
         } catch { case _: Exception => false }
-      if (!ok) dashErrors.incrementAndGet()
       samples.add(Sample(t0, proc, System.nanoTime() - t0, ok))
     }
     val dash = new Thread(() => {
@@ -309,13 +315,19 @@ object DemoBench {
     val rows0 = processed(ingestQ.id); val viewRows0 = processed(viewQ.id)
     val landed0 = landed.get(); val refreshes0 = refreshes.get()
     val windowStart = System.nanoTime()
+    val windowStartMs = System.currentTimeMillis()
     Thread.sleep(durationSec * 1000L)
     val windowEnd = System.nanoTime()
+    val windowEndMs = System.currentTimeMillis()
     val rows1 = processed(ingestQ.id); val viewRows1 = processed(viewQ.id)
     val landed1 = landed.get(); val refreshes1 = refreshes.get()
 
     stop.set(true)
-    Seq(feeder, dash, refresher, retain).foreach(_.join(5000))
+    // the refresher gets a longer grace: it can be mid-refresh (a real
+    // multi-second Spark job under load) and must not still be running
+    // on the shared session after the confs are restored below
+    Seq(feeder, dash, retain).foreach(_.join(5000))
+    refresher.join(30000)
     // drain the backlog so the landed-vs-processed bookkeeping below
     // reflects steady state, not shutdown timing
     Thread.sleep(2000)
@@ -334,12 +346,13 @@ object DemoBench {
         if (l.isEmpty) 0.0 else l.last / 1e6)
     }
     // every rate/latency stat below is windowed to [windowStart,
-    // windowEnd): batch times by their arrival stamp, errors by their
-    // sample stamp, refreshes by counter snapshots. droppedPartitions
-    // stays run-cumulative (a mechanics counter — drops only become
-    // possible once event time outruns the keep horizon).
+    // windowEnd): batch times by their TRIGGER timestamp (wall-clock
+    // ms), errors by their sample stamp, refreshes by counter
+    // snapshots. droppedPartitions stays run-cumulative (a mechanics
+    // counter — drops only become possible once event time outruns the
+    // keep horizon).
     val batchTimes = ingestBatch.toArray(Array.empty[(Long, Long)])
-      .filter(b => b._1 >= windowStart && b._1 < windowEnd).map(_._2)
+      .filter(b => b._1 >= windowStartMs && b._1 < windowEndMs).map(_._2)
     val exportRows =
       try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
     val res = DemoResult(

@@ -104,14 +104,17 @@ object AnnIndex {
     * keeps serving the pre-write file set. Keys are
     * `<sessionHash>:<path…>`, so we match on the path suffix. */
   private def invalidateCached(path: String): Unit = {
+    // normalize trailing slashes on BOTH sides: a caller-supplied
+    // "/data/idx/" must still invalidate the cached "/data/idx/codes"
+    val p = path.replaceAll("/+$", "")
     val it = relCache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()
-      val cached = k.substring(k.indexOf(':') + 1)
+      val cached = k.substring(k.indexOf(':') + 1).replaceAll("/+$", "")
       // path-separator boundary: invalidating /data/idx must not evict
       // a sibling /data/idx2's listings (over-invalidation re-walks
       // thousands of bucket dirs on the untouched index's next probe)
-      if (cached == path || cached.startsWith(path + "/")) it.remove()
+      if (cached == p || cached.startsWith(p + "/")) it.remove()
     }
   }
 
