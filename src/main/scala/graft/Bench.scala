@@ -36,6 +36,7 @@ object Bench {
     // chasing (re-time a handful of queries n times on a quiet box)
     // without paying for the whole registry. Headline/driver runs leave
     // both unset and are unaffected.
+    val loadBefore = BoxLoad.loadavg1m()
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
@@ -84,10 +85,16 @@ object Bench {
       "nation_trade_pagerank", "ewma_anomaly", "dedup_blocks")
     // targeted (SPARK_GRAFT_ONLY) runs must not clobber the committed
     // full-registry map with a 2-query one
+    val loadMid = BoxLoad.loadavg1m()
+    // _-prefixed so tools/scale_ratio.py (which ratios every key pair)
+    // knows to skip the load-evidence fields
     if (only.isEmpty) try {
+      val full = jmap(results.toSeq.sortBy(_._1)).dropRight(1) +
+        "," + BoxLoad.jsonFields(loadBefore, loadMid)
+          .replace("\"loadavg_", "\"_loadavg_") + "}"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
-        (jmap(results.toSeq.sortBy(_._1)) + "\n").getBytes("UTF-8"))
+        (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full-map write failed: $e") }
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
@@ -106,7 +113,8 @@ object Bench {
       }.sorted
       (nEvents / ts(1)).round
     } catch { case _: Throwable => -1L }
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,"queries":$qs,"sf":"$sfDir"}"""
+    val loadAfter = BoxLoad.loadavg1m()
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,${BoxLoad.jsonFields(loadBefore, loadAfter)},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // printed LAST, after spark.stop(), so no straggler executor log
     // line can land between this and process exit and push it out of

@@ -11,7 +11,9 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
 /** Integrated demo-parity bench: the reference's actual operating mode
   * is everything AT ONCE — `run.sh:144-159` starts the 20k-events/s
   * client and the retention nibbler together while the dashboard
-  * (`web/js/voltdb-dashboard.js:50-75`) polls five procedures plus one
+  * (`web/js/demo.js:2-45`, RefreshData/RefreshStats, wired to 1-s
+  * intervals by `web/js/voltdb-dashboard.js:52-75`) polls five
+  * procedures plus one
   * `@Statistics` call every second for the whole 900-s demo. Every
   * other bench here measures one leg in isolation; this one runs them
   * simultaneously and grades the two contract numbers UNDER each
@@ -49,24 +51,44 @@ object DemoBench {
   final case class ProcStats(proc: String, calls: Int,
                              p50Ms: Double, p99Ms: Double, maxMs: Double)
 
+  /** One sub-window slice of the timed window — drift visibility for
+    * long endurance runs (a 900-s mean hides a 25k→15k decay; six
+    * 150-s slices don't). */
+  final case class SubWin(startSec: Int, eps: Double, dashP99Ms: Double,
+                          batches: Int, dashCalls: Int)
+
   final case class DemoResult(
     durationSec: Double, offeredEps: Double, sustainedEps: Double,
     landedRows: Long, processedRows: Long, backlogRows: Long,
     batchMsMean: Double, batches: Int,
     dashCalls: Int, dashP50Ms: Double, dashP99Ms: Double, dashMaxMs: Double,
     dashErrors: Int, refreshes: Int, droppedPartitions: Int,
-    viewRows: Long, exportRows: Long, perProc: Seq[ProcStats]) {
+    viewRows: Long, exportRows: Long, perProc: Seq[ProcStats],
+    subWindows: Seq[SubWin] = Nil,
+    restartAtSec: Int = -1, recoverySec: Double = -1.0,
+    expectedExportRows: Long = -1L, sinkFiles: Int = -1,
+    loadBefore: Double = -1.0, loadAfter: Double = -1.0) {
 
     def json: String = {
       val procs = perProc.map(p =>
         f""""${p.proc}":{"calls":${p.calls},"p50_ms":${p.p50Ms}%.1f,"p99_ms":${p.p99Ms}%.1f,"max_ms":${p.maxMs}%.1f}""")
         .mkString("{", ",", "}")
-      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"per_proc":$procs}"""
+      val subs = subWindows.map(w =>
+        f"""{"start_sec":${w.startSec},"eps":${w.eps}%.0f,"dash_p99_ms":${w.dashP99Ms}%.1f,"batches":${w.batches},"dash_calls":${w.dashCalls}}""")
+        .mkString("[", ",", "]")
+      val restart =
+        if (restartAtSec < 0) ""
+        else f""","restart_at_sec":$restartAtSec,"recovery_sec":$recoverySec%.1f"""
+      val exact =
+        if (expectedExportRows < 0) ""
+        else s""","expected_export_rows":$expectedExportRows"""
+      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"sub_windows":$subs$restart$exact,"per_proc":$procs}"""
     }
   }
 
-  /** The dashboard's exact 1 Hz call set (voltdb-dashboard.js:50-75):
-    * five registered procedures plus the @Statistics poll. */
+  /** The dashboard's exact 1 Hz call set (web/js/demo.js:2-45 —
+    * RefreshData's five procedures and RefreshStats' @Statistics poll;
+    * voltdb-dashboard.js:52-75 only wires the 1-s intervals). */
   private val DashCalls: Seq[(String, String)] = Seq(
     "GetTopUsers" -> "[60,10]",
     "GetTopDests" -> "[60,10]",
@@ -80,14 +102,32 @@ object DemoBench {
     * serving tier's initial materialization are once-per-process costs
     * a sustained-rate claim must not bill). All legs run through warm-up
     * AND the timed window; stats come from the timed window only. */
+  /** @param killIngestAtSec hard-stop the ingest query this many
+    *        seconds into the timed window (the in-flight micro-batch is
+    *        interrupted before its commit — a crash at the commit
+    *        protocol level, not a graceful drain) and restart it from
+    *        the same checkpoint while feeder/view/dashboard/retention
+    *        keep running; records when backlog re-drains.
+    * @param verifyExactness after the timed window, stop the feeder,
+    *        drain the ingest query completely, and compute the expected
+    *        export count by a BATCH replay of the gap rule over every
+    *        landed event — `expectedExportRows == exportRows` is the
+    *        exactly-once contract across crash restarts (the sink is
+    *        batchId-keyed, so a replayed batch overwrites itself).
+    * @param subWindowSec slice width for per-sub-window eps/p99. */
   def run(spark: SparkSession, sfDir: String,
           durationSec: Int, offeredEps: Int = 25000, warmSec: Int = 20,
           refreshEverySec: Int = 15, retentionEverySec: Int = 30,
           keepSeconds: Int = 120, streamParts: String = "8",
-          bucketPattern: String = "yyyy-MM-dd-HH-mm"): DemoResult = {
+          bucketPattern: String = "yyyy-MM-dd-HH-mm",
+          killIngestAtSec: Option[Int] = None,
+          verifyExactness: Boolean = false,
+          subWindowSec: Int = 150): DemoResult = {
     implicit val sp: SparkSession = spark
 
+    val loadBefore = BoxLoad.loadavg1m()
     val stop = new AtomicBoolean(false)
+    val feederDone = new AtomicBoolean(false)
     /** Sleep toward a deadline in ≤1-s slices, bailing as soon as the
       * run is stopped — so shutdown never waits out a long tick sleep
       * (a 30-s retention sleep would otherwise outlive the join grace
@@ -147,7 +187,7 @@ object DemoBench {
     val feeder = new Thread(() => {
       var t = 1
       var next = System.nanoTime()
-      while (!stop.get() && t < nTranches) {
+      while (!stop.get() && !feederDone.get() && t < nTranches) {
         land(t); t += 1
         next += 1000000000L
         sleepUntil(next)
@@ -162,17 +202,27 @@ object DemoBench {
     // exactly the JIT/first-commit batch the windowing exists to
     // exclude. Window bounds for batches are therefore wall-clock ms.
     val rowsByQuery = new ConcurrentHashMap[java.util.UUID, AtomicLong]()
-    val ingestBatch = new ConcurrentLinkedQueue[(Long, Long)]() // (triggerEpochMs, ms)
-    @volatile var ingestId: java.util.UUID = null
+    // (triggerEpochMs, inputRows, execMs) — rows per batch so
+    // sub-window eps can be computed from trigger-stamped slices
+    val ingestBatch = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    // a SET of ids: a crash-restart starts a second query instance on
+    // the same checkpoint, and processed-row accounting must span both
+    val ingestIds = ConcurrentHashMap.newKeySet[java.util.UUID]()
+    // last wall-clock ms at which the ingest leg consumed input — the
+    // drain detector (an AvailableNow-style "done" signal doesn't
+    // exist for a ProcessingTime query; 5 s of empty triggers does)
+    val lastDataMs = new AtomicLong(System.currentTimeMillis())
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         rowsByQuery.computeIfAbsent(p.id, _ => new AtomicLong()).addAndGet(p.numInputRows)
-        if (p.id == ingestId && p.numInputRows > 0)
+        if (ingestIds.contains(p.id) && p.numInputRows > 0) {
+          lastDataMs.set(System.currentTimeMillis())
           ingestBatch.add((java.time.Instant.parse(p.timestamp).toEpochMilli,
-            p.durationMs.get("triggerExecution").toLong))
+            p.numInputRows, p.durationMs.get("triggerExecution").toLong))
+        }
       }
     }
 
@@ -208,24 +258,34 @@ object DemoBench {
     // file per tranche): at steady state each 1-s trigger clears one
     // arriving tranche; after a hiccup the query catches up at 4x the
     // offered rate instead of letting backlog ratchet
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 4).parquet(drop)
-    // the ONE shared hot-path definition (IngestPipeline.hotPath) —
-    // this harness must measure exactly what ThroughputBench measures
-    val gated = IngestPipeline.hotPath(stream)
-    // plain-parquet append in foreachBatch (no _spark_metadata log), so
-    // the retention tick can drop whole event-time partitions without
+    // batchId-keyed plain-parquet commits in foreachBatch (no
+    // _spark_metadata log): each micro-batch OVERWRITES its own
+    // `batch=<id>` dir, so (a) a crash-recovery re-execution of an
+    // interrupted batch rewrites its own files instead of appending
+    // duplicates — the export sink is EXACTLY-ONCE across hard
+    // restarts (ST7 discipline, same as CurationPipeline.commitBatch)
+    // — and (b) the retention tick can still drop whole event-time
+    // partitions (nested one level under the batch dirs) without
     // corrupting a sink manifest
-    ingestQ = gated.toDF()
-      .withColumn("date_min", date_format(col("ts"), bucketPattern))
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").partitionBy("date_min").parquet(sink)
-      }
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .start()
-    ingestId = ingestQ.id
+    def startIngest(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4).parquet(drop)
+      // the ONE shared hot-path definition (IngestPipeline.hotPath) —
+      // this harness must measure exactly what ThroughputBench measures
+      val q = IngestPipeline.hotPath(stream).toDF()
+        .withColumn("date_min", date_format(col("ts"), bucketPattern))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").partitionBy("date_min")
+            .parquet(s"$sink/batch=$id")
+        }
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      ingestIds.add(q.id)
+      q
+    }
+    ingestQ = startIngest()
 
     // ---- view-maintenance query (A4 per-second tier) ----------------
     viewQ = StreamingViews.eventsBySecond(
@@ -299,7 +359,7 @@ object DemoBench {
         if (!stop.get()) {
           val horizonMicros = latestTrancheMicros.get() - keepSeconds * 1000000L
           val minKeep = fmt.format(java.time.Instant.ofEpochSecond(horizonMicros / 1000000L))
-          Retention.dropOldPartitions(sink, minKeep).foreach(dropped.add)
+          Retention.dropOldPartitionsNested(sink, minKeep).foreach(dropped.add)
         }
       }
     }, "demo-retention")
@@ -312,17 +372,67 @@ object DemoBench {
     Thread.sleep(warmSec * 1000L)
     def processed(id: java.util.UUID): Long =
       Option(rowsByQuery.get(id)).map(_.get()).getOrElse(0L)
-    val rows0 = processed(ingestQ.id); val viewRows0 = processed(viewQ.id)
+    // sums over every ingest query instance: a crash-restart's second
+    // instance re-executes the interrupted batch, so this OVERCOUNTS
+    // by up to one batch of input rows — fine for rate/backlog reads
+    // (≤4 offered-seconds of slack); the exactly-once claim rests on
+    // exportRows vs the batch replay, never on listener counters
+    def processedIngest(): Long = {
+      import scala.jdk.CollectionConverters._
+      ingestIds.asScala.map(processed).sum
+    }
+    val rows0 = processedIngest(); val viewRows0 = processed(viewQ.id)
     val landed0 = landed.get(); val refreshes0 = refreshes.get()
     val windowStart = System.nanoTime()
     val windowStartMs = System.currentTimeMillis()
+    // ---- optional mid-window hard kill + restart of the ingest leg --
+    val recoverySecRef = new AtomicLong(-1L) // millis, -1 = n/a
+    val killer = killIngestAtSec.map { killAt =>
+      val th = new Thread(() => {
+        sleepUntil(windowStart + killAt.toLong * 1000000000L)
+        if (!stop.get()) {
+          val tKill = System.nanoTime()
+          // HARD stop: interrupts the stream execution thread; the
+          // in-flight micro-batch dies before its commit log entry, so
+          // recovery re-executes it from the offset WAL — the crash
+          // shape the batchId-keyed sink exists to absorb
+          try ingestQ.stop() catch { case _: Exception => }
+          ingestQ = startIngest()
+          // recovery = backlog back under one offered-second (the
+          // steady-state bound); catch-up runs at maxFilesPerTrigger=4
+          // tranches/batch = 4x the offered rate
+          while (!stop.get() &&
+                 landed.get() - processedIngest() > offeredEps &&
+                 System.nanoTime() - tKill < 120L * 1000000000L)
+            Thread.sleep(200)
+          recoverySecRef.set((System.nanoTime() - tKill) / 1000000L)
+        }
+      }, "demo-killer")
+      th.setDaemon(true); th.start(); th
+    }
     Thread.sleep(durationSec * 1000L)
     val windowEnd = System.nanoTime()
     val windowEndMs = System.currentTimeMillis()
-    val rows1 = processed(ingestQ.id); val viewRows1 = processed(viewQ.id)
+    val rows1 = processedIngest(); val viewRows1 = processed(viewQ.id)
     val landed1 = landed.get(); val refreshes1 = refreshes.get()
 
+    // ---- optional full drain before shutdown (exactly-once check) ---
+    if (verifyExactness) {
+      feederDone.set(true)
+      killer.foreach(_.join(150000))
+      lastDataMs.set(System.currentTimeMillis())
+      val drainDeadline = System.nanoTime() + 300L * 1000000000L
+      // drained = the ingest leg has reported only empty triggers for
+      // 5 s after the last tranche landed (the file source lists the
+      // drop dir every trigger, so silence means nothing left)
+      while (ingestQ.isActive &&
+             System.currentTimeMillis() - lastDataMs.get() < 5000 &&
+             System.nanoTime() < drainDeadline)
+        Thread.sleep(250)
+    }
+
     stop.set(true)
+    killer.foreach(_.join(10000))
     // the refresher gets a longer grace: it can be mid-refresh (a real
     // multi-second Spark job under load) and must not still be running
     // on the shared session after the confs are restored below
@@ -332,6 +442,27 @@ object DemoBench {
     // reflects steady state, not shutdown timing
     Thread.sleep(2000)
     ingestQ.stop(); viewQ.stop(); srv.stop()
+
+    // ---- exactly-once oracle: batch replay of the gap rule ----------
+    // over EVERY landed event (the drop dir retains all tranches).
+    // Same state machine (SessionDedup.sessionStarts), same ordering
+    // ((ts, event_id) per (user, event_type) key) — feeds are stamped
+    // with monotone event time, so the batch result is exactly what
+    // the drained stream must have exported, duplicates would exceed
+    // it and losses would undershoot it.
+    val expectedExport: Long = if (!verifyExactness) -1L else {
+      import spark.implicits._
+      spark.read.parquet(drop)
+        .select(col("event_id"), col("src").cast("long"), col("dest"), col("ts"))
+        .as[(Long, Long, String, java.sql.Timestamp)]
+        .groupByKey(e => (e._2, e._3))
+        .mapGroups { (_: (Long, String), it: Iterator[(Long, Long, String, java.sql.Timestamp)]) =>
+          val ts = it.map(e => (graft.streaming.SessionDedup.micros(e._4), e._1))
+            .toSeq.sorted.map(_._1)
+          graft.streaming.SessionDedup.sessionStarts(None, ts)._1
+            .count(identity).toLong
+        }.reduce(_ + _)
+    }
 
     val wallSec = (windowEnd - windowStart) / 1e9
     val windowSamples = samples.toArray(Array.empty[Sample])
@@ -351,16 +482,42 @@ object DemoBench {
     // snapshots. droppedPartitions stays run-cumulative (a mechanics
     // counter — drops only become possible once event time outruns the
     // keep horizon).
-    val batchTimes = ingestBatch.toArray(Array.empty[(Long, Long)])
-      .filter(b => b._1 >= windowStartMs && b._1 < windowEndMs).map(_._2)
+    val windowBatches = ingestBatch.toArray(Array.empty[(Long, Long, Long)])
+      .filter(b => b._1 >= windowStartMs && b._1 < windowEndMs)
+    val batchTimes = windowBatches.map(_._3)
+    // per-sub-window slices (only when the window holds >= 2 full
+    // slices — a 45-s spec window with the default 150-s slice skips
+    // this): batch rows by trigger stamp, dash latencies by sample
+    // stamp, so a 900-s endurance run shows drift instead of a mean
+    val nSub = if (subWindowSec > 0) durationSec / subWindowSec else 0
+    val subWins =
+      if (nSub < 2) Nil
+      else (0 until nSub).map { i =>
+        val loMs = windowStartMs + i.toLong * subWindowSec * 1000
+        val hiMs = loMs + subWindowSec * 1000L
+        val bt = windowBatches.filter(b => b._1 >= loMs && b._1 < hiMs)
+        val loN = windowStart + i.toLong * subWindowSec * 1000000000L
+        val hiN = loN + subWindowSec * 1000000000L
+        val lat = windowSamples
+          .filter(s => s.atNanos >= loN && s.atNanos < hiN).map(_.latNanos).sorted
+        SubWin(i * subWindowSec, bt.map(_._2).sum.toDouble / subWindowSec,
+          pctMs(lat, 0.99), bt.length, lat.length)
+      }
     val exportRows =
       try spark.read.parquet(sink).count() catch { case _: Exception => 0L }
+    // recursive data-file count: the listing cost a reader of the
+    // batch-keyed sink pays (reported so endurance runs can watch it)
+    def countParquet(f: java.io.File): Int = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.count(k => k.isFile && k.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(countParquet).sum
+    }
     val res = DemoResult(
       durationSec = wallSec,
       offeredEps = (landed1 - landed0) / wallSec,
       sustainedEps = (rows1 - rows0) / wallSec,
       landedRows = landed1 - landed0, processedRows = rows1 - rows0,
-      backlogRows = math.max(0L, landed.get() - processed(ingestQ.id)),
+      backlogRows = math.max(0L, landed.get() - processedIngest()),
       batchMsMean =
         if (batchTimes.isEmpty) 0.0 else batchTimes.sum.toDouble / batchTimes.length,
       batches = batchTimes.length,
@@ -372,7 +529,14 @@ object DemoBench {
       droppedPartitions = dropped.size(),
       viewRows = viewRows1 - viewRows0,
       exportRows = exportRows,
-      perProc = perProc)
+      perProc = perProc,
+      subWindows = subWins,
+      restartAtSec = killIngestAtSec.getOrElse(-1),
+      recoverySec =
+        if (recoverySecRef.get() < 0) -1.0 else recoverySecRef.get() / 1000.0,
+      expectedExportRows = expectedExport,
+      sinkFiles = countParquet(new java.io.File(sink)),
+      loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m())
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res
     } finally {
@@ -436,10 +600,37 @@ object DemoBench {
       .config("spark.scheduler.allocation.file", fairPoolFile)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val res = run(spark, sfDir, durationSec = durationSec, offeredEps = offered)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DEMO.json"),
-      (res.json + "\n").getBytes("UTF-8"))
-    println(s"[demo] ${res.json}")
+    // knee mode (SPARK_GRAFT_DEMO_KNEE="25000,40000,60000"): the
+    // integrated system's capacity curve — each offered rate runs a
+    // full integrated window and reports (offered, sustained, p99,
+    // backlog), locating where backlog or latency first breaks; the
+    // single-leg ingest curve (BENCH_STREAM) tops out far higher, but
+    // a capacity plan needs the SYSTEM number with the dashboard,
+    // views, refreshes, and retention riding along
+    sys.env.get("SPARK_GRAFT_DEMO_KNEE") match {
+      case Some(rates) =>
+        val kneeSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_KNEE_SEC", "120").toInt
+        val points = rates.split(",").map(_.trim.toInt).map { eps =>
+          val r = run(spark, sfDir, durationSec = kneeSec, offeredEps = eps,
+            subWindowSec = 60)
+          println(s"[demo-knee] $eps: ${r.json}")
+          r
+        }
+        val arr = points.map(_.json).mkString("[", ",", "]")
+        val json = s"""{"metric":"demo_knee","points":$arr}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DEMO_KNEE.json"),
+          (json + "\n").getBytes("UTF-8"))
+        println(s"[demo] knee curve written: ${points.map(p =>
+          f"${p.offeredEps}%.0f->${p.sustainedEps}%.0f@p99=${p.dashP99Ms}%.0fms").mkString(" ")}")
+      case None =>
+        val subWin = sys.env.getOrElse("SPARK_GRAFT_DEMO_SUBWIN", "150").toInt
+        val res = run(spark, sfDir, durationSec = durationSec,
+          offeredEps = offered, subWindowSec = subWin)
+        val out = sys.env.getOrElse("SPARK_GRAFT_DEMO_OUT", "BENCH_DEMO.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (res.json + "\n").getBytes("UTF-8"))
+        println(s"[demo] ${res.json}")
+    }
     spark.stop()
   }
 }

@@ -90,12 +90,34 @@ object AnnIndex {
     * sf0.1 — the exact failure a metastore exists to prevent. */
   private val relCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def readCached(spark: SparkSession, path: String): DataFrame =
-    relCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$path", _ => {
-      val df = spark.read.parquet(path)
-      df.inputFiles // force file-index construction NOW (warm-up time)
-      df
-    })
+  /** Bumped by every writer BEFORE it evicts cache entries. A probe
+    * thread mid-file-listing when a writer appends and invalidates
+    * could otherwise insert its stale pre-append listing AFTER the
+    * invalidation pass (the eviction iterator is weakly consistent and
+    * never sees the in-flight key), permanently serving the pre-write
+    * file set — so readers snapshot this counter before resolving and
+    * retry if a write landed while they listed. */
+  private val writeGen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}:$path"
+    var attempts = 0
+    while (true) {
+      val g0 = writeGen.get()
+      val df = relCache.computeIfAbsent(key, _ => {
+        val d = spark.read.parquet(path)
+        d.inputFiles // force file-index construction NOW (warm-up time)
+        d
+      })
+      // no write raced our resolution (or we've retried past the burst:
+      // by then the last writer's files were on disk before our final
+      // listing began, so that listing is post-write and safe to serve)
+      attempts += 1
+      if (writeGen.get() == g0 || attempts >= 3) return df
+      relCache.remove(key, df) // drop the possibly-stale entry, re-list
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Drop cached relations under `path` (every session). A cached
     * DataFrame's InMemoryFileIndex froze the file listing at first
@@ -104,6 +126,10 @@ object AnnIndex {
     * keeps serving the pre-write file set. Keys are
     * `<sessionHash>:<path…>`, so we match on the path suffix. */
   private def invalidateCached(path: String): Unit = {
+    // bump the generation BEFORE evicting: a reader that resolved its
+    // listing concurrently with this write sees the mismatch and
+    // retries instead of caching the pre-write file set forever
+    writeGen.incrementAndGet()
     // normalize trailing slashes on BOTH sides: a caller-supplied
     // "/data/idx/" must still invalidate the cached "/data/idx/codes"
     val p = path.replaceAll("/+$", "")
@@ -268,6 +294,7 @@ object AnnIndex {
     * existing `cell=` partition directories, so probe-side partition
     * pruning is untouched. */
   def appendIvfPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    requirePqLayout(path, partitioned = true)
     val anchors = spark.read.parquet(s"$path/anchors")
     val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
     val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
@@ -323,6 +350,7 @@ object AnnIndex {
     * unchanged (it scans the codes relation and joins the broadcast
     * distance table — no partition structure to preserve). */
   def appendPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    requirePqLayout(path, partitioned = false)
     val anchors = spark.read.parquet(s"$path/anchors")
     val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
     val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
@@ -460,6 +488,26 @@ object AnnIndex {
       spark, path, numFiles = 1, minFilesToCompact = trigger)
     invalidateCached(path)
     out
+  }
+
+  /** The PQ analogue of [[requireLayout]]: a flat PQ8 index and an
+    * IVFADC one have IDENTICAL anchor geometry (m×sub), so calling the
+    * wrong append passes the width guard — and then writes
+    * unpartitioned code files into a `cell=`-partitioned codes dir (or
+    * vice versa), leaving parquet leaves at two partition depths. The
+    * next read fails on conflicting directory structures: the live
+    * index is corrupted with no error at write time. Probe the codes
+    * dir for `cell=` subdirectories BEFORE anything lands. A missing
+    * or empty codes dir passes either way (nothing at rest to corrupt;
+    * the anchors read already guards a truly absent index). */
+  private def requirePqLayout(path: String, partitioned: Boolean): Unit = {
+    val kids = Option(new File(s"$path/codes").listFiles()).getOrElse(Array.empty)
+    val hasCells = kids.exists(f => f.isDirectory && f.getName.startsWith("cell="))
+    val hasFlatFiles = kids.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(!(partitioned && hasFlatFiles),
+      s"$path/codes holds a FLAT pq8 code set; use appendPq8At, not appendIvfPq8At")
+    require(!(!partitioned && hasCells),
+      s"$path/codes is cell=-partitioned (IVFADC); use appendIvfPq8At, not appendPq8At")
   }
 
   private def requireLayout(root: String, flat: Boolean): Unit = {

@@ -16,22 +16,35 @@ import org.apache.spark.sql.functions._
   * path updates these continuously via StreamingViews; this class is
   * the batch-serving analogue).
   */
-final class ServingTier(spark: SparkSession, dir: String) {
+/** @param graceGenerations how many superseded view generations stay
+  *        persisted after a refresh before their blocks are released.
+  *        1 (default) tolerates readers that hold a views snapshot for
+  *        up to one full refresh interval — enough for the demo's 15-s
+  *        cadence with sub-second renders. A deployment with slower
+  *        consumers (or callers invoking refresh() in quick
+  *        succession) sizes this to its slowest reader's hold time in
+  *        refresh intervals: a reader whose generation is unpersisted
+  *        mid-read FAILS its job outright (truncated lineage, blocks
+  *        gone) rather than recomputing. */
+final class ServingTier(spark: SparkSession, dir: String,
+                        graceGenerations: Int = 1) {
+  require(graceGenerations >= 1, s"graceGenerations >= 1: $graceGenerations")
 
   @volatile private var views: Map[String, DataFrame] = Map.empty
 
-  /** The previous generation, kept alive for one refresh interval.
-    * localCheckpoint blocks are only reclaimed when the ContextCleaner
-    * notices the RDD is unreachable — under a 1 Hz dashboard with a
-    * 15-s refresh cadence that lag let 20+ multi-million-row view
-    * generations accumulate in block storage (measured: a 300-s
-    * integrated demo run degraded 25k→15k events/s from the resulting
-    * GC pressure). Explicit unpersist bounds live generations to two.
-    * The one-generation grace matters: a render that grabbed the old
-    * map just before a refresh still holds valid blocks — unpersisting
-    * a localCheckpoint mid-read would FAIL that job (truncated
+  /** Superseded generations, newest first, kept alive for
+    * `graceGenerations` refresh intervals. localCheckpoint blocks are
+    * only reclaimed when the ContextCleaner notices the RDD is
+    * unreachable — under a 1 Hz dashboard with a 15-s refresh cadence
+    * that lag let 20+ multi-million-row view generations accumulate in
+    * block storage (measured: a 300-s integrated demo run degraded
+    * 25k→15k events/s from the resulting GC pressure). Explicit
+    * unpersist bounds live generations to graceGenerations + 1.
+    * The grace matters: a render that grabbed the old map just before
+    * a refresh still holds valid blocks — unpersisting a
+    * localCheckpoint mid-read would FAIL that job (truncated
     * lineage), not recompute it. */
-  @volatile private var retiring: Map[String, DataFrame] = Map.empty
+  @volatile private var retiring: List[Map[String, DataFrame]] = Nil
 
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
@@ -69,10 +82,10 @@ final class ServingTier(spark: SparkSession, dir: String) {
       "events_by_cluster" -> clusterBySec.localCheckpoint(true),
       "events_by_src_view" -> bySrc.localCheckpoint(true),
       "events_by_src_dest" -> bySrcDest.localCheckpoint(true))
-    val expired = retiring
-    retiring = views
+    val (kept, expired) = (views :: retiring).splitAt(graceGenerations)
+    retiring = kept
     views = next // atomic repoint — readers see old or new, never mixed
-    expired.valuesIterator.foreach(unpersistCheckpoint)
+    expired.foreach(_.valuesIterator.foreach(unpersistCheckpoint))
   }
 
   refresh()

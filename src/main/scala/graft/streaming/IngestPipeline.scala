@@ -106,4 +106,31 @@ object Retention {
     dropped.foreach(graft.sources.VersionedStore.deleteRecursive)
     dropped.map(_.getName).toSeq.sorted
   }
+
+  /** TTL drop for a BATCH-KEYED exactly-once sink
+    * (`batch=<id>/date_bucket=…/part-*.parquet`, the replay-idempotent
+    * foreachBatch layout): descends one level into each `batch=` dir
+    * and drops the time-bucket subdirs older than the horizon, then
+    * removes batch dirs whose every time bucket has aged out — so the
+    * directory count a reader must list stays bounded by the retention
+    * window, not by total batches ever committed. Safe against a
+    * concurrent replay: recovery only re-executes the LAST uncommitted
+    * batch, whose buckets are by construction newer than any horizon
+    * that could empty its dir. Returns dropped `batch/bucket` names. */
+  def dropOldPartitionsNested(sinkDir: String, minKeepBucket: String): Seq[String] = {
+    val root = new java.io.File(sinkDir)
+    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    batchDirs.flatMap { b =>
+      val kids = Option(b.listFiles()).getOrElse(Array.empty)
+      val buckets = kids.filter(f => f.isDirectory && f.getName.contains("="))
+      val hit = buckets.filter(f => f.getName.split("=", 2)(1) < minKeepBucket)
+      hit.foreach(graft.sources.VersionedStore.deleteRecursive)
+      // nonEmpty guard: a freshly-created batch dir (write in flight,
+      // buckets not yet renamed out of _temporary) must not be swept
+      if (buckets.nonEmpty && hit.length == buckets.length)
+        graft.sources.VersionedStore.deleteRecursive(b) // only markers left
+      hit.map(h => s"${b.getName}/${h.getName}")
+    }.toSeq.sorted
+  }
 }

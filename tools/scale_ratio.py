@@ -9,8 +9,10 @@ ten = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/BENCH_FULL_10x.
 out = {}
 missing = sorted(set(one) ^ set(ten))  # in one input but not the other
 for q, t1 in sorted(one.items()):
+    if q.startswith("_"):  # load-evidence fields, not query timings
+        continue
     t10 = ten.get(q)
-    if t10 is None:
+    if t10 is None or not isinstance(t1, (int, float)) or not isinstance(t10, (int, float)):
         continue
     ratio = round(t10 / t1, 2) if t1 > 0 and t10 > 0 else -1
     out[q] = {"x1": t1, "x10": t10, "ratio": ratio}
