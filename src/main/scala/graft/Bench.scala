@@ -2,6 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // read FIRST, before our own JVM spins up executors: loadavg_before
+    // is the EXTERNAL load level; after warm-up it would only measure
+    // ourselves. steal0 anchors the hypervisor-steal fraction over the
+    // whole run — the contention loadavg can't see.
+    val loadAtStart = BoxLoad.loadavg1m()
+    val steal0 = BoxLoad.stealSnap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -36,7 +42,6 @@ object Bench {
     // chasing (re-time a handful of queries n times on a quiet box)
     // without paying for the whole registry. Headline/driver runs leave
     // both unset and are unaffected.
-    val loadBefore = BoxLoad.loadavg1m()
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
@@ -90,8 +95,10 @@ object Bench {
     // knows to skip the load-evidence fields
     if (only.isEmpty) try {
       val full = jmap(results.toSeq.sortBy(_._1)).dropRight(1) +
-        "," + BoxLoad.jsonFields(loadBefore, loadMid)
-          .replace("\"loadavg_", "\"_loadavg_") + "}"
+        "," + (BoxLoad.jsonFields(loadAtStart, loadMid) +
+          f""","steal_pct":${BoxLoad.stealPctSince(steal0)}%.1f""")
+          .replace("\"loadavg_", "\"_loadavg_")
+          .replace("\"steal_", "\"_steal_") + "}"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
@@ -114,7 +121,7 @@ object Bench {
       (nEvents / ts(1)).round
     } catch { case _: Throwable => -1L }
     val loadAfter = BoxLoad.loadavg1m()
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,${BoxLoad.jsonFields(loadBefore, loadAfter)},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"failed":$nFailed,"ingest_eps":$eps,${BoxLoad.jsonFields(loadAtStart, loadAfter)},"steal_pct":${f(BoxLoad.stealPctSince(steal0))},"queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
     // printed LAST, after spark.stop(), so no straggler executor log
     // line can land between this and process exit and push it out of

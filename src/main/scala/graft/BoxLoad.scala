@@ -22,4 +22,25 @@ object BoxLoad {
   /** `"loadavg_before":a,"loadavg_after":b` JSON fragment (no braces). */
   def jsonFields(before: Double, after: Double): String =
     f""""loadavg_before":$before%.2f,"loadavg_after":$after%.2f"""
+
+  /** (stealTicks, totalTicks) from /proc/stat's aggregate cpu line.
+    * On this shared VM the documented "external load spikes" are
+    * largely HYPERVISOR STEAL — co-tenant VMs taking physical CPU away
+    * — which never appears in loadavg or the process table. The steal
+    * fraction over the timed window is the direct evidence: ~0% means
+    * a clean run; multi-percent means wall-clock timings are inflated
+    * by contention no code change can fix. */
+  def stealSnap(): (Long, Long) =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (cols(7), cols.sum) // steal is field 8 (user nice sys idle iowait irq softirq steal ...)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Percent of CPU time stolen by the hypervisor since `s0`. */
+  def stealPctSince(s0: (Long, Long)): Double = {
+    val s1 = stealSnap()
+    if (s0._1 < 0 || s1._1 < 0 || s1._2 <= s0._2) -1.0
+    else 100.0 * (s1._1 - s0._1) / (s1._2 - s0._2).toDouble
+  }
 }

@@ -67,7 +67,8 @@ object DemoBench {
     subWindows: Seq[SubWin] = Nil,
     restartAtSec: Int = -1, recoverySec: Double = -1.0,
     expectedExportRows: Long = -1L, sinkFiles: Int = -1,
-    loadBefore: Double = -1.0, loadAfter: Double = -1.0) {
+    loadBefore: Double = -1.0, loadAfter: Double = -1.0,
+    stealPct: Double = -1.0) {
 
     def json: String = {
       val procs = perProc.map(p =>
@@ -82,7 +83,7 @@ object DemoBench {
       val exact =
         if (expectedExportRows < 0) ""
         else s""","expected_export_rows":$expectedExportRows"""
-      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"sub_windows":$subs$restart$exact,"per_proc":$procs}"""
+      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"steal_pct":$stealPct%.1f,"sub_windows":$subs$restart$exact,"per_proc":$procs}"""
     }
   }
 
@@ -101,8 +102,9 @@ object DemoBench {
     * `warmSec` of warm-up (JIT + first state-store commits + the
     * serving tier's initial materialization are once-per-process costs
     * a sustained-rate claim must not bill). All legs run through warm-up
-    * AND the timed window; stats come from the timed window only. */
-  /** @param killIngestAtSec hard-stop the ingest query this many
+    * AND the timed window; stats come from the timed window only.
+    *
+    * @param killIngestAtSec hard-stop the ingest query this many
     *        seconds into the timed window (the in-flight micro-batch is
     *        interrupted before its commit — a crash at the commit
     *        protocol level, not a graceful drain) and restart it from
@@ -126,6 +128,7 @@ object DemoBench {
     implicit val sp: SparkSession = spark
 
     val loadBefore = BoxLoad.loadavg1m()
+    val steal0 = BoxLoad.stealSnap()
     val stop = new AtomicBoolean(false)
     val feederDone = new AtomicBoolean(false)
     /** Sleep toward a deadline in ≤1-s slices, bailing as soon as the
@@ -536,7 +539,8 @@ object DemoBench {
         if (recoverySecRef.get() < 0) -1.0 else recoverySecRef.get() / 1000.0,
       expectedExportRows = expectedExport,
       sinkFiles = countParquet(new java.io.File(sink)),
-      loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m())
+      loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m(),
+      stealPct = BoxLoad.stealPctSince(steal0))
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res
     } finally {

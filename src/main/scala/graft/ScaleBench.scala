@@ -78,6 +78,10 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
 
     Factors.foreach(f => materialize(spark, baseDir, s"$workDir/x$f", f))
+    // measured AFTER materialization: the load evidence should cover
+    // the timed cells, not the one-time corpus build
+    val loadBefore = BoxLoad.loadavg1m()
+    val steal0 = BoxLoad.stealSnap()
     // at-rest ANN indexes per factor dir (same warm-up discipline as
     // Bench: probes time the probe, not index construction) — skipped
     // when the measured set touches no index, e.g. the deep pair-join
@@ -93,7 +97,11 @@ object ScaleBench {
     }
     // min of 2 runs per (query, factor): damps shared-box noise without
     // letting a single lucky cache hit define the number (plans are
-    // rebuilt and caches dropped between runs)
+    // rebuilt and caches dropped between runs). SPARK_GRAFT_SCALE_REPS
+    // widens that for cells the box noise hits hardest (the r12 x40
+    // split_leakage cell spanned 65-158 s across runs under external
+    // load spikes — a min-of-3 under a quiet box settles it).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val baseParts = cpus.toInt
     val times: Map[String, Map[Int, Double]] = queries.map { name =>
       name -> Factors.map { f =>
@@ -108,7 +116,7 @@ object ScaleBench {
         // committed curves stay comparable.
         spark.conf.set("spark.sql.shuffle.partitions",
           math.max(baseParts, baseParts * f / 10))
-        val ts = (1 to 2).map { _ =>
+        val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { runFully(SparkEntry.queries(name)(spark, dir)); true }
           catch { case e: Throwable =>
@@ -139,6 +147,7 @@ object ScaleBench {
     val json =
       s"""{"metric":"scale_curve","base":"$baseDir","factors":[${Factors.mkString(",")}],
          |"note":"each xF replicates sf0.1 F times with disjoint gram/id spaces; ratio=t(x$fMax)/t(x1); linear scaling => ratio<=$fMax (sub-linear typical: fixed overhead dominates x1)",
+         |"reps":$reps,${BoxLoad.jsonFields(loadBefore, BoxLoad.loadavg1m())},"steal_pct":${f"${BoxLoad.stealPctSince(steal0)}%.1f"},
          |"queries":{${entries.mkString(",")}}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

@@ -31,6 +31,9 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
+    // external-load evidence, read before our own JVM adds load
+    val loadBefore = BoxLoad.loadavg1m()
+    val steal0 = BoxLoad.stealSnap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = SparkSession.builder()
@@ -41,7 +44,6 @@ object ThroughputBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val loadBefore = BoxLoad.loadavg1m()
     // toRdd.count forces the pipeline's own plan — a plain count()
     // would let Catalyst prune the scoring/session projections
     def runFully(df: DataFrame): Long = df.queryExecution.toRdd.count()
@@ -95,7 +97,7 @@ object ThroughputBench {
     val curveJson = curve.map { case (te, eps, bms) =>
       f"""{"trigger_events":$te,"eps":$eps%.0f,"batch_ms":$bms%.0f}""" }
       .mkString("[", ",", "]")
-    val json = f"""{"batch_eps":$batchEps%.0f,"stream_eps_1x":$eps1%.0f,"stream_eps_10x":$eps10%.0f,"stream_eps_10x_2s":$eps10w%.0f,"n_1x":$n,${BoxLoad.jsonFields(loadBefore, BoxLoad.loadavg1m())},"curve":$curveJson}"""
+    val json = f"""{"batch_eps":$batchEps%.0f,"stream_eps_1x":$eps1%.0f,"stream_eps_10x":$eps10%.0f,"stream_eps_10x_2s":$eps10w%.0f,"n_1x":$n,${BoxLoad.jsonFields(loadBefore, BoxLoad.loadavg1m())},"steal_pct":${BoxLoad.stealPctSince(steal0)}%.1f,"curve":$curveJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_STREAM.json"),
       (json + "\n").getBytes("UTF-8"))
     println(s"[throughput] $json")

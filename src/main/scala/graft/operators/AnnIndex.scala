@@ -447,6 +447,52 @@ object AnnIndex {
     writeSrpAt(path, vectors, "append")
   }
 
+  /** Replay-idempotent append into a FLAT SRP index — the streaming
+    * freshness path ([[graft.streaming.IndexFreshness]]): signatures
+    * are staged under a hidden `.staging_b<id>` dir, then moved into
+    * the live `srp_bucket=` dirs under DETERMINISTIC names
+    * (`b<batchId>.parquet`; [[writeSrpAt]]'s repartition on the bucket
+    * column yields exactly one file per touched bucket), so a
+    * crash-recovery re-execution of the same micro-batch REPLACES its
+    * own files instead of doubling them. Unlike [[writeSrpBatchAt]]'s
+    * `batch=` dirs this keeps the flat layout, so [[compactSrpAt]]
+    * still maintains it and probe plans are byte-identical to the
+    * batch-built index's. */
+  def appendSrpBatchAt(path: String, batchId: Long, vectors: DataFrame): Unit = {
+    requireLayout(path, flat = true)
+    val stg = new File(s"$path/.staging_b$batchId")
+    writeSrpAt(stg.toString, vectors, "overwrite")
+    Option(stg.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+      .foreach { bd =>
+        val files = bd.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(files.length == 1,
+          s"${bd.getName}: ${files.length} staged files; repartition(bucket) guarantees 1")
+        val dst = java.nio.file.Paths.get(path, bd.getName, s"b$batchId.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(files.head.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    graft.sources.VersionedStore.deleteRecursive(stg)
+    invalidateCached(path)
+  }
+
+  /** Remove any `b<batchId>.parquet` leftovers of a CRASHED attempt of
+    * this batch (committed batches have strictly smaller ids, so they
+    * are never touched). Run before compaction in a replayed
+    * foreachBatch: without it, compaction could fold a half-moved
+    * uncommitted file into a bucket's single compacted file, after
+    * which the re-append would double those rows. */
+  def dropSrpBatchFiles(path: String, batchId: Long): Unit = {
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+      .foreach { bd =>
+        val f = new File(bd, s"b$batchId.parquet")
+        if (f.exists()) f.delete()
+      }
+    invalidateCached(path)
+  }
+
   /** Replay-idempotent streaming append: each micro-batch OVERWRITES
     * its own `batch=<id>` subdirectory (a foreachBatch re-execution
     * after crash recovery rewrites the same files instead of

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{AnnIndex, SimilarityOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+case class Vec(vec_id: Long, embedding: Array[Float])
+
+/** Streaming index freshness: vectors appended by micro-batch must be
+  * retrievable by a probe the moment their batch commits, the commit
+  * must be replay-idempotent (crash recovery re-executes foreachBatch
+  * bodies), and the in-loop compaction must never change the served
+  * rows. */
+class IndexFreshnessSpec extends SparkSpec {
+
+  private def vecs(ids: Seq[Long], seed: Int): Seq[Vec] =
+    ids.map(i => Vec(i, Array.tabulate(64)(j =>
+      (((i * 31 + seed * 17 + j * 7) % 13) - 6).toFloat)))
+
+  private def toDf(vs: Seq[Vec]): DataFrame = {
+    import spark.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  private def indexRows(dir: String): Seq[(Long, Int)] =
+    spark.read.parquet(dir).select("vec_id", "srp_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+
+  private def bucketsOf(vs: Seq[Vec]): Map[Long, Int] =
+    SimilarityOps.srpSignature(toDf(vs), AnnIndex.SrpBits)
+      .select(col("vec_id"), col("srp_bucket").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+
+  test("probe right after batch N retrieves batch-N vectors; replay and partial-crash replays stay exactly-once; compaction in the loop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString + "/srp"
+    val base = Tables.embeddings(spark, sf).limit(200)
+    AnnIndex.buildSrpAt(dir, base)
+    val baseRows = indexRows(dir)
+
+    val batches = Seq(
+      vecs(1000000L until 1000040L, seed = 1),
+      vecs(1000040L until 1000080L, seed = 2),
+      vecs(1000080L until 1000120L, seed = 3))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+    // trigger=3: the third append meets the file trigger, so the loop's
+    // compaction pass actually fires inside this test
+    val q = IndexFreshness.start(input.toDF(), dir, ckpt("graft_fresh_ck"),
+      compactTrigger = 3)
+    try {
+      var expected = baseRows.map(_._1).toSet
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        expected ++= b.map(_.vec_id)
+        // freshness: every vector of the batch that JUST committed is
+        // served from its own signature bucket — the bucket the probe
+        // path (hamming multi-probe around the query's signature, which
+        // always includes radius 0) scans first
+        val byBucket = bucketsOf(b)
+        val served = spark.read.parquet(dir)
+          .filter(col("vec_id") >= 1000000L)
+          .select("vec_id", "srp_bucket").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        b.foreach { v =>
+          assert(served.get(v.vec_id).contains(byBucket(v.vec_id)),
+            s"vec ${v.vec_id}: expected bucket ${byBucket(v.vec_id)}, served ${served.get(v.vec_id)}")
+        }
+        // exactly-once so far: no losses, no duplicates
+        val rows = indexRows(dir)
+        assert(rows.map(_._1).toSet == expected, "served id set diverged")
+        assert(rows.size == expected.size, "duplicate rows in the index")
+      }
+    } finally q.stop()
+
+    val settled = indexRows(dir)
+
+    // crash-replay: re-run the LAST batch's commit body verbatim (what
+    // recovery does after a crash between the foreachBatch body and the
+    // commit log write) — the deterministic per-batch file names must
+    // absorb it
+    IndexFreshness.commitBatch(dir, compactTrigger = 3)(toDf(batches.last), 2L)
+    assert(indexRows(dir) == settled, "full replay changed the index")
+
+    // partial-crash replay: batch 3 died after moving SOME of its files
+    // (simulated by re-appending under the next batch id, then crashing
+    // before commit) — the sweep-then-compact-then-append order must
+    // not fold the orphaned uncommitted file into a compacted file
+    val late = vecs(1000200L until 1000207L, seed = 4)
+    AnnIndex.appendSrpBatchAt(dir, 3L, toDf(late))
+    IndexFreshness.commitBatch(dir, compactTrigger = 3)(toDf(late), 3L)
+    val afterPartial = indexRows(dir)
+    assert(afterPartial.size == settled.size + 7,
+      s"partial-crash replay duplicated rows: ${afterPartial.size} vs ${settled.size} + 7")
+
+    // compaction actually fired at least once in the loop AND the
+    // maintained index still prunes: bucket dirs hold bounded file
+    // counts and a bucket probe carries a PartitionFilter
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.max <= 4,
+      s"compaction never bounded bucket fragments: max ${files.max} files")
+    val someBucket = afterPartial.head._2
+    val plan = spark.read.parquet(dir)
+      .filter(col("srp_bucket") === someBucket)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("srp_bucket"),
+      s"freshness maintenance broke partition pruning:\n$plan")
+  }
+}
