@@ -60,7 +60,8 @@ object SystemProcs {
 
     // rows-only: the dashboard WARM-path contract as a continuously
     // graded row. The reference dashboard polls these five procedures
-    // every second (web/js/voltdb-dashboard.js:50-75); the serving
+    // every second (web/js/demo.js:2-35, wired to 1-s intervals by
+    // voltdb-dashboard.js:52-75); the serving
     // design computes each key once (Spark job over the cached view
     // tier) and answers repeats from the driver result cache. This row
     // cold-primes each procedure, then times 100 warm calls — ~100 s
