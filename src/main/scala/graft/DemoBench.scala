@@ -239,7 +239,14 @@ object DemoBench {
     val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProv = spark.conf.getOption(provKey)
     val prevChg = spark.conf.getOption(chgKey)
-    var ingestQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    // AtomicReference, not a plain var: the demo-killer thread swaps in
+    // the restarted query, and the main thread must see the NEW
+    // reference even when a timed join on the killer expires (a timed
+    // join that times out establishes no happens-before edge) — a
+    // stale reference would drain/stop the dead pre-restart query and
+    // delete the temp tree under the live one
+    val ingestQRef =
+      new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.streaming.StreamingQuery]()
     var viewQ: org.apache.spark.sql.streaming.StreamingQuery = null
     var srv: graft.server.QueryServer = null
     try {
@@ -288,7 +295,7 @@ object DemoBench {
       ingestIds.add(q.id)
       q
     }
-    ingestQ = startIngest()
+    ingestQRef.set(startIngest())
 
     // ---- view-maintenance query (A4 per-second tier) ----------------
     viewQ = StreamingViews.eventsBySecond(
@@ -399,8 +406,8 @@ object DemoBench {
           // in-flight micro-batch dies before its commit log entry, so
           // recovery re-executes it from the offset WAL — the crash
           // shape the batchId-keyed sink exists to absorb
-          try ingestQ.stop() catch { case _: Exception => }
-          ingestQ = startIngest()
+          try ingestQRef.get().stop() catch { case _: Exception => }
+          ingestQRef.set(startIngest())
           // recovery = backlog back under one offered-second (the
           // steady-state bound); catch-up runs at maxFilesPerTrigger=4
           // tranches/batch = 4x the offered rate
@@ -428,8 +435,19 @@ object DemoBench {
       // drained = the ingest leg has reported only empty triggers for
       // 5 s after the last tranche landed (the file source lists the
       // drop dir every trigger, so silence means nothing left)
-      while (ingestQ.isActive &&
-             System.currentTimeMillis() - lastDataMs.get() < 5000 &&
+      def drained(): Boolean = {
+        val q = ingestQRef.get()
+        // 5 s without a data-bearing trigger COMPLETION is not enough
+        // by itself: lastDataMs only moves when a trigger finishes, so
+        // a single catch-up batch running >5 s (4 tranches under a
+        // load spike) would read as silence and truncate the drain.
+        // Require additionally that no trigger is mid-flight and the
+        // most recent completed trigger carried no input.
+        System.currentTimeMillis() - lastDataMs.get() >= 5000 &&
+          !q.status.isTriggerActive &&
+          Option(q.lastProgress).forall(_.numInputRows == 0)
+      }
+      while (ingestQRef.get().isActive && !drained() &&
              System.nanoTime() < drainDeadline)
         Thread.sleep(250)
     }
@@ -444,7 +462,7 @@ object DemoBench {
     // drain the backlog so the landed-vs-processed bookkeeping below
     // reflects steady state, not shutdown timing
     Thread.sleep(2000)
-    ingestQ.stop(); viewQ.stop(); srv.stop()
+    ingestQRef.get().stop(); viewQ.stop(); srv.stop()
 
     // ---- exactly-once oracle: batch replay of the gap rule ----------
     // over EVERY landed event (the drop dir retains all tranches).
@@ -552,7 +570,7 @@ object DemoBench {
       // RocksDB provider set for every subsequent suite, the HTTP port
       // bound, and the feeder landing tranches forever.
       stop.set(true)
-      if (ingestQ != null) try ingestQ.stop() catch { case _: Exception => }
+      Option(ingestQRef.get()).foreach(q => try q.stop() catch { case _: Exception => })
       if (viewQ != null) try viewQ.stop() catch { case _: Exception => }
       if (srv != null) try srv.stop() catch { case _: Exception => }
       spark.streams.removeListener(listener)

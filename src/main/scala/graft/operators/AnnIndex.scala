@@ -90,31 +90,53 @@ object AnnIndex {
     * sf0.1 — the exact failure a metastore exists to prevent. */
   private val relCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Bumped by every writer BEFORE it evicts cache entries. A probe
-    * thread mid-file-listing when a writer appends and invalidates
-    * could otherwise insert its stale pre-append listing AFTER the
-    * invalidation pass (the eviction iterator is weakly consistent and
-    * never sees the in-flight key), permanently serving the pre-write
-    * file set — so readers snapshot this counter before resolving and
-    * retry if a write landed while they listed. */
-  private val writeGen = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Per-invalidation-path write generations, bumped by every writer
+    * BEFORE it evicts cache entries. A probe thread mid-file-listing
+    * when a writer appends and invalidates could otherwise insert its
+    * stale pre-append listing AFTER the invalidation pass (the
+    * eviction iterator is weakly consistent and never sees the
+    * in-flight key), permanently serving the pre-write file set — so
+    * readers snapshot the generations COVERING THEIR PATH before
+    * resolving and retry if a covering write landed while they listed.
+    * Per-path (not one global counter) so a 1 Hz freshness loop on one
+    * index never forces readers of UNRELATED indexes into
+    * drop-and-relist retries. Keys are the handful of index roots ever
+    * written in a process — the map stays tiny. */
+  private val writeGens =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     val key = s"${System.identityHashCode(spark)}:$path"
+    val norm = path.replaceAll("/+$", "")
+    // sum of the generations of every invalidation root covering this
+    // path (invalidation roots are equal-or-shallower than cached paths)
+    def genFor(): Long = {
+      var sum = 0L
+      val it = writeGens.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (norm == e.getKey || norm.startsWith(e.getKey + "/"))
+          sum += e.getValue.get()
+      }
+      sum
+    }
     var attempts = 0
     while (true) {
-      val g0 = writeGen.get()
+      val g0 = genFor()
       val df = relCache.computeIfAbsent(key, _ => {
         val d = spark.read.parquet(path)
         d.inputFiles // force file-index construction NOW (warm-up time)
         d
       })
-      // no write raced our resolution (or we've retried past the burst:
-      // by then the last writer's files were on disk before our final
-      // listing began, so that listing is post-write and safe to serve)
       attempts += 1
-      if (writeGen.get() == g0 || attempts >= 3) return df
-      relCache.remove(key, df) // drop the possibly-stale entry, re-list
+      if (genFor() == g0) return df // no covering write raced the listing
+      // a writer raced us: the entry may hold a pre-write listing.
+      // Drop it ALWAYS — even on the bounded-retry bail-out below, so
+      // a continuous write storm can at worst serve one request a
+      // slightly-stale frame, never poison the cache for all future
+      // readers (the next call re-lists fresh).
+      relCache.remove(key, df)
+      if (attempts >= 3) return df
     }
     throw new IllegalStateException("unreachable")
   }
@@ -126,13 +148,14 @@ object AnnIndex {
     * keeps serving the pre-write file set. Keys are
     * `<sessionHash>:<path…>`, so we match on the path suffix. */
   private def invalidateCached(path: String): Unit = {
-    // bump the generation BEFORE evicting: a reader that resolved its
-    // listing concurrently with this write sees the mismatch and
-    // retries instead of caching the pre-write file set forever
-    writeGen.incrementAndGet()
     // normalize trailing slashes on BOTH sides: a caller-supplied
     // "/data/idx/" must still invalidate the cached "/data/idx/codes"
     val p = path.replaceAll("/+$", "")
+    // bump this path's generation BEFORE evicting: a reader that
+    // resolved its listing concurrently with this write sees the
+    // mismatch and retries instead of caching the pre-write file set
+    writeGens.computeIfAbsent(p,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     val it = relCache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next()

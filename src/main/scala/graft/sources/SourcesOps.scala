@@ -55,11 +55,29 @@ object SourcesOps {
                         minFilesToCompact: Int = 0): Seq[(String, Int, Int)] = {
     val root = new java.io.File(sinkDir)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("=")).sortBy(_.getName)
+      // hidden dirs (.compact_tmp_*/.compact_trash_* from a crashed
+      // pass, .staging_* from index appends) are maintenance state,
+      // not partitions — without this exclusion a leftover trash dir
+      // would itself be "compacted"
+      .filter(f => f.isDirectory && f.getName.contains("=") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
     parts.toSeq.flatMap { p =>
       def dataFiles(dir: java.io.File): Int =
         Option(dir.listFiles()).getOrElse(Array.empty)
           .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      // self-heal a previous compaction that crashed mid-swap: the
+      // trash dir holds the partition's ONLY complete copy when the
+      // crash hit between the two renames (live dir absent -> restore
+      // it); when the live dir exists the swap completed and the trash
+      // is just an undeleted old-fragment copy (drop it). Committed
+      // rows are never lost in either state.
+      val trashDir = new java.io.File(root, s".compact_trash_${p.getName}")
+      if (trashDir.exists()) {
+        if (p.exists()) VersionedStore.deleteRecursive(trashDir)
+        else java.nio.file.Files.move(trashDir.toPath, p.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       val before = dataFiles(p)
       if (before < minFilesToCompact) None
       else {
@@ -69,9 +87,20 @@ object SourcesOps {
           .write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
         // drop the _SUCCESS marker; the partition dir holds data files only
         new java.io.File(tmpDir, "_SUCCESS").delete()
-        VersionedStore.deleteRecursive(p)
+        // swap by TWO ATOMIC RENAMES, never a delete of live data: at
+        // every instant the partition's rows exist in exactly one
+        // complete directory (live, trash, or tmp), so a crash anywhere
+        // in this sequence is repaired by the self-heal above on the
+        // next invocation. (The previous delete-then-rename left a
+        // crash window where the only copy was the hidden tmp dir —
+        // invisible to readers and never restored.) A reader listing in
+        // the two-rename gap can transiently miss the partition — a
+        // window of two rename syscalls, vs the old O(files) delete.
+        java.nio.file.Files.move(p.toPath, trashDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         java.nio.file.Files.move(tmpDir.toPath, p.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        VersionedStore.deleteRecursive(trashDir)
         Some((p.getName, before, dataFiles(p)))
       }
     }

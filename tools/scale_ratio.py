@@ -7,7 +7,8 @@ import json, sys
 one = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/BENCH_FULL_1x.json"))
 ten = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/BENCH_FULL_10x.json"))
 out = {}
-missing = sorted(set(one) ^ set(ten))  # in one input but not the other
+missing = sorted(k for k in set(one) ^ set(ten)
+                 if not k.startswith("_"))  # in one input but not the other; _-prefixed = load-evidence fields, not queries
 for q, t1 in sorted(one.items()):
     if q.startswith("_"):  # load-evidence fields, not query timings
         continue
