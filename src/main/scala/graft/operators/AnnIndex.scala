@@ -318,6 +318,16 @@ object AnnIndex {
     * pruning is untouched. */
   def appendIvfPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
     requirePqLayout(path, partitioned = true)
+    ivfPq8EncodeAssign(spark, path, vectors).foreach(
+      _.write.mode("append").partitionBy("cell").parquet(s"$path/codes"))
+    invalidateCached(path)
+  }
+
+  /** Shared body of both IVFADC appends: frozen-centroid assignment +
+    * frozen-codebook encoding, repartitioned on `cell` (one output
+    * file per touched cell). None = empty batch (clean no-op). */
+  private def ivfPq8EncodeAssign(spark: SparkSession, path: String,
+                                 vectors: DataFrame): Option[DataFrame] = {
     val anchors = spark.read.parquet(s"$path/anchors")
     val meta = anchors.agg(max(col("m")), first(size(col("av")))).head()
     val (m, sub) = (meta.getInt(0) + 1, meta.getInt(1))
@@ -326,7 +336,7 @@ object AnnIndex {
     // before anything lands
     val widths = vectors.select(size(col("v")).as("w")).distinct()
       .limit(3).collect().map(_.getInt(0)).sorted
-    if (widths.isEmpty) return
+    if (widths.isEmpty) return None
     require(widths.sameElements(Array(m * sub)),
       s"appendIvfPq8At: vector widths ${widths.mkString(",")} but the index codebook is m=$m x sub=$sub = ${m * sub}-dim")
     val cents = broadcast(spark.read.parquet(s"$path/cents"))
@@ -339,11 +349,66 @@ object AnnIndex {
       .agg(min(when(col("nrm") > 0, struct(col("d2"), col("cell")))
         .otherwise(struct(lit(0D).as("d2"), lit(0).as("cell"))))
         .getField("cell").as("cell"))
-    SimilarityOps2.pqEncode(vectors, anchors, m, sub)
+    Some(SimilarityOps2.pqEncode(vectors, anchors, m, sub)
       .join(assigned, "vec_id")
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .repartition(col("cell")))
+  }
+
+  /** Replay-idempotent streaming append into an IVFADC index — the
+    * quantized-index analogue of [[appendSrpBatchAt]]: codes are
+    * staged per batch, then moved into the live `cell=` dirs under
+    * deterministic `b<batchId>.parquet` names, so a crash-recovery
+    * re-execution replaces its own files. Assignment/encoding are the
+    * frozen-artifact rules of [[appendIvfPq8At]]. */
+  def appendIvfPq8BatchAt(spark: SparkSession, path: String, batchId: Long,
+                          vectors: DataFrame): Unit = {
+    requirePqLayout(path, partitioned = true)
+    val stg = new File(s"$path/.staging_b$batchId")
+    ivfPq8EncodeAssign(spark, path, vectors) match {
+      case None => return
+      case Some(df) =>
+        df.write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
+    }
+    Option(stg.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .foreach { cd =>
+        val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(files.length == 1,
+          s"${cd.getName}: ${files.length} staged files; repartition(cell) guarantees 1")
+        val dst = java.nio.file.Paths.get(s"$path/codes", cd.getName, s"b$batchId.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(files.head.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    graft.sources.VersionedStore.deleteRecursive(stg)
     invalidateCached(path)
+  }
+
+  /** Sweep `b<batchId>.parquet` leftovers of a crashed attempt of this
+    * batch from the codes cells (same rationale as
+    * [[dropSrpBatchFiles]]). */
+  def dropIvfPq8BatchFiles(path: String, batchId: Long): Unit = {
+    Option(new File(s"$path/codes").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .foreach { cd =>
+        val f = new File(cd, s"b$batchId.parquet")
+        if (f.exists()) f.delete()
+      }
+    invalidateCached(path)
+  }
+
+  /** Maintenance pass for the IVFADC codes relation: cells at the
+    * file-count trigger collapse to one file (crash-safe two-rename
+    * swap via [[graft.sources.SourcesOps.compactPartitions]]); probe
+    * plans unchanged — ADC pruning selects `cell=` directories, which
+    * compaction never renames. */
+  def compactIvfPq8At(spark: SparkSession, path: String,
+                      trigger: Int = CompactTriggerFiles): Seq[(String, Int, Int)] = {
+    requirePqLayout(path, partitioned = true)
+    val out = graft.sources.SourcesOps.compactPartitions(
+      spark, s"$path/codes", numFiles = 1, minFilesToCompact = trigger)
+    invalidateCached(path)
+    out
   }
 
   /** Deployment-shape PQ8 builders against an EXPLICIT index path

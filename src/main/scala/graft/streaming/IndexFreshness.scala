@@ -62,4 +62,26 @@ object IndexFreshness {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(commitBatch(indexPath, compactTrigger) _)
       .start()
+
+  /** The IVFADC analogue — same sweep → compact → stage-and-move
+    * protocol over the quantized codes relation, so new vectors are
+    * ADC-searchable the moment their batch commits while the coarse
+    * centroids and PQ codebook stay frozen (the at-rest append
+    * discipline `AnnIndex.appendIvfPq8At` documents). `vectors` must
+    * carry (vec_id, v: array<double>) — the PQ builders' input shape. */
+  def commitIvfPq8Batch(indexPath: String,
+                        compactTrigger: Int = AnnIndex.CompactTriggerFiles)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    AnnIndex.dropIvfPq8BatchFiles(indexPath, batchId)
+    AnnIndex.compactIvfPq8At(spark, indexPath, compactTrigger)
+    AnnIndex.appendIvfPq8BatchAt(spark, indexPath, batchId, batch)
+  }
+
+  def startIvfPq8(vectors: DataFrame, indexPath: String, checkpoint: String,
+                  compactTrigger: Int = AnnIndex.CompactTriggerFiles): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(commitIvfPq8Batch(indexPath, compactTrigger) _)
+      .start()
 }

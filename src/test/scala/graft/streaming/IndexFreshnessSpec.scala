@@ -112,4 +112,76 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("srp_bucket"),
       s"freshness maintenance broke partition pruning:\n$plan")
   }
+
+  test("IVFADC freshness: batch-N codes live after batch N; frozen anchors/centroids; replay exactly-once; compaction bounds cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh_pq").toString + "/ivfpq"
+    val asV = expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
+    AnnIndex.buildIvfPq8At(dir,
+      Tables.embeddings(spark, sf).limit(200).select(col("vec_id"), asV))
+    def codeRows(): Seq[(Long, Int)] =
+      spark.read.parquet(s"$dir/codes").select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    def anchorCount(): Long = spark.read.parquet(s"$dir/anchors").count()
+    def centRows(): Seq[Int] = spark.read.parquet(s"$dir/cents")
+      .select("cell").collect().map(_.getInt(0)).sorted.toSeq
+    val base = codeRows(); val anchors0 = anchorCount(); val cents0 = centRows()
+
+    val batches = Seq(
+      vecs(2000000L until 2000030L, seed = 5),
+      vecs(2000030L until 2000060L, seed = 6),
+      vecs(2000060L until 2000090L, seed = 7))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+    val q = IndexFreshness.startIvfPq8(
+      input.toDF().select(col("vec_id"), asV), dir, ckpt("graft_fresh_pq_ck"),
+      compactTrigger = 3)
+    try {
+      var expected = base.map(_._1).toSet
+      batches.foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+        expected ++= b.map(_.vec_id)
+        val rows = codeRows()
+        // freshness + exactly-once: every batch-N vector is ADC-
+        // servable right after batch N, no duplicates, no losses.
+        // The codes relation holds ONE ROW PER SUBSPACE (m=8), so an
+        // exactly-once index carries exactly 8 rows per vector.
+        assert(rows.map(_._1).toSet == expected, "code id set diverged")
+        assert(rows.size == expected.size * 8,
+          s"dup/lost code rows: ${rows.size} vs ${expected.size} x 8")
+      }
+    } finally q.stop()
+    // the frozen artifacts were never touched by streaming appends
+    assert(anchorCount() == anchors0, "streaming append rewrote the codebook")
+    assert(centRows() == cents0, "streaming append moved the coarse centroids")
+
+    val settled = codeRows()
+    // full crash-replay of the last batch
+    IndexFreshness.commitIvfPq8Batch(dir, compactTrigger = 3)(
+      toDf(batches.last).select(col("vec_id"), asV), 2L)
+    assert(codeRows() == settled, "full replay changed the codes")
+    // partial-crash replay under a fresh batch id
+    val late = vecs(2000200L until 2000206L, seed = 8)
+    AnnIndex.appendIvfPq8BatchAt(spark, dir, 3L, toDf(late).select(col("vec_id"), asV))
+    IndexFreshness.commitIvfPq8Batch(dir, compactTrigger = 3)(
+      toDf(late).select(col("vec_id"), asV), 3L)
+    val afterPartial = codeRows()
+    assert(afterPartial.size == settled.size + 6 * 8,
+      s"partial-crash replay duplicated codes: ${afterPartial.size} vs ${settled.size} + 6 x 8")
+
+    // compaction bounded cell fragments; ADC cell pruning still prunes
+    val files = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty && files.max <= 4,
+      s"compaction never bounded cell fragments: max ${files.max} files")
+    val someCell = afterPartial.head._2
+    val plan = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell") === someCell)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"freshness maintenance broke cell pruning:\n$plan")
+  }
 }
