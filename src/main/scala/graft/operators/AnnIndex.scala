@@ -318,9 +318,12 @@ object AnnIndex {
     * pruning is untouched. */
   def appendIvfPq8At(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
     requirePqLayout(path, partitioned = true)
-    ivfPq8EncodeAssign(spark, path, vectors).foreach(
-      _.write.mode("append").partitionBy("cell").parquet(s"$path/codes"))
-    invalidateCached(path)
+    ivfPq8EncodeAssign(spark, path, vectors).foreach { df =>
+      df.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      // inside the foreach: an empty batch wrote nothing, so it must
+      // not evict cached listings and force probe re-walks
+      invalidateCached(path)
+    }
   }
 
   /** Shared body of both IVFADC appends: frozen-centroid assignment +
@@ -369,33 +372,16 @@ object AnnIndex {
       case Some(df) =>
         df.write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
     }
-    Option(stg.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .foreach { cd =>
-        val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
-        require(files.length == 1,
-          s"${cd.getName}: ${files.length} staged files; repartition(cell) guarantees 1")
-        val dst = java.nio.file.Paths.get(s"$path/codes", cd.getName, s"b$batchId.parquet")
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.move(files.head.toPath, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    graft.sources.VersionedStore.deleteRecursive(stg)
-    invalidateCached(path)
+    if (moveStagedBatch(stg, s"$path/codes", "cell=", batchId) > 0)
+      invalidateCached(path)
   }
 
   /** Sweep `b<batchId>.parquet` leftovers of a crashed attempt of this
-    * batch from the codes cells (same rationale as
-    * [[dropSrpBatchFiles]]). */
-  def dropIvfPq8BatchFiles(path: String, batchId: Long): Unit = {
-    Option(new File(s"$path/codes").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .foreach { cd =>
-        val f = new File(cd, s"b$batchId.parquet")
-        if (f.exists()) f.delete()
-      }
-    invalidateCached(path)
-  }
+    * batch from the codes cells (same rationale and no-op cache
+    * discipline as [[dropSrpBatchFiles]]). */
+  def dropIvfPq8BatchFiles(path: String, batchId: Long): Unit =
+    if (sweepBatchFiles(s"$path/codes", "cell=", batchId))
+      invalidateCached(path)
 
   /** Maintenance pass for the IVFADC codes relation: cells at the
     * file-count trigger collapse to one file (crash-safe two-rename
@@ -407,7 +393,7 @@ object AnnIndex {
     requirePqLayout(path, partitioned = true)
     val out = graft.sources.SourcesOps.compactPartitions(
       spark, s"$path/codes", numFiles = 1, minFilesToCompact = trigger)
-    invalidateCached(path)
+    if (out.nonEmpty) invalidateCached(path) // no-op pass evicts nothing
     out
   }
 
@@ -550,19 +536,47 @@ object AnnIndex {
     requireLayout(path, flat = true)
     val stg = new File(s"$path/.staging_b$batchId")
     writeSrpAt(stg.toString, vectors, "overwrite")
+    if (moveStagedBatch(stg, path, "srp_bucket=", batchId) > 0)
+      invalidateCached(path)
+  }
+
+  /** ONE copy of the crash-critical stage-and-move protocol, shared by
+    * the SRP and IVFADC freshness appends: move a staged batch's
+    * one-file-per-partition outputs into the live partition dirs under
+    * deterministic `b<batchId>.parquet` names (REPLACE on replay),
+    * then drop the staging dir. Returns how many partition files
+    * landed (0 = empty batch — callers skip cache invalidation). */
+  private def moveStagedBatch(stg: File, dstRoot: String, prefix: String,
+                              batchId: Long): Int = {
+    var moved = 0
     Option(stg.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
-      .foreach { bd =>
-        val files = bd.listFiles().filter(_.getName.endsWith(".parquet"))
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach { pd =>
+        val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
         require(files.length == 1,
-          s"${bd.getName}: ${files.length} staged files; repartition(bucket) guarantees 1")
-        val dst = java.nio.file.Paths.get(path, bd.getName, s"b$batchId.parquet")
+          s"${pd.getName}: ${files.length} staged files; repartition on the partition column guarantees 1")
+        val dst = java.nio.file.Paths.get(dstRoot, pd.getName, s"b$batchId.parquet")
         java.nio.file.Files.createDirectories(dst.getParent)
         java.nio.file.Files.move(files.head.toPath, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        moved += 1
       }
     graft.sources.VersionedStore.deleteRecursive(stg)
-    invalidateCached(path)
+    moved
+  }
+
+  /** Shared sweep of `b<batchId>.parquet` leftovers under a root's
+    * partition dirs; true when anything was actually deleted. */
+  private def sweepBatchFiles(dstRoot: String, prefix: String,
+                              batchId: Long): Boolean = {
+    var any = false
+    Option(new File(dstRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach { pd =>
+        val f = new File(pd, s"b$batchId.parquet")
+        if (f.exists() && f.delete()) any = true
+      }
+    any
   }
 
   /** Remove any `b<batchId>.parquet` leftovers of a CRASHED attempt of
@@ -570,16 +584,12 @@ object AnnIndex {
     * are never touched). Run before compaction in a replayed
     * foreachBatch: without it, compaction could fold a half-moved
     * uncommitted file into a bucket's single compacted file, after
-    * which the re-append would double those rows. */
-  def dropSrpBatchFiles(path: String, batchId: Long): Unit = {
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
-      .foreach { bd =>
-        val f = new File(bd, s"b$batchId.parquet")
-        if (f.exists()) f.delete()
-      }
-    invalidateCached(path)
-  }
+    * which the re-append would double those rows. Invalidates the
+    * relation cache only when something was actually deleted — the
+    * every-tick no-op sweep must not force probe re-listings. */
+  def dropSrpBatchFiles(path: String, batchId: Long): Unit =
+    if (sweepBatchFiles(path, "srp_bucket=", batchId))
+      invalidateCached(path)
 
   /** Replay-idempotent streaming append: each micro-batch OVERWRITES
     * its own `batch=<id>` subdirectory (a foreachBatch re-execution
@@ -620,7 +630,7 @@ object AnnIndex {
     requireLayout(path, flat = true)
     val out = graft.sources.SourcesOps.compactPartitions(
       spark, path, numFiles = 1, minFilesToCompact = trigger)
-    invalidateCached(path)
+    if (out.nonEmpty) invalidateCached(path) // no-op pass evicts nothing
     out
   }
 

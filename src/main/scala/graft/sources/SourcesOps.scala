@@ -54,6 +54,43 @@ object SourcesOps {
                         numFiles: Int = 1,
                         minFilesToCompact: Int = 0): Seq[(String, Int, Int)] = {
     val root = new java.io.File(sinkDir)
+    // SELF-HEAL FIRST, driven by the TRASH dirs — not by the live
+    // partition listing: after a crash between the swap's two renames
+    // the live dir is ABSENT, so a heal keyed off existing live dirs
+    // would never see that partition and its only copy would rot in
+    // the hidden trash forever (or worse: a later append could
+    // recreate the live dir with only new files, after which a
+    // live-keyed heal would "clean up" the trash and permanently lose
+    // every pre-crash row). Three states, all repaired:
+    //  - live absent            -> restore trash to live (atomic);
+    //  - live has a non-batch   -> the swap completed (the compacted
+    //    data file                 part-* file holds every trash row)
+    //                              and the trash is a duplicate: drop;
+    //  - live has ONLY b*.parquet batch appends -> an append recreated
+    //    the dir post-crash; the trash holds the only copy of the
+    //    pre-crash rows: merge its files in (part-* names never
+    //    collide with b<id>.parquet), then drop the empty trash.
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact_trash_"))
+      .foreach { trash =>
+        val live = new java.io.File(root, trash.getName.stripPrefix(".compact_trash_"))
+        val liveData = Option(live.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (!live.exists())
+          java.nio.file.Files.move(trash.toPath, live.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else if (liveData.exists(!_.getName.matches("b\\d+\\.parquet")))
+          VersionedStore.deleteRecursive(trash)
+        else {
+          Option(trash.listFiles()).getOrElse(Array.empty)
+            .filter(_.isFile).foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                live.toPath.resolve(f.getName),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          VersionedStore.deleteRecursive(trash)
+        }
+      }
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       // hidden dirs (.compact_tmp_*/.compact_trash_* from a crashed
       // pass, .staging_* from index appends) are maintenance state,
@@ -66,21 +103,10 @@ object SourcesOps {
       def dataFiles(dir: java.io.File): Int =
         Option(dir.listFiles()).getOrElse(Array.empty)
           .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      // self-heal a previous compaction that crashed mid-swap: the
-      // trash dir holds the partition's ONLY complete copy when the
-      // crash hit between the two renames (live dir absent -> restore
-      // it); when the live dir exists the swap completed and the trash
-      // is just an undeleted old-fragment copy (drop it). Committed
-      // rows are never lost in either state.
-      val trashDir = new java.io.File(root, s".compact_trash_${p.getName}")
-      if (trashDir.exists()) {
-        if (p.exists()) VersionedStore.deleteRecursive(trashDir)
-        else java.nio.file.Files.move(trashDir.toPath, p.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
       val before = dataFiles(p)
       if (before < minFilesToCompact) None
       else {
+        val trashDir = new java.io.File(root, s".compact_trash_${p.getName}")
         val tmpDir = new java.io.File(root, s".compact_tmp_${p.getName}")
         spark.read.parquet(p.getAbsolutePath)
           .repartition(numFiles)

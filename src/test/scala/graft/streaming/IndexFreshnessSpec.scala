@@ -113,6 +113,44 @@ class IndexFreshnessSpec extends SparkSpec {
       s"freshness maintenance broke partition pruning:\n$plan")
   }
 
+  test("compaction mid-swap crash states heal with no committed-row loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/srp"
+    AnnIndex.buildSrpAt(dir, toDf(vecs(0L until 20L, seed = 1)))
+    AnnIndex.appendSrpBatchAt(dir, 0L, toDf(vecs(20L until 40L, seed = 1)))
+    val rows0 = indexRows(dir)
+    val root = new java.io.File(dir)
+    def buckets() = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("srp_bucket="))
+
+    // crash shape 1: killed between the swap's two renames — the live
+    // dir is gone, the only complete copy sits in the hidden trash.
+    // The next maintenance pass must restore it.
+    val b1 = buckets().head
+    java.nio.file.Files.move(b1.toPath,
+      new java.io.File(root, s".compact_trash_${b1.getName}").toPath)
+    AnnIndex.compactSrpAt(spark, dir, trigger = 1000000) // heal-only pass
+    assert(indexRows(dir) == rows0, "live-dir-absent crash state lost rows")
+
+    // crash shape 2: same kill, but a streaming append RECREATES the
+    // live dir (with only its own new file) before any maintenance
+    // runs — the heal must MERGE the trash rows back, not treat the
+    // recreated dir as a completed swap and discard them
+    val b2 = buckets().head
+    val b2Val = b2.getName.split("=")(1).toInt
+    val donor = rows0.collectFirst { case (id, b) if b == b2Val => id }.get
+    java.nio.file.Files.move(b2.toPath,
+      new java.io.File(root, s".compact_trash_${b2.getName}").toPath)
+    // same embedding as the donor -> same bucket, fresh id
+    val clone = Vec(99999L, vecs(Seq(donor), seed = 1).head.embedding)
+    AnnIndex.appendSrpBatchAt(dir, 7L, toDf(Seq(clone)))
+    AnnIndex.compactSrpAt(spark, dir, trigger = 1000000) // heal-only pass
+    val healed = indexRows(dir)
+    assert(healed.map(_._1).toSet == rows0.map(_._1).toSet + 99999L,
+      "append-recreated-live crash state lost pre-crash rows")
+    assert(healed.size == rows0.size + 1, "heal duplicated rows")
+  }
+
   test("IVFADC freshness: batch-N codes live after batch N; frozen anchors/centroids; replay exactly-once; compaction bounds cells") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
