@@ -32,9 +32,16 @@ object BoxLoad {
     * by contention no code change can fix. */
   def stealSnap(): (Long, Long) =
     try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+").drop(1).map(_.toLong)
-      (cols(7), cols.sum) // steal is field 8 (user nice sys idle iowait irq softirq steal ...)
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next()
+      val cols = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // steal is field 8 (user nice sys idle iowait irq softirq steal).
+      // Denominator = the first 8 fields ONLY: the trailing guest/
+      // guest_nice are already counted inside user/nice, so summing
+      // them double-counts guest time and understates steal_pct on
+      // hosts running guests.
+      (cols(7), cols.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Percent of CPU time stolen by the hypervisor since `s0`. */

@@ -88,7 +88,8 @@ object AnnIndex {
     * forces the listing during warm-up. Re-listing ~5k bucket
     * directories per probe was 4-6 s of pure metadata walking at
     * sf0.1 — the exact failure a metastore exists to prevent. */
-  private val relCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
   /** Per-invalidation-path write generations, bumped by every writer
     * BEFORE it evicts cache entries. A probe thread mid-file-listing
@@ -122,21 +123,26 @@ object AnnIndex {
     }
     var attempts = 0
     while (true) {
-      val g0 = genFor()
-      val df = relCache.computeIfAbsent(key, _ => {
-        val d = spark.read.parquet(path)
-        d.inputFiles // force file-index construction NOW (warm-up time)
-        d
+      // entries carry the generation snapshotted BEFORE their listing
+      // started, so a stale insert (a reader that listed concurrently
+      // with a write) is detectable by EVERY subsequent reader — not
+      // only by the thread that inserted it. A write storm can still
+      // hand ONE bounded-retry bail-out a stale frame, but it can no
+      // longer leave a stale entry that later readers trust.
+      val entry = relCache.computeIfAbsent(key, _ => {
+        val gStart = genFor()
+        // swap-consistent listing: a compaction mid-swap on one
+        // partition must not freeze a listing that misses it
+        val d = graft.sources.SourcesOps.readConsistent(spark, path)
+        (gStart, d)
       })
       attempts += 1
-      if (genFor() == g0) return df // no covering write raced the listing
-      // a writer raced us: the entry may hold a pre-write listing.
-      // Drop it ALWAYS — even on the bounded-retry bail-out below, so
-      // a continuous write storm can at worst serve one request a
-      // slightly-stale frame, never poison the cache for all future
-      // readers (the next call re-lists fresh).
-      relCache.remove(key, df)
-      if (attempts >= 3) return df
+      if (genFor() == entry._1) return entry._2 // listing still current
+      // a writer raced the entry's listing: drop it ALWAYS — even on
+      // the bounded-retry bail-out below — so the next call re-lists
+      // fresh instead of trusting a possibly-pre-write file set.
+      relCache.remove(key, entry)
+      if (attempts >= 3) return entry._2
     }
     throw new IllegalStateException("unreachable")
   }
@@ -366,11 +372,11 @@ object AnnIndex {
   def appendIvfPq8BatchAt(spark: SparkSession, path: String, batchId: Long,
                           vectors: DataFrame): Unit = {
     requirePqLayout(path, partitioned = true)
-    val stg = new File(s"$path/.staging_b$batchId")
+    val stg = s"$path/.staging_b$batchId"
     ivfPq8EncodeAssign(spark, path, vectors) match {
       case None => return
       case Some(df) =>
-        df.write.mode("overwrite").partitionBy("cell").parquet(stg.toString)
+        df.write.mode("overwrite").partitionBy("cell").parquet(stg)
     }
     if (moveStagedBatch(stg, s"$path/codes", "cell=", batchId) > 0)
       invalidateCached(path)
@@ -391,10 +397,14 @@ object AnnIndex {
   def compactIvfPq8At(spark: SparkSession, path: String,
                       trigger: Int = CompactTriggerFiles): Seq[(String, Int, Int)] = {
     requirePqLayout(path, partitioned = true)
-    val out = graft.sources.SourcesOps.compactPartitions(
+    val report = graft.sources.SourcesOps.compactPartitionsReport(
       spark, s"$path/codes", numFiles = 1, minFilesToCompact = trigger)
-    if (out.nonEmpty) invalidateCached(path) // no-op pass evicts nothing
-    out
+    // a heal-only pass (restored/merged/dropped trash dirs) also changes
+    // the live file set — invalidate then too, or a listing cached while
+    // the live dir was absent keeps serving the pre-heal file set; a
+    // true no-op pass evicts nothing
+    if (report.changedLiveFiles) invalidateCached(path)
+    report.rewritten
   }
 
   /** Deployment-shape PQ8 builders against an EXPLICIT index path
@@ -534,8 +544,8 @@ object AnnIndex {
     * batch-built index's. */
   def appendSrpBatchAt(path: String, batchId: Long, vectors: DataFrame): Unit = {
     requireLayout(path, flat = true)
-    val stg = new File(s"$path/.staging_b$batchId")
-    writeSrpAt(stg.toString, vectors, "overwrite")
+    val stg = s"$path/.staging_b$batchId"
+    writeSrpAt(stg, vectors, "overwrite")
     if (moveStagedBatch(stg, path, "srp_bucket=", batchId) > 0)
       invalidateCached(path)
   }
@@ -546,22 +556,24 @@ object AnnIndex {
     * deterministic `b<batchId>.parquet` names (REPLACE on replay),
     * then drop the staging dir. Returns how many partition files
     * landed (0 = empty batch — callers skip cache invalidation). */
-  private def moveStagedBatch(stg: File, dstRoot: String, prefix: String,
+  private def moveStagedBatch(stg: String, dstRoot: String, prefix: String,
                               batchId: Long): Int = {
+    import graft.sources.Dfs
     var moved = 0
-    Option(stg.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    Dfs.list(Dfs.path(stg))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .foreach { pd =>
-        val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        val files = Dfs.list(pd.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         require(files.length == 1,
-          s"${pd.getName}: ${files.length} staged files; repartition on the partition column guarantees 1")
-        val dst = java.nio.file.Paths.get(dstRoot, pd.getName, s"b$batchId.parquet")
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.move(files.head.toPath, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          s"${pd.getPath.getName}: ${files.length} staged files; repartition on the partition column guarantees 1")
+        val dstDir = new org.apache.hadoop.fs.Path(dstRoot, pd.getPath.getName)
+        Dfs.mkdirs(dstDir)
+        Dfs.renameOverwrite(files.head.getPath,
+          new org.apache.hadoop.fs.Path(dstDir, s"b$batchId.parquet"))
         moved += 1
       }
-    graft.sources.VersionedStore.deleteRecursive(stg)
+    Dfs.delete(Dfs.path(stg))
     moved
   }
 
@@ -569,12 +581,13 @@ object AnnIndex {
     * partition dirs; true when anything was actually deleted. */
   private def sweepBatchFiles(dstRoot: String, prefix: String,
                               batchId: Long): Boolean = {
+    import graft.sources.Dfs
     var any = false
-    Option(new File(dstRoot).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    Dfs.list(Dfs.path(dstRoot))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .foreach { pd =>
-        val f = new File(pd, s"b$batchId.parquet")
-        if (f.exists() && f.delete()) any = true
+        if (Dfs.delete(new org.apache.hadoop.fs.Path(pd.getPath, s"b$batchId.parquet")))
+          any = true
       }
     any
   }
@@ -628,10 +641,12 @@ object AnnIndex {
   def compactSrpAt(spark: SparkSession, path: String,
                    trigger: Int = CompactTriggerFiles): Seq[(String, Int, Int)] = {
     requireLayout(path, flat = true)
-    val out = graft.sources.SourcesOps.compactPartitions(
+    val report = graft.sources.SourcesOps.compactPartitionsReport(
       spark, path, numFiles = 1, minFilesToCompact = trigger)
-    if (out.nonEmpty) invalidateCached(path) // no-op pass evicts nothing
-    out
+    // invalidate on a heal too (it changes the live file set even when
+    // nothing was rewritten); a true no-op pass evicts nothing
+    if (report.changedLiveFiles) invalidateCached(path)
+    report.rewritten
   }
 
   /** The PQ analogue of [[requireLayout]]: a flat PQ8 index and an
@@ -645,9 +660,9 @@ object AnnIndex {
     * or empty codes dir passes either way (nothing at rest to corrupt;
     * the anchors read already guards a truly absent index). */
   private def requirePqLayout(path: String, partitioned: Boolean): Unit = {
-    val kids = Option(new File(s"$path/codes").listFiles()).getOrElse(Array.empty)
-    val hasCells = kids.exists(f => f.isDirectory && f.getName.startsWith("cell="))
-    val hasFlatFiles = kids.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    val kids = graft.sources.Dfs.list(graft.sources.Dfs.path(s"$path/codes"))
+    val hasCells = kids.exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val hasFlatFiles = kids.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(!(partitioned && hasFlatFiles),
       s"$path/codes holds a FLAT pq8 code set; use appendPq8At, not appendIvfPq8At")
     require(!(!partitioned && hasCells),
@@ -655,8 +670,8 @@ object AnnIndex {
   }
 
   private def requireLayout(root: String, flat: Boolean): Unit = {
-    val kids = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName)
+    val kids = graft.sources.Dfs.list(graft.sources.Dfs.path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
     val hasFlat = kids.exists(_.startsWith("srp_bucket="))
     val hasBatch = kids.exists(_.startsWith("batch="))
     require(!(flat && hasBatch),

@@ -25,6 +25,28 @@ object SourcesOps {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** What a maintenance pass did: `healed` = crash leftovers repaired
+    * (trash dirs restored/merged/discarded — the LIVE FILE SET may have
+    * changed even when nothing was rewritten, so callers holding
+    * listing caches must invalidate on `healed > 0 || rewritten.nonEmpty`,
+    * not on `rewritten.nonEmpty` alone). */
+  case class CompactReport(healed: Int, rewritten: Seq[(String, Int, Int)]) {
+    def changedLiveFiles: Boolean = healed > 0 || rewritten.nonEmpty
+  }
+
+  /** Name of the per-swap manifest compaction writes into the live dir
+    * immediately before the first rename (so it travels into the trash
+    * dir): the exact parquet file names of the compacted output. The
+    * self-heal uses it as a SOUND discriminator — the trash is a
+    * duplicate only when the live dir contains exactly those files
+    * (i.e. the second rename landed); any other live content means some
+    * append recreated the dir post-crash and the trash rows must be
+    * merged back. (A mere "live has a non-batch file" heuristic is
+    * unsound: a plain `mode("append")` write also creates `part-*`
+    * files, indistinguishable from a compacted output by name shape.)
+    * Underscore-prefixed: Spark's file index ignores it. */
+  private val CompactManifest = "_COMPACT_MANIFEST"
+
   /** S2: deterministic dimension ids — id = position in key order (the
     * reference's "line number" with a sorted input file). */
   def dimFromKeys(keys: DataFrame): DataFrame = {
@@ -52,84 +74,175 @@ object SourcesOps {
     * pass only pays rewrite I/O where fragmentation actually built up. */
   def compactPartitions(spark: SparkSession, sinkDir: String,
                         numFiles: Int = 1,
-                        minFilesToCompact: Int = 0): Seq[(String, Int, Int)] = {
-    val root = new java.io.File(sinkDir)
+                        minFilesToCompact: Int = 0): Seq[(String, Int, Int)] =
+    compactPartitionsReport(spark, sinkDir, numFiles, minFilesToCompact).rewritten
+
+  /** As [[compactPartitions]] but also reports whether the self-heal
+    * pass changed the live file set (see [[CompactReport]]). All
+    * filesystem metadata goes through the Hadoop `FileSystem` of the
+    * sink's scheme ([[Dfs]]) so the protocol runs identically whether
+    * the sink is local disk, `file://`, or HDFS — the 100 TB deployment
+    * shape, where the sink is never the driver's POSIX disk. */
+  def compactPartitionsReport(spark: SparkSession, sinkDir: String,
+                              numFiles: Int = 1,
+                              minFilesToCompact: Int = 0): CompactReport = {
+    val root = Dfs.path(sinkDir)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      Dfs.list(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
     // SELF-HEAL FIRST, driven by the TRASH dirs — not by the live
     // partition listing: after a crash between the swap's two renames
     // the live dir is ABSENT, so a heal keyed off existing live dirs
     // would never see that partition and its only copy would rot in
-    // the hidden trash forever (or worse: a later append could
-    // recreate the live dir with only new files, after which a
-    // live-keyed heal would "clean up" the trash and permanently lose
-    // every pre-crash row). Three states, all repaired:
-    //  - live absent            -> restore trash to live (atomic);
-    //  - live has a non-batch   -> the swap completed (the compacted
-    //    data file                 part-* file holds every trash row)
-    //                              and the trash is a duplicate: drop;
-    //  - live has ONLY b*.parquet batch appends -> an append recreated
-    //    the dir post-crash; the trash holds the only copy of the
-    //    pre-crash rows: merge its files in (part-* names never
-    //    collide with b<id>.parquet), then drop the empty trash.
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".compact_trash_"))
-      .foreach { trash =>
-        val live = new java.io.File(root, trash.getName.stripPrefix(".compact_trash_"))
-        val liveData = Option(live.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        if (!live.exists())
-          java.nio.file.Files.move(trash.toPath, live.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        else if (liveData.exists(!_.getName.matches("b\\d+\\.parquet")))
-          VersionedStore.deleteRecursive(trash)
-        else {
-          Option(trash.listFiles()).getOrElse(Array.empty)
-            .filter(_.isFile).foreach { f =>
-              java.nio.file.Files.move(f.toPath,
-                live.toPath.resolve(f.getName),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            }
-          VersionedStore.deleteRecursive(trash)
+    // the hidden trash forever. Three states, all repaired:
+    //  - live absent -> restore trash to live (atomic);
+    //  - live holds EXACTLY the compacted output the trash's manifest
+    //    names -> the swap completed and the trash is a duplicate: drop;
+    //  - anything else -> some append (batch-keyed b*.parquet OR a
+    //    plain part-* append — the manifest makes the two
+    //    distinguishable from a compacted output, a name-shape
+    //    heuristic does not) recreated the dir post-crash; the trash
+    //    holds the only copy of the pre-crash rows: merge them in,
+    //    then drop the trash. Name collisions on merge: an identical
+    //    b<id>.parquet is the same batch's deterministic replay (skip —
+    //    live's copy is authoritative and row-identical); a part-*
+    //    collision (distinct write jobs share a UUID — effectively
+    //    never) is disambiguated by a `healed_` prefix.
+    var healed = 0
+    Dfs.list(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_trash_"))
+      .foreach { trashStatus =>
+        val trash = trashStatus.getPath
+        val live = new org.apache.hadoop.fs.Path(
+          root, trash.getName.stripPrefix(".compact_trash_"))
+        if (!Dfs.exists(live)) {
+          Dfs.rename(trash, live); healed += 1
+        } else {
+          val liveNames = dataFiles(live).toSet
+          val manifest = new org.apache.hadoop.fs.Path(trash, CompactManifest)
+          val expectNames =
+            if (Dfs.exists(manifest))
+              Some(Dfs.readString(manifest).split("\n").filter(_.nonEmpty).toSeq)
+            else None
+          val swapCompleted = expectNames match {
+            case Some(names) => names.forall(liveNames.contains)
+            // pre-manifest trash (only reachable by hand-built crash
+            // states now): fall back to the old name-shape heuristic
+            case None => liveNames.exists(!_.matches("b\\d+\\.parquet"))
+          }
+          if (swapCompleted) Dfs.delete(trash)
+          else {
+            Dfs.list(trash)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val name = f.getPath.getName
+                val dst = new org.apache.hadoop.fs.Path(live, name)
+                if (!Dfs.exists(dst)) Dfs.rename(f.getPath, dst)
+                else if (!name.matches("b\\d+\\.parquet"))
+                  Dfs.rename(f.getPath,
+                    new org.apache.hadoop.fs.Path(live, s"healed_$name"))
+                // else: same-batch deterministic replay already live — skip
+              }
+            Dfs.delete(trash)
+            healed += 1
+          }
         }
       }
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+    val parts = Dfs.list(root)
       // hidden dirs (.compact_tmp_*/.compact_trash_* from a crashed
       // pass, .staging_* from index appends) are maintenance state,
       // not partitions — without this exclusion a leftover trash dir
       // would itself be "compacted"
-      .filter(f => f.isDirectory && f.getName.contains("=") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
-    parts.toSeq.flatMap { p =>
-      def dataFiles(dir: java.io.File): Int =
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      val before = dataFiles(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    val rewritten = parts.flatMap { ps =>
+      val p = ps.getPath
+      val before = dataFiles(p).length
       if (before < minFilesToCompact) None
       else {
-        val trashDir = new java.io.File(root, s".compact_trash_${p.getName}")
-        val tmpDir = new java.io.File(root, s".compact_tmp_${p.getName}")
-        spark.read.parquet(p.getAbsolutePath)
+        val trashDir = new org.apache.hadoop.fs.Path(root, s".compact_trash_${p.getName}")
+        val tmpDir = new org.apache.hadoop.fs.Path(root, s".compact_tmp_${p.getName}")
+        spark.read.parquet(p.toString)
           .repartition(numFiles)
-          .write.mode("overwrite").parquet(tmpDir.getAbsolutePath)
+          .write.mode("overwrite").parquet(tmpDir.toString)
         // drop the _SUCCESS marker; the partition dir holds data files only
-        new java.io.File(tmpDir, "_SUCCESS").delete()
+        Dfs.delete(new org.apache.hadoop.fs.Path(tmpDir, "_SUCCESS"))
+        // record the compacted output's exact names in the LIVE dir so
+        // the first rename carries them into the trash — the self-heal
+        // discriminator above
+        Dfs.writeStringAtomic(new org.apache.hadoop.fs.Path(p, CompactManifest),
+          dataFiles(tmpDir).mkString("\n"))
         // swap by TWO ATOMIC RENAMES, never a delete of live data: at
         // every instant the partition's rows exist in exactly one
         // complete directory (live, trash, or tmp), so a crash anywhere
         // in this sequence is repaired by the self-heal above on the
-        // next invocation. (The previous delete-then-rename left a
-        // crash window where the only copy was the hidden tmp dir —
-        // invisible to readers and never restored.) A reader listing in
-        // the two-rename gap can transiently miss the partition — a
-        // window of two rename syscalls, vs the old O(files) delete.
-        java.nio.file.Files.move(p.toPath, trashDir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(tmpDir.toPath, p.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        VersionedStore.deleteRecursive(trashDir)
-        Some((p.getName, before, dataFiles(p)))
+        // next invocation. A reader listing in the two-rename gap can
+        // transiently miss the partition — [[readConsistent]] closes
+        // that window on the read side by verifying its listing against
+        // the live∪trash partition set (invariant through the swap).
+        Dfs.rename(p, trashDir)
+        Dfs.rename(tmpDir, p)
+        Dfs.delete(trashDir)
+        Some((p.getName, before, dataFiles(p).length))
       }
     }
+    CompactReport(healed, rewritten)
+  }
+
+  /** Read a partitioned directory WITHOUT the compaction-swap races:
+    * a plain `spark.read.parquet` that lists the root while a partition
+    * is between [[compactPartitionsReport]]'s two renames silently
+    * misses that partition — an under-retrieval with no error. The
+    * partition SET is invariant through a swap (every instant, each
+    * partition's rows live in exactly one of its live dir or its trash
+    * dir), so this read verifies its listing against
+    * `live-dirs ∪ trash-suffixes` and relists until no verified
+    * partition is missing (bounded wait — a mid-swap gap is two rename
+    * syscalls). A partition missing from the listing whose live dir is
+    * EMPTY and has no trash is genuinely empty, not racing. If the
+    * inconsistency persists past the budget (a crashed compactor's
+    * leftover trash — repair is the next maintenance pass's job, a
+    * reader never mutates the store), the current listing is served. */
+  def readConsistent(spark: SparkSession, dir: String,
+                     maxWaitMs: Long = 2000): DataFrame = {
+    val root = Dfs.path(dir)
+    val qualRoot = Dfs.qualify(dir)
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    def isFnf(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[java.io.FileNotFoundException] || isFnf(t.getCause))
+    var df: DataFrame = null
+    var done = false
+    while (!done) try {
+      val listing = Dfs.list(root)
+      val liveParts = listing.filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_")).map(_.getPath.getName).toSet
+      val trashParts = listing.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_trash_"))
+        .map(_.getPath.getName.stripPrefix(".compact_trash_")).toSet
+      df = spark.read.parquet(dir)
+      val seen = df.inputFiles.iterator.flatMap { f =>
+        if (f.startsWith(qualRoot + "/")) {
+          val rel = f.substring(qualRoot.length + 1)
+          val cut = rel.indexOf('/')
+          val head = if (cut < 0) rel else rel.substring(0, cut)
+          if (head.contains("=")) Iterator.single(head) else Iterator.empty
+        } else Iterator.empty
+      }.toSet
+      val racing = ((liveParts ++ trashParts) -- seen).filter { name =>
+        trashParts.contains(name) ||
+          Dfs.list(new org.apache.hadoop.fs.Path(root, name))
+            .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      }
+      if (racing.isEmpty || System.nanoTime() > deadline) done = true
+      else Thread.sleep(10)
+    } catch {
+      // a swap can also fail the read LOUDLY (schema-inference footer
+      // renamed away mid-read) — retry that shape under the same budget
+      case t: Throwable if isFnf(t) && System.nanoTime() <= deadline =>
+        Thread.sleep(10)
+    }
+    df
   }
 
   val queries: Map[String, Q] = Map(

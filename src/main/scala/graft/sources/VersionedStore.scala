@@ -1,30 +1,40 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Crash-safe mutable-store layout: data lives in immutable versioned
   * directories (`root/v00001`, `v00002`, …) and readers resolve the
   * live version through a single `CURRENT` pointer file. Publishing
   * writes the new version directory completely, then commits by
-  * atomically replacing `CURRENT` (write-to-temp + ATOMIC_MOVE) — a
-  * crash at any point leaves either the old or the new version fully
-  * live, never a missing store. This is the manifest-commit pattern
-  * table formats use, at pointer-file granularity; it gives the
-  * reference's `LoadDsa` transactional-swap guarantee
-  * (`/root/reference/db/ddl.sql:31-43`) on immutable files.
+  * atomically replacing `CURRENT` (write-to-temp + force + atomic
+  * replace, [[Dfs.writeStringAtomic]]) — a crash at any point leaves
+  * either the old or the new version fully live, never a missing
+  * store. This is the manifest-commit pattern table formats use, at
+  * pointer-file granularity; it gives the reference's `LoadDsa`
+  * transactional-swap guarantee (`/root/reference/db/ddl.sql:31-43`)
+  * on immutable files.
+  *
+  * All metadata operations resolve through the Hadoop `FileSystem` of
+  * the root's scheme ([[Dfs]]), so the store runs on local disk,
+  * `file://`, or HDFS unchanged. Because the commit is a POINTER
+  * replace over immutable version dirs — never a directory rename —
+  * this is also the one maintenance protocol here that stays fully
+  * correct on object stores (the pointer PUT is atomic; version dirs
+  * are write-once), which is why IMPLEMENTATION.md recommends it as
+  * the commit front for object-store sinks.
   */
 object VersionedStore {
-  private def currentFile(root: String) = Paths.get(root, "CURRENT")
+  private def currentFile(root: String) = new Path(root, "CURRENT")
 
   def currentVersion(root: String): Option[Int] = {
     val f = currentFile(root)
-    if (Files.exists(f)) Some(Files.readString(f).trim.stripPrefix("v").toInt)
+    if (Dfs.exists(f)) Some(Dfs.readString(f).trim.stripPrefix("v").toInt)
     else None
   }
 
   def currentPath(root: String): Option[String] =
-    currentVersion(root).map(v => Paths.get(root, f"v$v%05d").toString)
+    currentVersion(root).map(v => new Path(root, f"v$v%05d").toString)
 
   /** Write df as the next version and atomically commit the pointer.
     * Returns the new version number.
@@ -36,23 +46,14 @@ object VersionedStore {
     * the pointer commit itself stays atomic either way). */
   def publish(df: DataFrame, root: String): Int =
     root.intern.synchronized {
-      Files.createDirectories(Paths.get(root))
+      Dfs.mkdirs(Dfs.path(root))
       val next = currentVersion(root).getOrElse(0) + 1
-      val dir = Paths.get(root, f"v$next%05d").toString
+      val dir = new Path(root, f"v$next%05d").toString
       df.write.mode("overwrite").parquet(dir)
-      val tmp = Paths.get(root, s"CURRENT.tmp$next")
-      // force contents to disk BEFORE the rename: a crash may persist
-      // the rename metadata but not the bytes, leaving CURRENT empty
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(f"v$next%05d".getBytes("UTF-8")))
-        ch.force(true)
-      } finally ch.close()
-      Files.move(tmp, currentFile(root), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // contents are forced to stable storage BEFORE the pointer
+      // replace: a crash may persist the rename metadata but not the
+      // bytes, leaving CURRENT empty (Dfs.writeStringAtomic's contract)
+      Dfs.writeStringAtomic(currentFile(root), f"v$next%05d")
       next
     }
 
@@ -64,15 +65,17 @@ object VersionedStore {
     * recently-superseded versions keep working — MVCC-style). */
   def vacuum(root: String, keep: Int = 1): Seq[String] = {
     val live = currentVersion(root).getOrElse(return Nil)
-    val dropped = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{5}"))
-      .filter(_.getName.stripPrefix("v").toInt <= live - 1 - keep)
-    dropped.foreach(deleteRecursive)
-    dropped.map(_.getName).toSeq.sorted
+    val dropped = Dfs.list(Dfs.path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{5}"))
+      .filter(_.getPath.getName.stripPrefix("v").toInt <= live - 1 - keep)
+    dropped.foreach(s => Dfs.delete(s.getPath))
+    dropped.map(_.getPath.getName).sorted
   }
 
-  /** Shared recursive delete (also used by retention and staging
-    * truncation — one implementation for all store maintenance). */
+  /** Recursive delete for LOCAL scratch state (temp dirs, staging
+    * leftovers, bench workspaces — java.io callers by construction).
+    * Store/sink maintenance on possibly-remote paths goes through
+    * [[Dfs.delete]]. */
   def deleteRecursive(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursive)
     f.delete()
@@ -89,8 +92,7 @@ object VersionedStore {
     val livePath = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no CURRENT version in $root"))
     def parquetCount(dir: String): Int =
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .count(_.getName.endsWith(".parquet"))
+      Dfs.list(Dfs.path(dir)).count(_.getPath.getName.endsWith(".parquet"))
     val before = parquetCount(livePath)
     val v = publish(spark.read.parquet(livePath).coalesce(numFiles), root)
     (v, before, parquetCount(currentPath(root).get))

@@ -97,14 +97,16 @@ object Retention {
 
   /** Drop on-disk time partitions older than the horizon. Expects a
     * sink directory partitioned by `date_hour=yyyy-MM-dd-HH` (or any
-    * lexicographically ordered bucket column). */
+    * lexicographically ordered bucket column). Listing and deletes go
+    * through the Hadoop FS of the sink's scheme ([[graft.sources.Dfs]])
+    * — at 100 TB the sink is shared storage, not the driver's disk. */
   def dropOldPartitions(sinkDir: String, minKeepBucket: String): Seq[String] = {
-    val root = new java.io.File(sinkDir)
-    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-      .filter(f => f.getName.split("=", 2)(1) < minKeepBucket)
-    dropped.foreach(graft.sources.VersionedStore.deleteRecursive)
-    dropped.map(_.getName).toSeq.sorted
+    import graft.sources.Dfs
+    val dropped = Dfs.list(Dfs.path(sinkDir))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.getPath.getName.split("=", 2)(1) < minKeepBucket)
+    dropped.foreach(s => Dfs.delete(s.getPath))
+    dropped.map(_.getPath.getName).sorted
   }
 
   /** TTL drop for a BATCH-KEYED exactly-once sink
@@ -118,19 +120,19 @@ object Retention {
     * batch, whose buckets are by construction newer than any horizon
     * that could empty its dir. Returns dropped `batch/bucket` names. */
   def dropOldPartitionsNested(sinkDir: String, minKeepBucket: String): Seq[String] = {
-    val root = new java.io.File(sinkDir)
-    val batchDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    import graft.sources.Dfs
+    val batchDirs = Dfs.list(Dfs.path(sinkDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     batchDirs.flatMap { b =>
-      val kids = Option(b.listFiles()).getOrElse(Array.empty)
-      val buckets = kids.filter(f => f.isDirectory && f.getName.contains("="))
-      val hit = buckets.filter(f => f.getName.split("=", 2)(1) < minKeepBucket)
-      hit.foreach(graft.sources.VersionedStore.deleteRecursive)
+      val kids = Dfs.list(b.getPath)
+      val buckets = kids.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val hit = buckets.filter(s => s.getPath.getName.split("=", 2)(1) < minKeepBucket)
+      hit.foreach(s => Dfs.delete(s.getPath))
       // nonEmpty guard: a freshly-created batch dir (write in flight,
       // buckets not yet renamed out of _temporary) must not be swept
       if (buckets.nonEmpty && hit.length == buckets.length)
-        graft.sources.VersionedStore.deleteRecursive(b) // only markers left
-      hit.map(h => s"${b.getName}/${h.getName}")
-    }.toSeq.sorted
+        Dfs.delete(b.getPath) // only markers left
+      hit.map(h => s"${b.getPath.getName}/${h.getPath.getName}")
+    }.sorted
   }
 }

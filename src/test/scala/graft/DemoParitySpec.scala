@@ -37,6 +37,14 @@ class DemoParitySpec extends SparkSpec {
     // p99) while riding out a spike.
     val hardFloors = sys.env.get("SPARK_GRAFT_PERF_ASSERTS").contains("1")
     val (epsFloor, p99CeilMs) = if (hardFloors) (20000.0, 1000.0) else (10000.0, 4000.0)
+    // make a soft pass AUDITABLE: without this line a genuine ~2x
+    // throughput regression could ride the loosened default floors
+    // unnoticed — the suite log must say which contract was graded
+    if (!hardFloors) {
+      val msg = "DemoParitySpec: LOOSENED floors in effect (10k eps / 4 s p99); " +
+        "set SPARK_GRAFT_PERF_ASSERTS=1 for the committed-artifact contract (20k eps / 1 s p99)"
+      alert(msg); System.err.println(s"[WARN] $msg")
+    } else info("DemoParitySpec: HARD floors in effect (20k eps / 1 s p99)")
     assert(res.sustainedEps >= epsFloor,
       s"sustained ingest below the reference operating point: ${res.sustainedEps}")
     assert(res.dashP99Ms < p99CeilMs,

@@ -149,6 +149,34 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(healed.map(_._1).toSet == rows0.map(_._1).toSet + 99999L,
       "append-recreated-live crash state lost pre-crash rows")
     assert(healed.size == rows0.size + 1, "heal duplicated rows")
+
+    // crash shape 3: a REAL mid-swap crash leaves the compaction
+    // manifest in the trash (it is written into the live dir
+    // immediately before the first rename, so it travels), and then a
+    // PLAIN (non-batch) append recreates the live dir with part-*
+    // files. part-* is exactly the name shape a compacted output has,
+    // so a "live has a non-batch file" heuristic would read this as a
+    // completed swap and DELETE the only copy of the pre-crash rows.
+    // The manifest makes the discriminator sound: live does not
+    // contain the named output files, so the heal must MERGE.
+    // donor must be a formula-generated vector (id < 40): the clone
+    // recomputes its embedding from the formula, so only then do the
+    // two provably share a bucket
+    val (donor3, b3Val) = healed.collectFirst {
+      case (id, b) if id < 40L => (id, b) }.get
+    val b3 = new java.io.File(root, s"srp_bucket=$b3Val")
+    val trash3 = new java.io.File(root, s".compact_trash_${b3.getName}")
+    java.nio.file.Files.move(b3.toPath, trash3.toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(trash3, "_COMPACT_MANIFEST").toPath,
+      "part-00000-lost-with-the-crashed-tmp-dir-c000.snappy.parquet")
+    val clone3 = Vec(99998L, vecs(Seq(donor3), seed = 1).head.embedding)
+    AnnIndex.appendSrpAt(dir, toDf(Seq(clone3))) // plain append: part-* files
+    AnnIndex.compactSrpAt(spark, dir, trigger = 1000000) // heal-only pass
+    val healed3 = indexRows(dir)
+    assert(healed3.map(_._1).toSet == healed.map(_._1).toSet + 99998L,
+      "plain-append-recreated crash state lost pre-crash rows (unsound completed-swap discriminator)")
+    assert(healed3.size == healed.size + 1, "heal duplicated rows")
   }
 
   test("IVFADC freshness: batch-N codes live after batch N; frozen anchors/centroids; replay exactly-once; compaction bounds cells") {
