@@ -129,13 +129,26 @@ object AnnIndex {
       // only by the thread that inserted it. A write storm can still
       // hand ONE bounded-retry bail-out a stale frame, but it can no
       // longer leave a stale entry that later readers trust.
-      val entry = relCache.computeIfAbsent(key, _ => {
-        val gStart = genFor()
-        // swap-consistent listing: a compaction mid-swap on one
-        // partition must not freeze a listing that misses it
-        val d = graft.sources.SourcesOps.readConsistent(spark, path)
-        (gStart, d)
-      })
+      //
+      // The listing runs OUTSIDE the map's compute: readConsistent can
+      // legitimately spin (bounded) waiting out a compaction swap, and
+      // holding a ConcurrentHashMap bin lock for that long would block
+      // every writer's invalidation pass — a 1 Hz freshness tick
+      // stalling behind a probe's cache miss. Two concurrent misses
+      // may both list; putIfAbsent keeps one (metadata-only waste).
+      val entry = {
+        val cur = relCache.get(key)
+        if (cur != null) cur
+        else {
+          val gStart = genFor()
+          // swap-consistent listing: a compaction mid-swap on one
+          // partition must not freeze a listing that misses it
+          val d = graft.sources.SourcesOps.readConsistent(spark, path)
+          val fresh = (gStart, d)
+          val prev = relCache.putIfAbsent(key, fresh)
+          if (prev != null) prev else fresh
+        }
+      }
       attempts += 1
       if (genFor() == entry._1) return entry._2 // listing still current
       // a writer raced the entry's listing: drop it ALWAYS — even on

@@ -45,13 +45,7 @@ import org.apache.spark.sql.SparkSession
   *    See IMPLEMENTATION.md "Maintenance on shared storage".
   */
 object Dfs {
-  /** Hadoop conf derived from the active session (so `fs.defaultFS`,
-    * credentials, and scheme impls match what Spark's own reads use),
-    * with `file:` remapped to the raw local filesystem — see class doc. */
-  lazy val conf: Configuration = {
-    val c = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  private def withRawLocal(c: Configuration): Configuration = {
     c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     // don't poison Hadoop's global FS cache with the raw impl — Spark's
     // own `file:` reads keep their default; we memoize our instances
@@ -59,13 +53,44 @@ object Dfs {
     c
   }
 
+  @volatile private var sessionDerived: Configuration = null
+
+  /** Hadoop conf derived from the active-or-default session (so
+    * `fs.defaultFS`, credentials, and `spark.hadoop.*` scheme settings
+    * match what Spark's own reads use), with `file:` remapped to the
+    * raw local filesystem — see class doc. Cached only once a SESSION
+    * conf is obtained: a call that lands on a thread with no
+    * (inheritable-)thread-local session falls back to a bare
+    * `Configuration` for THAT call without pinning the JVM to it — a
+    * one-shot lazy capture would otherwise permanently lose every
+    * `spark.hadoop.*` credential and `fs.defaultFS` for the process.
+    * Returns (conf, fromSession). */
+  private def resolveConf(): (Configuration, Boolean) = {
+    val c0 = sessionDerived
+    if (c0 != null) (c0, true)
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val c = withRawLocal(s.sessionState.newHadoopConf())
+        sessionDerived = c
+        (c, true)
+      case None => (withRawLocal(new Configuration()), false)
+    }
+  }
+
+  def conf: Configuration = resolveConf()._1
+
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
   def fs(p: Path): FileSystem = {
+    val (c, fromSession) = resolveConf()
     val u = p.toUri
-    fsCache.computeIfAbsent(s"${u.getScheme}:${u.getAuthority}",
-      _ => p.getFileSystem(conf))
+    // never memoize an instance built from the sessionless fallback
+    // conf — it may point scheme-less paths at the wrong defaultFS
+    if (fromSession)
+      fsCache.computeIfAbsent(s"${u.getScheme}:${u.getAuthority}",
+        _ => p.getFileSystem(c))
+    else p.getFileSystem(c)
   }
 
   def path(s: String): Path = new Path(s)

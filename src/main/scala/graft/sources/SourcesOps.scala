@@ -229,8 +229,15 @@ object SourcesOps {
           if (head.contains("=")) Iterator.single(head) else Iterator.empty
         } else Iterator.empty
       }.toSet
+      // FRESH per-name checks, not the t0 snapshots: a swap that began
+      // AFTER the root listing above is invisible to trashParts, and
+      // mid-gap its live dir lists empty — consulting the stale set
+      // would classify the partition "genuinely empty" and re-open the
+      // silent short-count this read exists to close. Freshly checking
+      // trash catches mid-gap; freshly listing live catches both
+      // pre-rename1 and post-rename2 states.
       val racing = ((liveParts ++ trashParts) -- seen).filter { name =>
-        trashParts.contains(name) ||
+        Dfs.exists(new org.apache.hadoop.fs.Path(root, s".compact_trash_$name")) ||
           Dfs.list(new org.apache.hadoop.fs.Path(root, name))
             .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       }
