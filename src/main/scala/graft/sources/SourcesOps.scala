@@ -117,6 +117,10 @@ object SourcesOps {
           root, trash.getName.stripPrefix(".compact_trash_"))
         if (!Dfs.exists(live)) {
           Dfs.rename(trash, live); healed += 1
+          // the restore carries the aborted pass's manifest back into
+          // live; its named output is dead (tmp is vacuumed below), so
+          // drop it rather than leave a stale discriminator around
+          Dfs.delete(new org.apache.hadoop.fs.Path(live, CompactManifest))
         } else {
           val liveNames = dataFiles(live).toSet
           val manifest = new org.apache.hadoop.fs.Path(trash, CompactManifest)
@@ -148,6 +152,16 @@ object SourcesOps {
           }
         }
       }
+    // vacuum tmp outputs from a crashed pass (single-maintainer
+    // contract, same as the trash heal — nothing else writes
+    // .compact_tmp_*): a recompaction of the same partition would
+    // overwrite its tmp anyway, but a partition that stays under the
+    // trigger after a heal-restore would otherwise carry its dead tmp
+    // dir forever. Invisible to readers (hidden prefix), so this does
+    // not count toward `healed`/cache invalidation.
+    Dfs.list(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
+      .foreach(s => Dfs.delete(s.getPath))
     val parts = Dfs.list(root)
       // hidden dirs (.compact_tmp_*/.compact_trash_* from a crashed
       // pass, .staging_* from index appends) are maintenance state,

@@ -68,6 +68,37 @@ class DfsProtocolSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 900, "heal lost rows")
   }
 
+  test("compactPartitions heal: restore leaves no dead tmp dir or stale manifest") {
+    import spark.implicits._
+    val dir = schemed("graft_hcrash") + "/sink"
+    (0L until 300L).map(i => (i, s"k${i % 2}")).toDF("id", "k")
+      .repartition(4).write.mode("overwrite").partitionBy("k").parquet(dir)
+    // hand-build the exact crash state between the swap's two renames:
+    // live absent, manifest-bearing trash holds the only copy, the
+    // compacted output stranded in tmp
+    val root = Dfs.path(dir)
+    val part = Dfs.list(root).filter(_.getPath.getName.startsWith("k=")).head.getPath
+    val trash = new org.apache.hadoop.fs.Path(root, s".compact_trash_${part.getName}")
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_${part.getName}")
+    spark.read.parquet(part.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Dfs.writeStringAtomic(new org.apache.hadoop.fs.Path(part, "_COMPACT_MANIFEST"),
+      Dfs.list(tmp).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).mkString("\n"))
+    Dfs.rename(part, trash) // rename 1 landed; crash before rename 2
+    // the partition stays under the trigger, so the heal pass is the
+    // ONLY thing that acts — it must restore and leave no debris
+    val heal = SourcesOps.compactPartitionsReport(spark, dir, numFiles = 1,
+      minFilesToCompact = 1000000)
+    assert(heal.healed == 1 && heal.rewritten.isEmpty)
+    assert(spark.read.parquet(dir).count() == 300, "heal lost rows")
+    val names = Dfs.list(root).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith(".compact_tmp_")), s"dead tmp survived: $names")
+    assert(!names.exists(_.startsWith(".compact_trash_")), s"trash survived: $names")
+    assert(!Dfs.list(part).map(_.getPath.getName).contains("_COMPACT_MANIFEST"),
+      "stale manifest left in restored live dir")
+  }
+
   test("SRP batch append / sweep / compact: replay-idempotent through file://") {
     import spark.implicits._
     val dir = schemed("graft_hsrp") + "/srp"
