@@ -151,10 +151,13 @@ object Procedures {
     }
   }
 
-  /** TruncateDsa — clear the staging model dir (db/ddl.sql:23-29). */
+  /** TruncateDsa — clear the staging model dir (db/ddl.sql:23-29).
+    * Resolves through the Hadoop FS of the path's scheme: staging can
+    * live on shared storage like every other store here, and a
+    * `java.io.File` walk would silently no-op on a schemed path. */
   def truncateDsa(s: SparkSession, stagingDir: String): Unit = {
-    val d = new java.io.File(stagingDir)
-    if (d.exists()) graft.sources.VersionedStore.deleteRecursive(d)
+    val p = graft.sources.Dfs.path(stagingDir)
+    if (graft.sources.Dfs.exists(p)) graft.sources.Dfs.delete(p)
   }
 
   /** LoadDsa — atomically replace the live centers with staging,

@@ -53,29 +53,40 @@ object Dfs {
     c
   }
 
-  @volatile private var sessionDerived: Configuration = null
+  /** Per-session derived confs (weak keys — a stopped session is never
+    * pinned) plus the most recent one for session-less threads. A
+    * single cached conf would either go stale on a session restart
+    * (old `fs.defaultFS`/credentials served forever while Spark's own
+    * reads use the live session's) or, re-derived on every flip
+    * between two live sessions, mint an unbounded stream of fresh
+    * `Configuration` instances for [[fs]] to key FileSystems by. */
+  private val sessionConfs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Configuration]())
+  @volatile private var lastSessionConf: Configuration = null
 
   /** Hadoop conf derived from the active-or-default session (so
     * `fs.defaultFS`, credentials, and `spark.hadoop.*` scheme settings
     * match what Spark's own reads use), with `file:` remapped to the
-    * raw local filesystem — see class doc. Cached only once a SESSION
-    * conf is obtained: a call that lands on a thread with no
-    * (inheritable-)thread-local session falls back to a bare
-    * `Configuration` for THAT call without pinning the JVM to it — a
-    * one-shot lazy capture would otherwise permanently lose every
-    * `spark.hadoop.*` credential and `fs.defaultFS` for the process.
-    * Returns (conf, fromSession). */
-  private def resolveConf(): (Configuration, Boolean) = {
-    val c0 = sessionDerived
-    if (c0 != null) (c0, true)
-    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+    * raw local filesystem — see class doc. A call on a thread with no
+    * (inheritable-)thread-local session serves the last session's conf
+    * (better than a bare one, which loses every credential); a bare
+    * `Configuration` is built only before the first session exists,
+    * per call, never cached. Returns (conf, fromSession). */
+  private def resolveConf(): (Configuration, Boolean) =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) =>
-        val c = withRawLocal(s.sessionState.newHadoopConf())
-        sessionDerived = c
+        var c = sessionConfs.get(s)
+        if (c == null) {
+          c = withRawLocal(s.sessionState.newHadoopConf())
+          sessionConfs.put(s, c)
+        }
+        lastSessionConf = c
         (c, true)
-      case None => (withRawLocal(new Configuration()), false)
+      case None =>
+        val c = lastSessionConf
+        if (c != null) (c, true) else (withRawLocal(new Configuration()), false)
     }
-  }
 
   def conf: Configuration = resolveConf()._1
 
@@ -85,10 +96,15 @@ object Dfs {
   def fs(p: Path): FileSystem = {
     val (c, fromSession) = resolveConf()
     val u = p.toUri
-    // never memoize an instance built from the sessionless fallback
-    // conf — it may point scheme-less paths at the wrong defaultFS
+    // keyed ALSO by the conf instance: a restarted session re-derives
+    // its conf, and a FileSystem built from the old one may point
+    // scheme-less paths at a stale defaultFS or carry dead credentials.
+    // Stale entries rot unused, bounded by session restarts per JVM.
+    // Never memoize an instance built from the sessionless fallback
+    // conf — it may point scheme-less paths at the wrong defaultFS.
     if (fromSession)
-      fsCache.computeIfAbsent(s"${u.getScheme}:${u.getAuthority}",
+      fsCache.computeIfAbsent(
+        s"${System.identityHashCode(c)}:${u.getScheme}:${u.getAuthority}",
         _ => p.getFileSystem(c))
     else p.getFileSystem(c)
   }
@@ -148,14 +164,19 @@ object Dfs {
         Options.Rename.OVERWRITE)
     }
 
+  /** Read to EOF on the opened stream — never stat-then-read: a
+    * [[writeStringAtomic]] replace landing between the two would serve
+    * the OLD length against the NEW file, silently truncating a
+    * pointer read (`v100000` read with len 6 = a valid-looking
+    * `v10000`). One open sees one file fully, old or new. */
   def readString(p: Path): String = {
-    val f = fs(p)
-    val len = f.getFileStatus(p).getLen.toInt
-    val in = f.open(p)
+    val in = fs(p).open(p)
     try {
-      val bytes = new Array[Byte](len)
-      in.readFully(0, bytes)
-      new String(bytes, "UTF-8")
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
     } finally in.close()
   }
 
@@ -165,7 +186,14 @@ object Dfs {
     * atomically replaces `p` — a crash leaves the old or the new
     * content fully live, never a torn file. */
   def writeStringAtomic(p: Path, content: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    // deterministic temp name, NOT a unique one: a crash between
+    // create and rename must leave at most ONE orphan per target —
+    // truncated and reused by the next write — never one fresh
+    // dot-file per crash that no vacuum ever reclaims. Safe because
+    // every caller is single-writer per target (VersionedStore
+    // serializes publishes; the compaction manifest is written by the
+    // single maintenance pass).
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val f = fs(tmp)
     val out = f.create(tmp, true)
     try {

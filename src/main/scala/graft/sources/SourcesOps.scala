@@ -217,13 +217,23 @@ object SourcesOps {
     * inconsistency persists past the budget (a crashed compactor's
     * leftover trash — repair is the next maintenance pass's job, a
     * reader never mutates the store), the current listing is served. */
+  /** File-not-found anywhere in a cause chain — the LOUD shape a
+    * compaction swap gives an in-flight read (a footer or data file
+    * renamed away mid-read). Message grep included for error-class
+    * wrappers that carry the FNF only in rendered text. Shared with
+    * `CompactProbeRaceSpec` so the production retry and the spec's
+    * retry classification can never drift apart. A false positive
+    * costs at most one bounded retry budget, never a wrong result. */
+  private[sources] def isFnf(t: Throwable): Boolean = t != null &&
+    (t.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(t.getMessage).exists(_.contains("FileNotFound")) ||
+      isFnf(t.getCause))
+
   def readConsistent(spark: SparkSession, dir: String,
                      maxWaitMs: Long = 2000): DataFrame = {
     val root = Dfs.path(dir)
     val qualRoot = Dfs.qualify(dir)
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
-    def isFnf(t: Throwable): Boolean = t != null &&
-      (t.isInstanceOf[java.io.FileNotFoundException] || isFnf(t.getCause))
     var df: DataFrame = null
     var done = false
     while (!done) try {
