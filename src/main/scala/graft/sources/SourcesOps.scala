@@ -142,12 +142,28 @@ object SourcesOps {
                 val name = f.getPath.getName
                 val dst = new org.apache.hadoop.fs.Path(live, name)
                 if (!Dfs.exists(dst)) Dfs.rename(f.getPath, dst)
-                else if (!name.matches("b\\d+\\.parquet"))
+                else if (name.matches("b\\d+\\.parquet")) {
+                  // same-batch deterministic replay already live — skip
+                } else if (Dfs.fs(dst).getFileStatus(dst).getLen == f.getLen) {
+                  // same name AND same length = the same immutable
+                  // output file twice. On POSIX rename this state is
+                  // unreachable (atomic: never both sides), but on a
+                  // copy+delete rename (object stores) a crash between
+                  // the copy and the delete leaves live and trash with
+                  // IDENTICAL files — prefixing them would duplicate
+                  // every row. Skip; live's copy is authoritative.
+                } else
+                  // true name collision between distinct write jobs
+                  // (part-* names embed a job UUID — effectively
+                  // never): keep both, disambiguated
                   Dfs.rename(f.getPath,
                     new org.apache.hadoop.fs.Path(live, s"healed_$name"))
-                // else: same-batch deterministic replay already live — skip
               }
             Dfs.delete(trash)
+            // the live dir may still hold the aborted pass's manifest
+            // (it names a dead output) — drop it, as the restore
+            // branch does
+            Dfs.delete(new org.apache.hadoop.fs.Path(live, CompactManifest))
             healed += 1
           }
         }

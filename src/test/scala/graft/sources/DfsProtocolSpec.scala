@@ -99,6 +99,42 @@ class DfsProtocolSpec extends SparkSpec {
       "stale manifest left in restored live dir")
   }
 
+  test("compactPartitions heal: copy+delete rename crash shape does not duplicate rows") {
+    import spark.implicits._
+    val dir = schemed("graft_hs3") + "/sink"
+    (0L until 400L).map(i => (i, s"k${i % 2}")).toDF("id", "k")
+      .repartition(3).write.mode("overwrite").partitionBy("k").parquet(dir)
+    // object-store rename is copy+delete, NOT atomic: a crash between
+    // the copy and the delete of the swap's FIRST rename leaves live
+    // and trash holding IDENTICAL files (manifest included). Hand-build
+    // that state on file:// — the heal must recognize the trash as the
+    // same bytes and merge to the SAME row count, never a healed_*
+    // duplicate of every part file.
+    val root = Dfs.path(dir)
+    val part = Dfs.list(root).filter(_.getPath.getName.startsWith("k=")).head.getPath
+    val trash = new org.apache.hadoop.fs.Path(root, s".compact_trash_${part.getName}")
+    Dfs.writeStringAtomic(new org.apache.hadoop.fs.Path(part, "_COMPACT_MANIFEST"),
+      "part-00000-would-have-been-compacted.parquet")
+    Dfs.mkdirs(trash)
+    Dfs.list(part).foreach { s =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        Dfs.fs(s.getPath), s.getPath,
+        Dfs.fs(trash), new org.apache.hadoop.fs.Path(trash, s.getPath.getName),
+        false, Dfs.conf)
+    }
+    val heal = SourcesOps.compactPartitionsReport(spark, dir, numFiles = 1,
+      minFilesToCompact = 1000000)
+    assert(heal.healed == 1 && heal.rewritten.isEmpty)
+    assert(spark.read.parquet(dir).count() == 400,
+      "copy+delete crash shape duplicated or lost rows")
+    val names = Dfs.list(part).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("healed_")),
+      s"identical copies were duplicated: $names")
+    assert(!names.contains("_COMPACT_MANIFEST"),
+      "stale manifest left in live dir after merge heal")
+    assert(!Dfs.exists(trash), "trash not cleared after merge")
+  }
+
   test("SRP batch append / sweep / compact: replay-idempotent through file://") {
     import spark.implicits._
     val dir = schemed("graft_hsrp") + "/srp"
