@@ -39,11 +39,23 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object AnnIndex {
   val SrpBits = 16
 
-  private def fingerprint(src: String): String = {
-    def walk(f: File): Seq[String] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    val sig = (src +: walk(new File(src))).mkString("|")
+  /** Corpus-content fingerprint (per-file name/length/mtime). Walks
+    * through the Hadoop `FileSystem` of the path's scheme ([[Dfs]]),
+    * NOT `java.io.File`: a schemed dir (`file://…`, `hdfs://…`) walked
+    * with `File` silently sees nothing, yielding a degenerate constant
+    * fingerprint that would serve a STALE cached index for a changed
+    * corpus. An empty walk is refused loudly for the same reason — a
+    * corpus with no files is a caller error, never a cache key. */
+  private[operators] def fingerprint(src: String): String = {
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      graft.sources.Dfs.list(p).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      }
+    val files = walk(graft.sources.Dfs.path(src))
+    require(files.nonEmpty, s"fingerprint($src): no files — refusing a " +
+      "degenerate cache key that could serve a stale index")
+    val sig = (src +: files).mkString("|")
     java.lang.Long.toHexString(
       sig.foldLeft(1125899906842597L)((h, c) => h * 31 + c))
   }

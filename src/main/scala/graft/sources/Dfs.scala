@@ -62,8 +62,9 @@ object Dfs {
     * `Configuration` instances for [[fs]] to key FileSystems by. */
   private val sessionConfs =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, Configuration]())
-  @volatile private var lastSessionConf: Configuration = null
+      new java.util.WeakHashMap[SparkSession, (Long, Configuration)]())
+  @volatile private var lastSessionConf: (Long, Configuration) = null
+  private val confSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Hadoop conf derived from the active-or-default session (so
     * `fs.defaultFS`, credentials, and `spark.hadoop.*` scheme settings
@@ -72,39 +73,80 @@ object Dfs {
     * (inheritable-)thread-local session serves the last session's conf
     * (better than a bare one, which loses every credential); a bare
     * `Configuration` is built only before the first session exists,
-    * per call, never cached. Returns (conf, fromSession). */
-  private def resolveConf(): (Configuration, Boolean) =
+    * per call, never cached. Returns ((confId, conf), fromSession);
+    * confId is a monotonic per-derivation id — NOT an identity hash,
+    * which a restarted session's new Configuration can collide with,
+    * silently serving [[fs]] a memoized FileSystem whose defaultFS or
+    * credentials belong to the dead session. */
+  private def resolveConf(): ((Long, Configuration), Boolean) =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) =>
         var c = sessionConfs.get(s)
         if (c == null) {
-          c = withRawLocal(s.sessionState.newHadoopConf())
+          c = (confSeq.incrementAndGet(), withRawLocal(s.sessionState.newHadoopConf()))
           sessionConfs.put(s, c)
+          evictDeadConfs()
         }
         lastSessionConf = c
         (c, true)
       case None =>
         val c = lastSessionConf
-        if (c != null) (c, true) else (withRawLocal(new Configuration()), false)
+        if (c != null) (c, true)
+        else ((-1L, withRawLocal(new Configuration())), false)
     }
 
-  def conf: Configuration = resolveConf()._1
+  def conf: Configuration = resolveConf()._1._2
 
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
+  /** Drop (and close) FileSystems built from confs no longer reachable
+    * from any live session — a restarted session retires its old conf,
+    * and the instances built from it hold open connections that would
+    * otherwise leak for the JVM's life. Runs only when a NEW conf is
+    * derived (session restart frequency, not per-call). The lastSessionConf
+    * fallback id is kept live so sessionless threads never get a closed FS. */
+  private def evictDeadConfs(): Unit = {
+    val live = {
+      val ids = scala.collection.mutable.Set[Long]()
+      sessionConfs.synchronized {
+        val it = sessionConfs.values().iterator()
+        while (it.hasNext) ids += it.next()._1
+      }
+      val last = lastSessionConf
+      if (last != null) ids += last._1
+      ids
+    }
+    val it = fsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val parts = e.getKey.split(":", 3)
+      if (!live.contains(parts(0).toLong)) {
+        it.remove()
+        // close ONLY private instances (file:, where withRawLocal
+        // disabled Hadoop's shared cache). Other schemes hand back the
+        // Hadoop-global-cached FileSystem that Spark's own reads share
+        // — closing it here would kill in-flight scans; evicting the
+        // reference is enough, the global cache still owns it.
+        if (parts(1) == "file" || parts(1) == "null")
+          try e.getValue.close() catch { case _: java.io.IOException => }
+      }
+    }
+  }
+
   def fs(p: Path): FileSystem = {
-    val (c, fromSession) = resolveConf()
+    val ((id, c), fromSession) = resolveConf()
     val u = p.toUri
-    // keyed ALSO by the conf instance: a restarted session re-derives
-    // its conf, and a FileSystem built from the old one may point
-    // scheme-less paths at a stale defaultFS or carry dead credentials.
-    // Stale entries rot unused, bounded by session restarts per JVM.
+    // keyed ALSO by the conf's derivation id: a restarted session
+    // re-derives its conf, and a FileSystem built from the old one may
+    // point scheme-less paths at a stale defaultFS or carry dead
+    // credentials. Entries for retired confs are closed and evicted by
+    // [[evictDeadConfs]] on the next derivation.
     // Never memoize an instance built from the sessionless fallback
     // conf — it may point scheme-less paths at the wrong defaultFS.
     if (fromSession)
       fsCache.computeIfAbsent(
-        s"${System.identityHashCode(c)}:${u.getScheme}:${u.getAuthority}",
+        s"$id:${u.getScheme}:${u.getAuthority}",
         _ => p.getFileSystem(c))
     else p.getFileSystem(c)
   }
@@ -180,20 +222,32 @@ object Dfs {
     } finally in.close()
   }
 
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** How long a writer's temp sibling must sit untouched before the
+    * vacuum in [[writeStringAtomic]] may reclaim it as a crash orphan.
+    * An in-flight writer holds its temp for milliseconds (one small
+    * write + force + rename), so fifteen minutes is conservatively
+    * outside any live write — while still bounding how long a crashed
+    * attempt's dot-file survives (until the target's next write). */
+  private val TmpOrphanGraceMs = 15L * 60 * 1000
+
   /** Durable small-file write: content lands in a temp sibling, is
     * forced to stable storage (hsync on HDFS; FileChannel.force
     * locally, where raw-local hsync may degrade to flush), then
     * atomically replaces `p` — a crash leaves the old or the new
     * content fully live, never a torn file. */
   def writeStringAtomic(p: Path, content: String): Unit = {
-    // deterministic temp name, NOT a unique one: a crash between
-    // create and rename must leave at most ONE orphan per target —
-    // truncated and reused by the next write — never one fresh
-    // dot-file per crash that no vacuum ever reclaims. Safe because
-    // every caller is single-writer per target (VersionedStore
-    // serializes publishes; the compaction manifest is written by the
-    // single maintenance pass).
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    // UNIQUE temp name per attempt (pid + in-process counter): two
+    // racing publishers must never share a temp path — with a shared
+    // deterministic name, writer B's create(overwrite) truncates
+    // writer A's in-flight bytes and A's rename publishes a TORN
+    // target, the exact state this method exists to prevent (and the
+    // one VersionedStore's cross-process contract note rules out).
+    // The orphan concern that motivated a deterministic name is
+    // handled by the age-gated vacuum below instead.
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp.${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
     val f = fs(tmp)
     val out = f.create(tmp, true)
     try {
@@ -207,5 +261,15 @@ object Dfs {
       try ch.force(true) finally ch.close()
     }
     renameOverwrite(tmp, p)
+    // vacuum crash orphans: unique names mean each crashed attempt
+    // leaves one dot-file; reclaim siblings of THIS target that are
+    // older than the grace window, so a concurrent writer's fresh
+    // temp is never deleted from under its rename. (Also sweeps the
+    // pre-unique-name `.{name}.tmp` form left by older versions.)
+    val cutoff = System.currentTimeMillis() - TmpOrphanGraceMs
+    list(p.getParent)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(s".${p.getName}.tmp") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => delete(s.getPath))
   }
 }

@@ -101,13 +101,16 @@ object SourcesOps {
     //  - anything else -> some append (batch-keyed b*.parquet OR a
     //    plain part-* append — the manifest makes the two
     //    distinguishable from a compacted output, a name-shape
-    //    heuristic does not) recreated the dir post-crash; the trash
-    //    holds the only copy of the pre-crash rows: merge them in,
-    //    then drop the trash. Name collisions on merge: an identical
-    //    b<id>.parquet is the same batch's deterministic replay (skip —
-    //    live's copy is authoritative and row-identical); a part-*
-    //    collision (distinct write jobs share a UUID — effectively
-    //    never) is disambiguated by a `healed_` prefix.
+    //    heuristic does not) recreated the dir post-crash — OR a
+    //    copy+delete rename-2 crashed mid-copy, leaving a partial
+    //    compacted output in live; the trash holds the only complete
+    //    copy of the pre-crash rows: drop any live file the manifest
+    //    names (dead partial output), merge the trash files in, then
+    //    drop the trash. Name collisions on merge resolve by which
+    //    side can be a truncated partial copy (shorter side loses;
+    //    see the merge loop), equal-length b<id>.parquet is the same
+    //    batch's deterministic replay (skip), and equal-length part-*
+    //    splits on filesystem checksums when available.
     var healed = 0
     Dfs.list(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_trash_"))
@@ -136,28 +139,64 @@ object SourcesOps {
           }
           if (swapCompleted) Dfs.delete(trash)
           else {
+            // copy+delete stores can also crash mid-SECOND-rename
+            // (tmp→live): live then holds a PARTIAL compacted output —
+            // a strict subset of the manifest's names, whose rows the
+            // trash's originals wholly contain. Delete those dead
+            // partials BEFORE merging, or the merge would land the
+            // originals alongside them and duplicate every compacted
+            // row (and the tmp vacuum below would then cement it by
+            // deleting the rest of the compacted output).
+            expectNames.foreach(_.foreach { n =>
+              Dfs.delete(new org.apache.hadoop.fs.Path(live, n))
+            })
             Dfs.list(trash)
               .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
                 val name = f.getPath.getName
                 val dst = new org.apache.hadoop.fs.Path(live, name)
                 if (!Dfs.exists(dst)) Dfs.rename(f.getPath, dst)
-                else if (name.matches("b\\d+\\.parquet")) {
-                  // same-batch deterministic replay already live — skip
-                } else if (Dfs.fs(dst).getFileStatus(dst).getLen == f.getLen) {
-                  // same name AND same length = the same immutable
-                  // output file twice. On POSIX rename this state is
-                  // unreachable (atomic: never both sides), but on a
-                  // copy+delete rename (object stores) a crash between
-                  // the copy and the delete leaves live and trash with
-                  // IDENTICAL files — prefixing them would duplicate
-                  // every row. Skip; live's copy is authoritative.
-                } else
-                  // true name collision between distinct write jobs
-                  // (part-* names embed a job UUID — effectively
-                  // never): keep both, disambiguated
-                  Dfs.rename(f.getPath,
-                    new org.apache.hadoop.fs.Path(live, s"healed_$name"))
+                else {
+                  // name collision. On POSIX rename this state is
+                  // unreachable (atomic: never both sides), but a
+                  // copy+delete rename (object stores) crashing mid-
+                  // copy leaves the DESTINATION side truncated, and
+                  // crashing between copy and delete leaves identical
+                  // files on both sides. Resolve by which side can be
+                  // a partial copy — never heal a truncated file in
+                  // as data (a footerless parquet file breaks every
+                  // subsequent read of the partition):
+                  val liveLen = Dfs.fs(dst).getFileStatus(dst).getLen
+                  if (f.getLen > liveLen)
+                    // live is shorter = live is the suspect truncated
+                    // copy (a crashed copy INTO live — e.g. this very
+                    // merge re-run after its own mid-copy crash):
+                    // replace it with the trash's complete bytes
+                    Dfs.renameOverwrite(f.getPath, dst)
+                  else if (f.getLen < liveLen) {
+                    // trash is shorter = trash is the truncated copy
+                    // (rename-1 crashed mid-file): drop it with the
+                    // trash dir; live's complete copy is authoritative
+                  } else if (name.matches("b\\d+\\.parquet")) {
+                    // equal length, batch-keyed: the same batch's
+                    // deterministic replay already live — skip
+                  } else {
+                    // equal length, part-*: the same immutable file on
+                    // both sides of an interrupted copy+delete — skip,
+                    // UNLESS the filesystem provides checksums and they
+                    // differ (a true distinct-jobs collision, part-*
+                    // UUIDs make it effectively never): keep both,
+                    // disambiguated. Raw-local returns null checksums,
+                    // so equal-length-different-content stays a
+                    // documented residual there; HDFS detects it.
+                    val cs = Option(Dfs.fs(dst).getFileChecksum(dst))
+                    val ct = Option(Dfs.fs(f.getPath).getFileChecksum(f.getPath))
+                    val distinct = (for (a <- cs; b <- ct) yield !a.equals(b)).getOrElse(false)
+                    if (distinct)
+                      Dfs.rename(f.getPath,
+                        new org.apache.hadoop.fs.Path(live, s"healed_$name"))
+                  }
+                }
               }
             Dfs.delete(trash)
             // the live dir may still hold the aborted pass's manifest

@@ -43,7 +43,10 @@ object VersionedStore {
     * enforced here (version allocation + commit are serialized on the
     * root's intern'd lock); cross-process coordination is the caller's
     * (a second process racing publish could reuse a version number —
-    * the pointer commit itself stays atomic either way). */
+    * the pointer commit itself stays atomic either way, because
+    * [[Dfs.writeStringAtomic]] gives each writer a pid-unique temp
+    * sibling: racing publishers can interleave but never truncate each
+    * other's in-flight bytes into a torn CURRENT). */
   def publish(df: DataFrame, root: String): Int =
     root.intern.synchronized {
       Dfs.mkdirs(Dfs.path(root))

@@ -31,6 +31,57 @@ class DfsProtocolSpec extends SparkSpec {
     assert(Dfs.readString(p) == "x" && !Dfs.exists(q))
   }
 
+  test("writeStringAtomic: racing writers never tear the target") {
+    val root = Dfs.path(schemed("graft_dfs_race"))
+    Dfs.mkdirs(root)
+    val p = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    Dfs.writeStringAtomic(p, "v00000")
+    // two writers share the TARGET but (post-fix) never a temp path: a
+    // deterministic shared temp let writer B's create(overwrite)
+    // truncate writer A's in-flight bytes, so A's rename could publish
+    // a torn pointer. Readers must only ever see a complete value.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try (1 to 40).foreach(i => Dfs.writeStringAtomic(p, f"v${w * 1000 + i}%05d"))
+        catch { case t: Throwable => errs.add(s"writer $w: $t") }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 200).foreach { _ =>
+        val v = Dfs.readString(p)
+        if (!v.matches("v\\d{5}")) errs.add(s"torn read: '$v'")
+      }
+      catch { case t: Throwable => errs.add(s"reader: $t") }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(errs.isEmpty, s"racing writers broke the pointer: $errs")
+    assert(Dfs.readString(p).matches("v\\d{5}"))
+  }
+
+  test("writeStringAtomic: age-gated vacuum reclaims crash orphans, spares fresh temps") {
+    val root = Dfs.path(schemed("graft_dfs_vac"))
+    Dfs.mkdirs(root)
+    val p = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    Dfs.writeStringAtomic(p, "v00001")
+    // a crashed attempt's orphan (unique name, old mtime) and a
+    // concurrent writer's FRESH temp (recent mtime)
+    val old1 = new org.apache.hadoop.fs.Path(root, ".CURRENT.tmp.999-1")
+    val old2 = new org.apache.hadoop.fs.Path(root, ".CURRENT.tmp") // pre-unique-name form
+    val fresh = new org.apache.hadoop.fs.Path(root, ".CURRENT.tmp.999-2")
+    Seq(old1, old2, fresh).foreach { t =>
+      val out = Dfs.fs(t).create(t, true)
+      out.write("torn".getBytes("UTF-8")); out.close()
+    }
+    val stale = System.currentTimeMillis() - 60L * 60 * 1000
+    Seq(old1, old2).foreach(t => Dfs.fs(t).setTimes(t, stale, stale))
+    Dfs.writeStringAtomic(p, "v00002")
+    assert(!Dfs.exists(old1) && !Dfs.exists(old2), "stale orphans must be vacuumed")
+    assert(Dfs.exists(fresh), "a fresh temp (possible in-flight writer) must be spared")
+    assert(Dfs.readString(p) == "v00002")
+  }
+
   test("VersionedStore: publish/read/vacuum/compact through file://") {
     import spark.implicits._
     val root = schemed("graft_vstore")
