@@ -268,4 +268,31 @@ class MockObjectStoreSpec extends SparkSpec {
       assert(s.read.parquet(dir).count() == 75, "compaction changed served rows")
     }
   }
+
+  test("IVFADC batch append / sweep / compact on mock: crashed attempt swept, replay exact") {
+    withMock { s =>
+      import s.implicits._
+      val dir = mocked("graft_mock_ivfpq") + "/ivfpq"
+      def vec(id: Long) = (id, Array.tabulate(64)(j => ((id * 31 + j * 7) % 13 - 6).toDouble))
+      def toDf(ids: Seq[Long]) = ids.map(vec).toDF("vec_id", "v")
+      AnnIndex.buildIvfPq8At(dir, toDf(0L until 80L))
+      def codeRows(): Long = s.read.parquet(s"$dir/codes").count()
+      assert(codeRows() == 80L * 8, "build: 8 code rows per vector")
+      AnnIndex.appendIvfPq8BatchAt(s, dir, 1L, toDf(1000L until 1020L))
+      AnnIndex.appendIvfPq8BatchAt(s, dir, 1L, toDf(1000L until 1020L)) // replay
+      assert(codeRows() == 100L * 8, "replay doubled code rows")
+      // crash the stage->live move of batch 2 mid-file (truncated
+      // b2.parquet in one cell), then recover in the documented
+      // foreachBatch order: sweep the crashed attempt's files, replay
+      MockFsCrash.plan = (_, dst) => if (dst.endsWith("b2.parquet")) 8L else -1L
+      intercept[MockFsCrash.InjectedCrash] {
+        AnnIndex.appendIvfPq8BatchAt(s, dir, 2L, toDf(2000L until 2010L))
+      }
+      AnnIndex.dropIvfPq8BatchFiles(dir, 2L)
+      AnnIndex.appendIvfPq8BatchAt(s, dir, 2L, toDf(2000L until 2010L))
+      assert(codeRows() == 110L * 8, "sweep+replay lost or doubled code rows")
+      AnnIndex.compactIvfPq8At(s, dir, trigger = 2)
+      assert(codeRows() == 110L * 8, "compaction changed served code rows")
+    }
+  }
 }
