@@ -275,13 +275,19 @@ object SourcesOps {
   /** File-not-found anywhere in a cause chain — the LOUD shape a
     * compaction swap gives an in-flight read (a footer or data file
     * renamed away mid-read). Message grep included for error-class
-    * wrappers that carry the FNF only in rendered text. Shared with
+    * wrappers that carry the FNF only in rendered text, and for the
+    * second vanished-mid-listing shape: a dir renamed away between the
+    * root listing and its own child listing surfaces as Hadoop
+    * `FileUtil.list`'s bare `IOException("Invalid directory or I/O
+    * error occurred for dir: …")`, NOT an FNF (`File.list()` returns
+    * null for missing and unreadable dirs alike). Shared with
     * `CompactProbeRaceSpec` so the production retry and the spec's
     * retry classification can never drift apart. A false positive
     * costs at most one bounded retry budget, never a wrong result. */
   private[sources] def isFnf(t: Throwable): Boolean = t != null &&
     (t.isInstanceOf[java.io.FileNotFoundException] ||
-      Option(t.getMessage).exists(_.contains("FileNotFound")) ||
+      Option(t.getMessage).exists(m => m.contains("FileNotFound") ||
+        m.contains("Invalid directory or I/O error occurred")) ||
       isFnf(t.getCause))
 
   def readConsistent(spark: SparkSession, dir: String,
