@@ -100,13 +100,22 @@ object Dfs {
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
-  /** Drop (and close) FileSystems built from confs no longer reachable
-    * from any live session — a restarted session retires its old conf,
-    * and the instances built from it hold open connections that would
-    * otherwise leak for the JVM's life. Runs only when a NEW conf is
-    * derived (session restart frequency, not per-call). The lastSessionConf
+  /** Instances retired by the PREVIOUS eviction pass, closed on this
+    * one. Closing at retirement time races sessionless threads: one can
+    * read `lastSessionConf`, lose the CPU, and a concurrent new-conf
+    * derivation evicts+closes the old id's FileSystems before the first
+    * thread's call completes on one of them. Deferring the close by a
+    * full derivation generation (session-restart frequency) puts it far
+    * outside any single in-flight [[fs]] call. */
+  private var pendingClose: List[FileSystem] = Nil
+
+  /** Drop (and eventually close) FileSystems built from confs no longer
+    * reachable from any live session — a restarted session retires its
+    * old conf, and the private instances built from it would otherwise
+    * leak for the JVM's life. Runs only when a NEW conf is derived
+    * (session restart frequency, not per-call). The lastSessionConf
     * fallback id is kept live so sessionless threads never get a closed FS. */
-  private def evictDeadConfs(): Unit = {
+  private def evictDeadConfs(): Unit = synchronized {
     val live = {
       val ids = scala.collection.mutable.Set[Long]()
       sessionConfs.synchronized {
@@ -117,21 +126,28 @@ object Dfs {
       if (last != null) ids += last._1
       ids
     }
+    val retired = scala.collection.mutable.ListBuffer[FileSystem]()
     val it = fsCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val parts = e.getKey.split(":", 3)
       if (!live.contains(parts(0).toLong)) {
         it.remove()
-        // close ONLY private instances (file:, where withRawLocal
-        // disabled Hadoop's shared cache). Other schemes hand back the
-        // Hadoop-global-cached FileSystem that Spark's own reads share
-        // — closing it here would kill in-flight scans; evicting the
-        // reference is enough, the global cache still owns it.
-        if (parts(1) == "file" || parts(1) == "null")
-          try e.getValue.close() catch { case _: java.io.IOException => }
+        // close ONLY instances we privately built. withRawLocal disables
+        // Hadoop's shared cache for `file:` alone, so closeability must
+        // be decided from the RESOLVED instance, not the key: a
+        // scheme-less ("null"-key) path resolves through fs.defaultFS,
+        // and when that is HDFS/S3 (the 100 TB deployment shape) the
+        // instance is the Hadoop-GLOBAL-cached FileSystem Spark's own
+        // scans share — closing it kills them with "Filesystem closed".
+        // For those, evicting the reference is enough; the global cache
+        // still owns the instance.
+        if (e.getValue.getUri.getScheme == "file") retired += e.getValue
       }
     }
+    val closeNow = pendingClose
+    pendingClose = retired.toList
+    closeNow.foreach(f => try f.close() catch { case _: java.io.IOException => })
   }
 
   def fs(p: Path): FileSystem = {

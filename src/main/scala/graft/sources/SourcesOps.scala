@@ -36,10 +36,11 @@ object SourcesOps {
 
   /** Name of the per-swap manifest compaction writes into the live dir
     * immediately before the first rename (so it travels into the trash
-    * dir): the exact parquet file names of the compacted output. The
-    * self-heal uses it as a SOUND discriminator — the trash is a
-    * duplicate only when the live dir contains exactly those files
-    * (i.e. the second rename landed); any other live content means some
+    * dir): the exact parquet `name:length` pairs of the compacted
+    * output. The self-heal uses it as a SOUND discriminator — the trash
+    * is a duplicate only when the live dir contains exactly those files
+    * AT those lengths (i.e. the second rename landed whole); any other
+    * live content means some
     * append recreated the dir post-crash and the trash rows must be
     * merged back. (A mere "live has a non-batch file" heuristic is
     * unsound: a plain `mode("append")` write also creates `part-*`
@@ -87,9 +88,11 @@ object SourcesOps {
                               numFiles: Int = 1,
                               minFilesToCompact: Int = 0): CompactReport = {
     val root = Dfs.path(sinkDir)
-    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
+    def dataFileEntries(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
       Dfs.list(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName)
+        .map(s => (s.getPath.getName, s.getLen))
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      dataFileEntries(dir).map(_._1)
     // SELF-HEAL FIRST, driven by the TRASH dirs — not by the live
     // partition listing: after a crash between the swap's two renames
     // the live dir is ABSENT, so a heal keyed off existing live dirs
@@ -125,29 +128,49 @@ object SourcesOps {
           // drop it rather than leave a stale discriminator around
           Dfs.delete(new org.apache.hadoop.fs.Path(live, CompactManifest))
         } else {
-          val liveNames = dataFiles(live).toSet
+          val liveEntries = dataFileEntries(live).toMap
           val manifest = new org.apache.hadoop.fs.Path(trash, CompactManifest)
-          val expectNames =
+          // manifest lines are `name:length` — presence alone is NOT a
+          // sound completed-swap signal on copy+delete stores: a
+          // rename-2 crashing mid-copy of the name-ordered LAST
+          // compacted file leaves every manifest name present in live
+          // with that one truncated. Classified "completed", the trash
+          // (only complete copy of the rows) would be deleted — data
+          // loss plus a footerless parquet file failing every later
+          // read. Requiring the exact length routes that state to the
+          // merge branch below, which already replaces shorter live
+          // copies. (Length-less lines = pre-length manifests: presence
+          // check only, the best that format allows.)
+          val expectEntries =
             if (Dfs.exists(manifest))
-              Some(Dfs.readString(manifest).split("\n").filter(_.nonEmpty).toSeq)
+              Some(Dfs.readString(manifest).split("\n").filter(_.nonEmpty).toSeq.map { line =>
+                val cut = line.lastIndexOf(':')
+                if (cut > 0 && cut < line.length - 1 &&
+                    line.substring(cut + 1).forall(_.isDigit))
+                  (line.substring(0, cut), Some(line.substring(cut + 1).toLong))
+                else (line, None)
+              })
             else None
-          val swapCompleted = expectNames match {
-            case Some(names) => names.forall(liveNames.contains)
+          val swapCompleted = expectEntries match {
+            case Some(entries) => entries.forall { case (n, lenOpt) =>
+              liveEntries.get(n).exists(l => lenOpt.forall(_ == l)) }
             // pre-manifest trash (only reachable by hand-built crash
             // states now): fall back to the old name-shape heuristic
-            case None => liveNames.exists(!_.matches("b\\d+\\.parquet"))
+            case None => liveEntries.keySet.exists(!_.matches("b\\d+\\.parquet"))
           }
           if (swapCompleted) Dfs.delete(trash)
           else {
             // copy+delete stores can also crash mid-SECOND-rename
             // (tmp→live): live then holds a PARTIAL compacted output —
-            // a strict subset of the manifest's names, whose rows the
-            // trash's originals wholly contain. Delete those dead
+            // a strict subset of the manifest's names, or all of them
+            // with the last truncated (the length check above routes
+            // that here) — whose rows the trash's originals wholly
+            // contain. Delete those dead
             // partials BEFORE merging, or the merge would land the
             // originals alongside them and duplicate every compacted
             // row (and the tmp vacuum below would then cement it by
             // deleting the rest of the compacted output).
-            expectNames.foreach(_.foreach { n =>
+            expectEntries.foreach(_.foreach { case (n, _) =>
               Dfs.delete(new org.apache.hadoop.fs.Path(live, n))
             })
             Dfs.list(trash)
@@ -236,11 +259,13 @@ object SourcesOps {
           .write.mode("overwrite").parquet(tmpDir.toString)
         // drop the _SUCCESS marker; the partition dir holds data files only
         Dfs.delete(new org.apache.hadoop.fs.Path(tmpDir, "_SUCCESS"))
-        // record the compacted output's exact names in the LIVE dir so
-        // the first rename carries them into the trash — the self-heal
-        // discriminator above
+        // record the compacted output's exact names AND lengths in the
+        // LIVE dir so the first rename carries them into the trash —
+        // the self-heal discriminator above (length included so a
+        // truncated copy of a manifest-named file can never pass as a
+        // completed swap)
         Dfs.writeStringAtomic(new org.apache.hadoop.fs.Path(p, CompactManifest),
-          dataFiles(tmpDir).mkString("\n"))
+          dataFileEntries(tmpDir).map { case (n, l) => s"$n:$l" }.mkString("\n"))
         // swap by TWO ATOMIC RENAMES, never a delete of live data: at
         // every instant the partition's rows exist in exactly one
         // complete directory (live, trash, or tmp), so a crash anywhere

@@ -161,6 +161,42 @@ class MockObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction heal on mock: rename-2 crashes mid-copy of the LAST compacted file (length, not presence, gates trash deletion)") {
+    withMock { s =>
+      import s.implicits._
+      val dir = mocked("graft_mock_c5") + "/sink"
+      (0L until 500L).map(i => (i, s"k${i % 2}")).toDF("id", "k")
+        .repartition(4).write.mode("overwrite").partitionBy("k").parquet(dir)
+      val (n0, sum0) = idSum(s, dir)
+      // let the first compacted file land WHOLE, crash mid-copy of the
+      // second: every manifest NAME is present in live with the last
+      // one truncated — the shape a presence-only completed-swap check
+      // misclassifies as done, deleting the trash (the only complete
+      // copy of the rows) and leaving a footerless parquet file. The
+      // manifest's name:length pairs route it to the merge branch.
+      var nth = 0
+      MockFsCrash.plan = (src, _) =>
+        if (src.contains(".compact_tmp_") && !src.contains("_temporary") &&
+          src.endsWith(".parquet")) {
+          nth += 1
+          if (nth == 2) 16L else -1L
+        } else -1L
+      intercept[MockFsCrash.InjectedCrash] {
+        SourcesOps.compactPartitionsReport(s, dir, numFiles = 2)
+      }
+      val heal = SourcesOps.compactPartitionsReport(s, dir, numFiles = 1,
+        minFilesToCompact = 1000000)
+      assert(heal.healed == 1 && heal.rewritten.isEmpty)
+      assert(idSum(s, dir) == ((n0, sum0)),
+        "all-names-present/last-truncated heal lost or duplicated rows")
+      val part = Dfs.list(Dfs.path(dir)).map(_.getPath)
+        .filter(_.getName.startsWith("k=")).head
+      val names = Dfs.list(part).map(_.getPath.getName)
+      assert(!names.contains("_COMPACT_MANIFEST") && !names.exists(_.startsWith("healed_")),
+        s"merge debris in live dir: $names")
+    }
+  }
+
   test("compaction heal on mock: the heal's own mid-merge crash re-heals exactly (truncated live copy replaced)") {
     withMock { s =>
       import s.implicits._

@@ -16,7 +16,12 @@ b = json.load(open(b_path))
 queries = {}
 for q, cells in a["queries"].items():
     row = {k: v for k, v in cells.items() if k.startswith("x")}
-    if q in b["queries"] and b["queries"][q].get("x200", -1) > 0:
+    # both battery-B cells must be real: a failed cell is a -1 sentinel
+    # (and x1 could in principle be 0), so guarding only x200 would
+    # publish a negative ratio or divide by zero. A bad battery-B x1
+    # falls back to the battery-A ratio below.
+    if (q in b["queries"] and b["queries"][q].get("x200", -1) > 0
+            and b["queries"][q].get("x1", -1) > 0):
         bx1, bx200 = b["queries"][q]["x1"], b["queries"][q]["x200"]
         row["x200"] = bx200
         row["x200_battery_x1"] = bx1
