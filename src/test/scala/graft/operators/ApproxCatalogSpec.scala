@@ -77,6 +77,34 @@ class ApproxCatalogSpec extends SparkSpec {
     assert(hh.map(_.getLong(0)).contains(top1), s"lost exact top-1 user $top1")
   }
 
+  test("PercentileExact: bit-identical to the builtin percentile aggregate across groups, ties, and integral ranks") {
+    import spark.implicits._
+    // many groups, heavy ties, group sizes that make p·(n−1) land both
+    // on and off integral ranks (incl. n=1 and n=2 edge groups)
+    val base = (0 until 5000).map { i =>
+      (s"g${i % 37}", (i * 2654435761L % 97).toDouble / 7.0)
+    } ++ Seq(("solo", 42.0), ("pair", 1.0), ("pair", 2.0))
+    val df = base.toDF("g", "v").repartition(13)
+    val ps = Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95", 1.0 -> "p100")
+    val sortBased = PercentileExact.grouped(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val builtin = df.groupBy("g")
+      .agg(ps.map { case (p, n) => expr(s"percentile(v, ${p}d)").as(n) }.head,
+        ps.map { case (p, n) => expr(s"percentile(v, ${p}d)").as(n) }.tail: _*)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(sortBased.keySet == builtin.keySet)
+    sortBased.foreach { case (g, vs) =>
+      // exact double equality: both paths evaluate the same
+      // v_lo + frac·(v_hi − v_lo) interpolation in the same order
+      assert(vs == builtin(g), s"group $g: sort-based $vs vs builtin ${builtin(g)}")
+    }
+    // null handling: nulls skipped, all-null groups absent
+    val withNulls = df.withColumn("v", when(col("g") === "g1", lit(null)).otherwise(col("v")))
+    val sb2 = PercentileExact.grouped(withNulls, "g", "v", Seq(0.5 -> "p50"))
+      .collect().map(_.getString(0)).toSet
+    assert(!sb2.contains("g1") && sb2.contains("g2"))
+  }
+
   test("SQL catalog: tables, the five views, and functions are sql-reachable") {
     Catalog.registerAll(spark, sf)
     assert(spark.sql("SELECT count(*) FROM events_by_src_view").collect()(0).getLong(0) > 0)
