@@ -347,7 +347,9 @@ object DemoBench {
     val refresher = new Thread(() => {
       while (!stop.get()) {
         val deadline = System.nanoTime() + refreshEverySec * 1000000000L
-        srvRef.refresh(); refreshes.incrementAndGet()
+        // pre-warm on THIS thread: the dashboard's warm path then never
+        // pays the post-refresh tier recompute (the p99-tail source)
+        srvRef.refresh(prewarmHotKeys = true); refreshes.incrementAndGet()
         sleepUntil(deadline)
       }
     }, "demo-refresher")

@@ -246,12 +246,32 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   /** Re-materialize the view tier (e.g. after new data lands) and
     * invalidate the result cache: after refresh() returns no reader
-    * sees a pre-refresh payload; each key recomputes on its next
-    * request (one job per hot key, paid by the first caller). */
-  def refresh(): Unit = {
+    * sees a pre-refresh payload.
+    *
+    * Without `prewarmHotKeys`, each key recomputes lazily on its next
+    * request — one job per hot key, paid by the FIRST CALLER, which is
+    * what puts the post-refresh recompute into the dashboard's p99
+    * tail. With it, the keys that were cached before the clear are
+    * re-rendered HERE, on the refresher's thread, before returning —
+    * the steady-state dashboard then always reads driver memory and
+    * its warm latency never includes a tier recompute (the demo
+    * refresher's mode). Pre-warm renders are server-initiated, so they
+    * don't count in [[cacheStats]] (caller-observable hits/misses);
+    * a failed pre-warm falls back to the lazy path. */
+  def refresh(prewarmHotKeys: Boolean = false): Unit = {
     tier.refresh()
-    version.incrementAndGet()
+    val hot = { import scala.jdk.CollectionConverters._; cache.keySet().asScala.toVector }
+    val gen = version.incrementAndGet()
     cache.clear()
+    if (prewarmHotKeys) hot.foreach { case key @ (proc, args) =>
+      try {
+        val payload = render(proc, args)
+        // never install over a NEWER refresh's clear (same stamp
+        // discipline as cached0)
+        if (version.get() == gen && cache.size < maxCacheEntries)
+          cache.put(key, payload)
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** JSON string escaping for error payloads (quotes, backslashes, and

@@ -222,6 +222,36 @@ object Dfs {
         Options.Rename.OVERWRITE)
     }
 
+  /** Atomically create an empty file, failing if it already exists —
+    * the cross-process claim primitive ([[VersionedStore]] version
+    * allocation). Local goes through `Files.createFile` (POSIX
+    * O_CREAT|O_EXCL — `RawLocalFileSystem.create(overwrite=false)` is
+    * a check-then-act TOCTOU, not atomic); HDFS `create(overwrite
+    * =false)` is atomic at the namenode. Returns true iff THIS caller
+    * created the file. */
+  def createExclusive(p: Path): Boolean =
+    if (isLocal(p)) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(fs(p).makeQualified(p).toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs(p).create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if isFileExists(e) => false
+      }
+    }
+
+  /** HDFS wraps the already-exists refusal in plain IOExceptions on
+    * some paths (e.g. lease conflicts rendered as AlreadyBeingCreated);
+    * treat any *exists*-shaped message as "lost the claim race". */
+  private def isFileExists(t: Throwable): Boolean = t != null &&
+    (Option(t.getMessage).exists(m =>
+      m.contains("already exists") || m.contains("AlreadyBeingCreated")) ||
+      isFileExists(t.getCause))
+
   /** Read to EOF on the opened stream — never stat-then-read: a
     * [[writeStringAtomic]] replace landing between the two would serve
     * the OLD length against the NEW file, silently truncating a

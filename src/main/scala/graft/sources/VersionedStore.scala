@@ -36,21 +36,39 @@ object VersionedStore {
   def currentPath(root: String): Option[String] =
     currentVersion(root).map(v => new Path(root, f"v$v%05d").toString)
 
+  private def claimFile(root: String, v: Int) = new Path(root, f".claim_v$v%05d")
+
   /** Write df as the next version and atomically commit the pointer.
     * Returns the new version number.
     *
-    * Concurrency contract: one writer per store root. In-JVM that is
-    * enforced here (version allocation + commit are serialized on the
-    * root's intern'd lock); cross-process coordination is the caller's
-    * (a second process racing publish could reuse a version number —
-    * the pointer commit itself stays atomic either way, because
-    * [[Dfs.writeStringAtomic]] gives each writer a pid-unique temp
-    * sibling: racing publishers can interleave but never truncate each
-    * other's in-flight bytes into a torn CURRENT). */
+    * Concurrency contract — safe across PROCESSES, not just threads
+    * (`VersionedStoreRaceSpec` drives two actual JVMs through this):
+    *  - version ALLOCATION is collision-free: a publisher owns a
+    *    number only after atomically creating its `.claim_vNNNNN`
+    *    marker ([[Dfs.createExclusive]] — O_EXCL locally, atomic
+    *    namenode create on HDFS), so racing publishers can never write
+    *    into the same version directory;
+    *  - the pointer COMMIT is last-committer-wins over COMPLETE
+    *    versions: each commit is an atomic replace of `CURRENT`
+    *    ([[Dfs.writeStringAtomic]] — pid-unique temp siblings, racing
+    *    writers never truncate each other into a torn pointer), and a
+    *    version is committed only after its files are fully written,
+    *    so a reader resolves to a complete version at every instant.
+    *    The publish that commits last defines the store — the
+    *    reference's LoadDsa semantics, where each load replaces the
+    *    whole table — even when its allocated NUMBER is lower than a
+    *    concurrent racer's (the loser's version stays on disk,
+    *    complete and vacuumable).
+    * In-JVM, allocation+commit are additionally serialized on the
+    * root's intern'd lock (cheaper than claim-probing for the common
+    * single-process case). */
   def publish(df: DataFrame, root: String): Int =
     root.intern.synchronized {
       Dfs.mkdirs(Dfs.path(root))
-      val next = currentVersion(root).getOrElse(0) + 1
+      var next = currentVersion(root).getOrElse(0) + 1
+      // skip numbers claimed by concurrent or crashed publishers (a
+      // crashed claim's dir is garbage until vacuum; never reuse it)
+      while (!Dfs.createExclusive(claimFile(root, next))) next += 1
       val dir = new Path(root, f"v$next%05d").toString
       df.write.mode("overwrite").parquet(dir)
       // contents are forced to stable storage BEFORE the pointer
@@ -65,13 +83,23 @@ object VersionedStore {
       throw new IllegalStateException(s"no CURRENT version in $root")))
 
   /** Drop versions older than the live one minus `keep` (readers of
-    * recently-superseded versions keep working — MVCC-style). */
+    * recently-superseded versions keep working — MVCC-style). Claim
+    * markers of dropped numbers go with them — including claims whose
+    * publisher crashed before writing any files. Versions NEWER than
+    * the live pointer are never touched (a racing publisher that
+    * committed earlier but allocated higher). */
   def vacuum(root: String, keep: Int = 1): Seq[String] = {
     val live = currentVersion(root).getOrElse(return Nil)
-    val dropped = Dfs.list(Dfs.path(root))
+    val cutoff = live - 1 - keep
+    val listing = Dfs.list(Dfs.path(root))
+    val dropped = listing
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{5}"))
-      .filter(_.getPath.getName.stripPrefix("v").toInt <= live - 1 - keep)
+      .filter(_.getPath.getName.stripPrefix("v").toInt <= cutoff)
     dropped.foreach(s => Dfs.delete(s.getPath))
+    listing
+      .filter(s => s.isFile && s.getPath.getName.matches("\\.claim_v\\d{5}"))
+      .filter(_.getPath.getName.stripPrefix(".claim_v").toInt <= cutoff)
+      .foreach(s => Dfs.delete(s.getPath))
     dropped.map(_.getPath.getName).sorted
   }
 

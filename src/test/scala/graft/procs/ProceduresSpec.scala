@@ -206,6 +206,26 @@ class ProceduresSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("pre-warming refresh re-renders hot keys on the refresher thread (no caller-paid miss)") {
+    val srv = new graft.server.QueryServer(spark, sf)
+    srv.start()
+    try {
+      val first = srv.call("GetTopUsers", Seq("60", "5"))
+      assert(srv.call("GetTopUsers", Seq("60", "5")) == first)
+      assert(srv.cacheStats == ((1L, 1L)))
+      srv.refresh(prewarmHotKeys = true)
+      // the hot key was re-rendered by refresh() itself: the next call
+      // is a HIT — the caller never pays the post-refresh recompute
+      // (and the server-initiated render isn't billed to cacheStats)
+      assert(srv.call("GetTopUsers", Seq("60", "5")) == first)
+      assert(srv.cacheStats == ((2L, 1L)),
+        s"pre-warmed key must serve as a hit, got ${srv.cacheStats}")
+      // a key never called before the refresh stays lazy
+      srv.call("GetTopSources", Seq("5"))
+      assert(srv.cacheStats == ((2L, 2L)))
+    } finally srv.stop()
+  }
+
   test("responses are row-capped: an over-limit procedure returns an error, not a flood") {
     spark.conf.set("spark.graft.server.maxResponseRows", "5")
     try {
