@@ -48,6 +48,38 @@ object SourcesOps {
     * Underscore-prefixed: Spark's file index ignores it. */
   private val CompactManifest = "_COMPACT_MANIFEST"
 
+  /** Streaming byte-equality of two equal-length files — the
+    * checksum fallback for filesystems that return null checksums
+    * (raw-local). Called only on the heal's equal-length name-collision
+    * branch, which an interrupted copy+delete makes "same immutable
+    * file on both sides" in all but the distinct-jobs-collision case —
+    * so this runs rarely and on one file's bytes, never per partition. */
+  private def sameBytes(a: org.apache.hadoop.fs.Path,
+                        b: org.apache.hadoop.fs.Path): Boolean = {
+    val ina = Dfs.fs(a).open(a)
+    val inb = Dfs.fs(b).open(b)
+    try {
+      val bufA = new Array[Byte](65536)
+      val bufB = new Array[Byte](65536)
+      def fill(in: java.io.InputStream, buf: Array[Byte]): Int = {
+        var off = 0
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+        off
+      }
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = fill(ina, bufA)
+        val nb = fill(inb, bufB)
+        if (na != nb || !java.util.Arrays.equals(
+            bufA, 0, na, bufB, 0, nb)) same = false
+        else if (na == 0) done = true
+      }
+      same
+    } finally { ina.close(); inb.close() }
+  }
+
   /** S2: deterministic dimension ids — id = position in key order (the
     * reference's "line number" with a sorted input file). */
   def dimFromKeys(keys: DataFrame): DataFrame = {
@@ -206,15 +238,18 @@ object SourcesOps {
                   } else {
                     // equal length, part-*: the same immutable file on
                     // both sides of an interrupted copy+delete — skip,
-                    // UNLESS the filesystem provides checksums and they
-                    // differ (a true distinct-jobs collision, part-*
-                    // UUIDs make it effectively never): keep both,
-                    // disambiguated. Raw-local returns null checksums,
-                    // so equal-length-different-content stays a
-                    // documented residual there; HDFS detects it.
+                    // UNLESS the contents differ (a true distinct-jobs
+                    // collision, part-* UUIDs make it effectively
+                    // never): keep both, disambiguated. Checksums
+                    // decide where the filesystem provides them (HDFS);
+                    // raw-local returns null, so there a streaming
+                    // byte-compare decides — the cost is two reads of
+                    // ONE file on a branch that is already a rare
+                    // collision, never a per-partition tax.
                     val cs = Option(Dfs.fs(dst).getFileChecksum(dst))
                     val ct = Option(Dfs.fs(f.getPath).getFileChecksum(f.getPath))
-                    val distinct = (for (a <- cs; b <- ct) yield !a.equals(b)).getOrElse(false)
+                    val distinct = (for (a <- cs; b <- ct) yield !a.equals(b))
+                      .getOrElse(!sameBytes(f.getPath, dst))
                     if (distinct)
                       Dfs.rename(f.getPath,
                         new org.apache.hadoop.fs.Path(live, s"healed_$name"))

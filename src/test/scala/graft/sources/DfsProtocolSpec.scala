@@ -186,6 +186,47 @@ class DfsProtocolSpec extends SparkSpec {
     assert(!Dfs.exists(trash), "trash not cleared after merge")
   }
 
+  test("heal merge: equal-length DIFFERENT-content collision is kept disambiguated (byte-compare where checksums are null)") {
+    import spark.implicits._
+    val dir = schemed("graft_hcol") + "/sink"
+    (0L until 100L).map(i => (i, "k0")).toDF("id", "k")
+      .coalesce(1).write.mode("overwrite").partitionBy("k").parquet(dir)
+    val root = Dfs.path(dir)
+    val part = Dfs.list(root).filter(_.getPath.getName.startsWith("k=")).head.getPath
+    val trash = new org.apache.hadoop.fs.Path(root, s".compact_trash_${part.getName}")
+    Dfs.mkdirs(trash)
+    // a same-name same-LENGTH file with different bytes on the trash
+    // side — the distinct-jobs collision shape. Raw-local returns null
+    // checksums, so only the streaming byte-compare can detect it; the
+    // old checksum-only discriminator silently dropped the trash copy.
+    val partFile = Dfs.list(part).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = {
+      val in = Dfs.fs(partFile).open(partFile)
+      try in.readAllBytes() finally in.close()
+    }
+    val mutated = bytes.clone()
+    mutated(bytes.length / 2) = (mutated(bytes.length / 2) ^ 0x5a).toByte
+    val twin = new org.apache.hadoop.fs.Path(trash, partFile.getName)
+    val out = Dfs.fs(twin).create(twin, true)
+    try out.write(mutated) finally out.close()
+    // manifest that does NOT match live -> routes to the merge branch
+    Dfs.writeStringAtomic(new org.apache.hadoop.fs.Path(trash, "_COMPACT_MANIFEST"),
+      "part-never-landed.parquet:1")
+    val heal = SourcesOps.compactPartitionsReport(spark, dir, numFiles = 1,
+      minFilesToCompact = 1000000)
+    assert(heal.healed == 1)
+    val names = Dfs.list(part).map(_.getPath.getName)
+    assert(names.contains(s"healed_${partFile.getName}"),
+      s"distinct-content collision must be kept disambiguated, live holds: $names")
+    // and the live original is untouched
+    val after = {
+      val in = Dfs.fs(partFile).open(partFile)
+      try in.readAllBytes() finally in.close()
+    }
+    assert(java.util.Arrays.equals(after, bytes), "live original was clobbered")
+  }
+
   test("SRP batch append / sweep / compact: replay-idempotent through file://") {
     import spark.implicits._
     val dir = schemed("graft_hsrp") + "/srp"
