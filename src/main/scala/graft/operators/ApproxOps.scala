@@ -24,18 +24,14 @@ object ApproxOps {
     // identical in Spark and DuckDB). Sort-based ([[PercentileExact]]):
     // the builtin `percentile` aggregate buffers a value→count map per
     // group, which grows with the column's distinct-value count —
-    // unbounded for l_extendedprice at 100 TB. One sorted pass per
-    // value column, bounded task memory.
-    "percentiles_exact" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val qty = PercentileExact.grouped(li, "l_returnflag", "l_quantity",
-        Seq(0.5 -> "p50_qty", 0.95 -> "p95_qty"))
-      val price = PercentileExact.grouped(li, "l_returnflag", "l_extendedprice",
-        Seq(0.5 -> "p50_price"))
-      qty.join(price, Seq("l_returnflag"))
+    // unbounded for l_extendedprice at 100 TB. Both value columns ride
+    // ONE tagged range-sort; bounded task memory at any cardinality.
+    "percentiles_exact" -> ((s, d) =>
+      PercentileExact.groupedColumns(Tables.lineitem(s, d), "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5 -> "p50_qty", 0.95 -> "p95_qty"),
+          "l_extendedprice" -> Seq(0.5 -> "p50_price")))
         .select("l_returnflag", "p50_qty", "p95_qty", "p50_price")
-        .orderBy("l_returnflag")
-    }),
+        .orderBy("l_returnflag")),
 
     // HLL distinct per group — rows-only; accuracy spec vs exact
     "approx_distinct_parts" -> ((s, d) =>

@@ -245,32 +245,46 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   }
 
   /** Re-materialize the view tier (e.g. after new data lands) and
-    * invalidate the result cache: after refresh() returns no reader
+    * invalidate the result cache: after refresh() RETURNS no reader
     * sees a pre-refresh payload.
     *
     * Without `prewarmHotKeys`, each key recomputes lazily on its next
     * request — one job per hot key, paid by the FIRST CALLER, which is
     * what puts the post-refresh recompute into the dashboard's p99
-    * tail. With it, the keys that were cached before the clear are
-    * re-rendered HERE, on the refresher's thread, before returning —
-    * the steady-state dashboard then always reads driver memory and
-    * its warm latency never includes a tier recompute (the demo
-    * refresher's mode). Pre-warm renders are server-initiated, so they
-    * don't count in [[cacheStats]] (caller-observable hits/misses);
-    * a failed pre-warm falls back to the lazy path. */
+    * tail. With it, refresh double-buffers: the hot keys' payloads are
+    * re-rendered against the REFRESHED tier while the old payloads
+    * keep serving (staleness bounded by the render, well inside one
+    * refresh interval — the same swap discipline as VersionedStore's
+    * pointer), then the cache swaps to the fresh set at once. Callers
+    * never observe an empty cache after a refresh, so the dashboard's
+    * warm path never pays a tier recompute OR contends with one (a
+    * clear-then-prewarm variant measured here left the first caller
+    * per tick racing the pre-warm renders — GetTopUsers p99 went UP).
+    * Pre-warm renders are server-initiated, so they don't count in
+    * [[cacheStats]]; a failed render falls back to the lazy path for
+    * that key. */
   def refresh(prewarmHotKeys: Boolean = false): Unit = {
-    tier.refresh()
-    val hot = { import scala.jdk.CollectionConverters._; cache.keySet().asScala.toVector }
-    val gen = version.incrementAndGet()
-    cache.clear()
-    if (prewarmHotKeys) hot.foreach { case key @ (proc, args) =>
-      try {
-        val payload = render(proc, args)
-        // never install over a NEWER refresh's clear (same stamp
-        // discipline as cached0)
+    if (!prewarmHotKeys) {
+      tier.refresh()
+      version.incrementAndGet()
+      cache.clear()
+    } else {
+      val hot = { import scala.jdk.CollectionConverters._; cache.keySet().asScala.toVector }
+      tier.refresh()
+      // rendered against the NEW tier; old payloads still serve hits.
+      // A concurrent caller-miss in this window renders the new tier
+      // too and installs under the OLD version stamp — cleared below,
+      // never served after the swap (cached0's stamp discipline).
+      val fresh = hot.flatMap { case key @ (proc, args) =>
+        try Some(key -> render(proc, args))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      val gen = version.incrementAndGet()
+      cache.clear()
+      fresh.foreach { case (key, payload) =>
         if (version.get() == gen && cache.size < maxCacheEntries)
           cache.put(key, payload)
-      } catch { case scala.util.control.NonFatal(_) => }
+      }
     }
   }
 

@@ -211,6 +211,22 @@ class PlanAuditSpec extends SparkSpec {
       s"zipf_curve lost its parallel top-k:\n$zipf")
   }
 
+  test("exact percentiles plan sort-based: no per-group value-map aggregate, probes broadcast") {
+    // the builtin `percentile` aggregate buffers a value->count map per
+    // group (unbounded for price-like columns at 100 TB) — the rebuilt
+    // plan must keep it out entirely and probe the sorted relation with
+    // a broadcast hash join on the tiny rank set
+    val plan = finalPlan("percentiles_exact")
+    assert(!plan.contains("percentile("),
+      s"percentiles_exact re-grew the buffering percentile aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"percentile rank probes must broadcast, not shuffle the sorted relation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in percentile probe:\n$plan")
+    // no global single-partition window anywhere (the rank machinery is
+    // zipWithIndex-based)
+    assert(!plan.contains("Window"), s"percentiles_exact re-grew a window:\n$plan")
+  }
+
   test("vocab/contamination audits broadcast the small side into the corpus explode") {
     for (q <- Seq("vocab_oov_rate", "contamination_ngram_rate")) {
       val plan = finalPlan(q)

@@ -103,6 +103,18 @@ class ApproxCatalogSpec extends SparkSpec {
     val sb2 = PercentileExact.grouped(withNulls, "g", "v", Seq(0.5 -> "p50"))
       .collect().map(_.getString(0)).toSet
     assert(!sb2.contains("g1") && sb2.contains("g2"))
+    // multi-column form (one tagged sort): bit-identical to per-column
+    // builtins, including a second column with a different distribution
+    val df2 = df.withColumn("w", col("v") * col("v") - 3.0)
+    val multi = PercentileExact.groupedColumns(df2, "g",
+      Seq("v" -> Seq(0.5 -> "v50", 0.95 -> "v95"), "w" -> Seq(0.25 -> "w25")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val builtin2 = df2.groupBy("g")
+      .agg(expr("percentile(v, 0.5d)").as("v50"),
+        expr("percentile(v, 0.95d)").as("v95"),
+        expr("percentile(w, 0.25d)").as("w25"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(multi == builtin2, s"multi-column percentiles diverged from builtin")
   }
 
   test("SQL catalog: tables, the five views, and functions are sql-reachable") {
