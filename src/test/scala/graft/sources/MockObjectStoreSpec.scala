@@ -278,6 +278,36 @@ class MockObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("VersionedStore on mock: a publisher crashing after its claim never blocks or corrupts later publishes") {
+    withMock { s =>
+      import s.implicits._
+      val root = mocked("graft_mock_vsclaim") + "/store"
+      VersionedStore.publish((1L to 40L).toDF("id"), root)
+      // crash a publish AFTER version allocation (claim landed) but
+      // before any pointer movement: the mock's rename of the parquet
+      // job's temporary output dies mid-copy, stranding claim v2 and a
+      // partial v00002 dir with no commit
+      MockFsCrash.plan = (_, dst) =>
+        if (dst.contains("v00002") && dst.endsWith(".parquet")) 8L else -1L
+      intercept[Throwable] { VersionedStore.publish((1L to 50L).toDF("id"), root) }
+      assert(VersionedStore.read(s, root).count() == 40,
+        "a crashed claimed-but-uncommitted publish must leave the old version live")
+      MockFsCrash.disarm()
+      // the dead claim is skipped, never reused: the replay lands as v3
+      val v = VersionedStore.publish((1L to 50L).toDF("id"), root)
+      assert(v == 3, s"crashed claim v2 must be skipped, got v$v")
+      assert(VersionedStore.read(s, root).count() == 50)
+      // vacuum sweeps the dead claim and its partial dir with the
+      // superseded version
+      VersionedStore.vacuum(root, keep = 0)
+      val names = Dfs.list(Dfs.path(root)).map(_.getPath.getName)
+      assert(!names.contains("v00001") && !names.contains(".claim_v00001"))
+      assert(!names.contains("v00002") && !names.contains(".claim_v00002"),
+        s"dead claim/partial dir must be vacuumed: $names")
+      assert(VersionedStore.read(s, root).count() == 50)
+    }
+  }
+
   test("SRP batch append / sweep / compact on mock: mid-move crash heals through the documented replay") {
     withMock { s =>
       import s.implicits._
