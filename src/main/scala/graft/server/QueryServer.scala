@@ -263,7 +263,12 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * Pre-warm renders are server-initiated, so they don't count in
     * [[cacheStats]]; a failed render falls back to the lazy path for
     * that key. */
-  def refresh(prewarmHotKeys: Boolean = false): Unit = {
+  def refresh(prewarmHotKeys: Boolean = false): Unit = synchronized {
+    // serialized: two interleaved refreshes could otherwise install
+    // payloads rendered against the OLDER tier under the NEWER version
+    // stamp (render A, render B, swap B, swap A) — stale results served
+    // until the next refresh. One refresher thread is the normal shape;
+    // the lock makes it a non-contended invariant instead of a contract.
     if (!prewarmHotKeys) {
       tier.refresh()
       version.incrementAndGet()
