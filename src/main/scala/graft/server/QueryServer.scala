@@ -37,7 +37,8 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * tiny (top-10 rows), so the right serving design is: compute on
     * first request, serve every repeat from driver memory (sub-ms),
     * and invalidate when `refresh()` lands new data (next call per key
-    * recomputes lazily — refresh never fans out Spark jobs itself).
+    * recomputes lazily; with `prewarmHotKeys` the refresher re-renders
+    * hot keys itself and swaps — see refresh()).
     * Entries are version-stamped: a render that started before a
     * concurrent refresh() can't re-install its stale payload after the
     * clear. Bounded at `maxCacheEntries` so ad-hoc param sweeps can't
