@@ -48,8 +48,13 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
   */
 object DemoBench {
 
+  /** cacheHitRate: fraction of the proc's TIMED-WINDOW calls served
+    * from the driver result cache (−1 for @-procs, which bypass it).
+    * Pre-warm renders are server-initiated and excluded by
+    * [[graft.server.QueryServer.cacheStatsByProc]] itself. */
   final case class ProcStats(proc: String, calls: Int,
-                             p50Ms: Double, p99Ms: Double, maxMs: Double)
+                             p50Ms: Double, p99Ms: Double, maxMs: Double,
+                             cacheHitRate: Double = -1.0)
 
   /** One sub-window slice of the timed window — drift visibility for
     * long endurance runs (a 900-s mean hides a 25k→15k decay; six
@@ -71,9 +76,12 @@ object DemoBench {
     stealPct: Double = -1.0) {
 
     def json: String = {
-      val procs = perProc.map(p =>
-        f""""${p.proc}":{"calls":${p.calls},"p50_ms":${p.p50Ms}%.1f,"p99_ms":${p.p99Ms}%.1f,"max_ms":${p.maxMs}%.1f}""")
-        .mkString("{", ",", "}")
+      val procs = perProc.map { p =>
+        val hr =
+          if (p.cacheHitRate < 0) ""
+          else f""","cache_hit_rate":${p.cacheHitRate}%.3f"""
+        f""""${p.proc}":{"calls":${p.calls},"p50_ms":${p.p50Ms}%.1f,"p99_ms":${p.p99Ms}%.1f,"max_ms":${p.maxMs}%.1f$hr}"""
+      }.mkString("{", ",", "}")
       val subs = subWindows.map(w =>
         f"""{"start_sec":${w.startSec},"eps":${w.eps}%.0f,"dash_p99_ms":${w.dashP99Ms}%.1f,"batches":${w.batches},"dash_calls":${w.dashCalls}}""")
         .mkString("[", ",", "]")
@@ -395,6 +403,7 @@ object DemoBench {
     }
     val rows0 = processedIngest(); val viewRows0 = processed(viewQ.id)
     val landed0 = landed.get(); val refreshes0 = refreshes.get()
+    val cacheStats0 = srvRef.cacheStatsByProc
     val windowStart = System.nanoTime()
     val windowStartMs = System.currentTimeMillis()
     // ---- optional mid-window hard kill + restart of the ingest leg --
@@ -427,6 +436,7 @@ object DemoBench {
     val windowEndMs = System.currentTimeMillis()
     val rows1 = processedIngest(); val viewRows1 = processed(viewQ.id)
     val landed1 = landed.get(); val refreshes1 = refreshes.get()
+    val cacheStats1 = srvRef.cacheStatsByProc
 
     // ---- optional full drain before shutdown (exactly-once check) ---
     if (verifyExactness) {
@@ -496,8 +506,14 @@ object DemoBench {
     val allLat = windowSamples.map(_.latNanos).sorted
     val perProc = DashCalls.map(_._1).map { proc =>
       val l = windowSamples.filter(_.proc == proc).map(_.latNanos).sorted
+      // hit rate from the server's own per-proc counters, windowed by
+      // snapshot delta; @-procs never touch the cache → -1 (omitted)
+      val (h0, m0) = cacheStats0.getOrElse(proc, (0L, 0L))
+      val (h1, m1) = cacheStats1.getOrElse(proc, (0L, 0L))
+      val (dh, dm) = (h1 - h0, m1 - m0)
+      val hitRate = if (dh + dm <= 0) -1.0 else dh.toDouble / (dh + dm)
       ProcStats(proc, l.length, pctMs(l, 0.50), pctMs(l, 0.99),
-        if (l.isEmpty) 0.0 else l.last / 1e6)
+        if (l.isEmpty) 0.0 else l.last / 1e6, hitRate)
     }
     // every rate/latency stat below is windowed to [windowStart,
     // windowEnd): batch times by their TRIGGER timestamp (wall-clock

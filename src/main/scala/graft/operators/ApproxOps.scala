@@ -24,8 +24,10 @@ object ApproxOps {
     // identical in Spark and DuckDB). Sort-based ([[PercentileExact]]):
     // the builtin `percentile` aggregate buffers a value→count map per
     // group, which grows with the column's distinct-value count —
-    // unbounded for l_extendedprice at 100 TB. Both value columns ride
-    // ONE tagged range-sort; bounded task memory at any cardinality.
+    // unbounded for l_extendedprice at 100 TB. One range-sort PER value
+    // column, joined on the group relation (the tagged single-sort
+    // consolidation measured a ~5x cliff at x100 and was reverted);
+    // bounded task memory at any cardinality.
     "percentiles_exact" -> ((s, d) =>
       PercentileExact.groupedColumns(Tables.lineitem(s, d), "l_returnflag",
         Seq("l_quantity" -> Seq(0.5 -> "p50_qty", 0.95 -> "p95_qty"),

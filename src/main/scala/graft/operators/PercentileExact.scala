@@ -42,7 +42,11 @@ object PercentileExact {
     groupedColumns(df, group, Seq(value -> ps))
 
   /** As [[grouped]] for SEVERAL value columns at once: one sorted pass
-    * PER COLUMN, results joined on the (dim-sized) group relation.
+    * PER COLUMN, results full-outer-joined on the (dim-sized) group
+    * relation — a group whose values are ALL null in one column keeps
+    * its row (null percentiles for that column only), matching the
+    * builtin aggregate; only a group all-null in EVERY column is
+    * absent (the [[grouped]] caveat).
     *
     * Measured, not assumed: the tempting alternative — union the
     * columns under a leading tag and sort 2N rows in ONE pass — looked
@@ -58,8 +62,13 @@ object PercentileExact {
     val allNames = specs.flatMap(_._2.map(_._2))
     require(allNames.distinct.length == allNames.length,
       s"output names must be distinct across value columns: $allNames")
+    // full outer, not inner: an inner join would silently drop a
+    // group's VALID percentiles in other columns whenever one column
+    // is all-null for that group (the builtin keeps the group and
+    // nulls only the all-null column). USING-join semantics coalesce
+    // the group key across sides, so the key survives either-side rows.
     specs.map { case (value, ps) => groupedOne(df, group, value, ps) }
-      .reduce((a, b) => a.join(b, Seq(group)))
+      .reduce((a, b) => a.join(b, Seq(group), "full_outer"))
   }
 
   private def groupedOne(df: DataFrame, group: String, value: String,

@@ -240,17 +240,31 @@ object Dfs {
       try { fs(p).create(p, false).close(); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if isFileExists(e) => false
+        case e: java.io.IOException if isFileExists(e, p) => false
       }
     }
 
   /** HDFS wraps the already-exists refusal in plain IOExceptions on
-    * some paths (e.g. lease conflicts rendered as AlreadyBeingCreated);
-    * treat any *exists*-shaped message as "lost the claim race". */
-  private def isFileExists(t: Throwable): Boolean = t != null &&
-    (Option(t.getMessage).exists(m =>
-      m.contains("already exists") || m.contains("AlreadyBeingCreated")) ||
-      isFileExists(t.getCause))
+    * some paths (e.g. lease conflicts rendered as AlreadyBeingCreated).
+    * Classify conservatively: the exists-shaped text must NAME the
+    * claimed file — a generic match on "already exists" would also
+    * swallow "parent path … already exists as a file" or quota error
+    * prose, turning a real failure into a silent lost-race `false`
+    * (the claim loop would then skip numbers forever instead of
+    * surfacing the fault). The cause-chain walk is depth-bounded
+    * against (theoretical) cyclic chains. */
+  private def isFileExists(t: Throwable, p: Path): Boolean = {
+    val name = p.getName
+    @annotation.tailrec
+    def walk(x: Throwable, depth: Int): Boolean =
+      if (x == null || depth > 8) false
+      else if (Option(x.getMessage).exists(m =>
+        m.contains(name) &&
+          (m.contains("already exists") || m.contains("AlreadyBeingCreated"))))
+        true
+      else walk(x.getCause, depth + 1)
+    walk(t, 0)
+  }
 
   /** Read to EOF on the opened stream — never stat-then-read: a
     * [[writeStringAtomic]] replace landing between the two would serve

@@ -25,6 +25,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the commit front for object-store sinks.
   */
 object VersionedStore {
+  /** Test seam invoked with the allocated version number after the
+    * claim lands, before the version write starts ([[publish]]) —
+    * the race specs use it to stall a publisher mid-publish across a
+    * file barrier. Identity in production. */
+  private[sources] var onClaimed: Int => Unit = _ => ()
+
   private def currentFile(root: String) = new Path(root, "CURRENT")
 
   def currentVersion(root: String): Option[Int] = {
@@ -37,6 +43,7 @@ object VersionedStore {
     currentVersion(root).map(v => new Path(root, f"v$v%05d").toString)
 
   private def claimFile(root: String, v: Int) = new Path(root, f".claim_v$v%05d")
+  private def commitFile(root: String, v: Int) = new Path(root, f".commit_v$v%05d")
 
   /** Write df as the next version and atomically commit the pointer.
     * Returns the new version number.
@@ -69,12 +76,23 @@ object VersionedStore {
       // skip numbers claimed by concurrent or crashed publishers (a
       // crashed claim's dir is garbage until vacuum; never reuse it)
       while (!Dfs.createExclusive(claimFile(root, next))) next += 1
+      // test seam: lets the cross-process race spec stall a publisher
+      // BETWEEN allocation and write (the window where racing commits
+      // can overtake its number). No-op in production.
+      onClaimed(next)
       val dir = new Path(root, f"v$next%05d").toString
       df.write.mode("overwrite").parquet(dir)
       // contents are forced to stable storage BEFORE the pointer
       // replace: a crash may persist the rename metadata but not the
       // bytes, leaving CURRENT empty (Dfs.writeStringAtomic's contract)
       Dfs.writeStringAtomic(currentFile(root), f"v$next%05d")
+      // commit marker: tells vacuum this number is COMMITTED HISTORY
+      // (safe to sweep immediately once superseded) rather than a
+      // possibly-in-flight publish (age-gated — see vacuum). Written
+      // AFTER the pointer: a crash between the two leaves a committed
+      // version without a marker, which vacuum merely sweeps later
+      // (after the grace window) — the safe direction.
+      Dfs.createExclusive(commitFile(root, next))
       next
     }
 
@@ -82,25 +100,61 @@ object VersionedStore {
     spark.read.parquet(currentPath(root).getOrElse(
       throw new IllegalStateException(s"no CURRENT version in $root")))
 
+  /** How long a claimed-but-never-committed version must sit untouched
+    * (claim marker AND version dir mtime) before vacuum may reclaim it
+    * as a crashed publish. Must conservatively exceed any plausible
+    * publish duration: a slow publisher stalled past this window whose
+    * claim is swept can have its dir deleted mid-write (same contract
+    * as [[Dfs.writeStringAtomic]]'s temp-orphan grace, scaled up from
+    * a pointer write to a full parquet job). */
+  val ClaimGraceMs: Long = 60L * 60 * 1000
+
   /** Drop versions older than the live one minus `keep` (readers of
     * recently-superseded versions keep working — MVCC-style). Claim
-    * markers of dropped numbers go with them — including claims whose
-    * publisher crashed before writing any files. Versions NEWER than
-    * the live pointer are never touched (a racing publisher that
-    * committed earlier but allocated higher). */
-  def vacuum(root: String, keep: Int = 1): Seq[String] = {
+    * markers of dropped numbers go with them. Versions NEWER than the
+    * live pointer are never touched (a racing publisher that committed
+    * earlier but allocated higher).
+    *
+    * Cross-process safety — vacuum must not destroy an IN-FLIGHT
+    * publish: a slow publisher's claimed number can fall ≤ the cutoff
+    * once `keep`+2 racing publishes commit during its write; sweeping
+    * its claim and partial dir then would let it eventually commit
+    * `CURRENT` to a torn version. So only numbers carrying a
+    * `.commit_vNNNNN` marker (provably committed history — written by
+    * [[publish]] right after the pointer replace) are swept
+    * immediately; a claimed-but-never-committed number is swept only
+    * once both its claim marker and its dir (the dir's mtime advances
+    * as the publisher's part-files land) have been quiescent for
+    * `graceMs` — i.e. the publisher is dead, not slow. Versions
+    * committed by pre-marker layouts lack the marker and sweep after
+    * the grace window instead of immediately — a delay, never a
+    * correctness loss. */
+  def vacuum(root: String, keep: Int = 1, graceMs: Long = ClaimGraceMs): Seq[String] = {
     val live = currentVersion(root).getOrElse(return Nil)
     val cutoff = live - 1 - keep
+    val stale = System.currentTimeMillis() - graceMs
     val listing = Dfs.list(Dfs.path(root))
-    val dropped = listing
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{5}"))
-      .filter(_.getPath.getName.stripPrefix("v").toInt <= cutoff)
-    dropped.foreach(s => Dfs.delete(s.getPath))
-    listing
-      .filter(s => s.isFile && s.getPath.getName.matches("\\.claim_v\\d{5}"))
-      .filter(_.getPath.getName.stripPrefix(".claim_v").toInt <= cutoff)
-      .foreach(s => Dfs.delete(s.getPath))
-    dropped.map(_.getPath.getName).sorted
+    def nums(re: String, prefix: String) = listing.collect {
+      case s if s.getPath.getName.matches(re) =>
+        s.getPath.getName.stripPrefix(prefix).toInt -> s
+    }
+    val dirs = nums("v\\d{5}", "v").filter(_._2.isDirectory).toMap
+    val claims = nums("\\.claim_v\\d{5}", ".claim_v").filter(_._2.isFile).toMap
+    val commits = nums("\\.commit_v\\d{5}", ".commit_v").filter(_._2.isFile).toMap
+    def sweepable(n: Int): Boolean =
+      commits.contains(n) ||
+        (claims.get(n).forall(_.getModificationTime < stale) &&
+          dirs.get(n).forall(_.getModificationTime < stale))
+    val targets = (dirs.keySet ++ claims.keySet ++ commits.keySet)
+      .filter(n => n <= cutoff && sweepable(n))
+    val dropped = targets.toSeq.sorted.flatMap { n =>
+      val hadDir = dirs.contains(n)
+      dirs.get(n).foreach(s => Dfs.delete(s.getPath))
+      claims.get(n).foreach(s => Dfs.delete(s.getPath))
+      commits.get(n).foreach(s => Dfs.delete(s.getPath))
+      if (hadDir) Some(f"v$n%05d") else None
+    }
+    dropped
   }
 
   /** Recursive delete for LOCAL scratch state (temp dirs, staging

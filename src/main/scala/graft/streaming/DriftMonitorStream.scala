@@ -294,32 +294,57 @@ object DriftMonitorStream {
         TimeMode.EventTime, OutputMode.Append)
   }
 
+  /** Driver-memory ceiling on a reference vocabulary. The intended
+    * input is a published training snapshot (vocabulary-sized), but
+    * nothing stops a caller pointing these helpers at a raw corpus —
+    * without a bound the collect would OOM the driver. A million
+    * (hash → count) entries is ~tens of MB; past it the LONG TAIL is
+    * truncated (kept: top-`maxVocab` by count, ties by hash), while
+    * the reference TOTAL stays the FULL word count — truncated tail
+    * words then read as ref-frequency-0, which OVERSTATES drift
+    * slightly (the safe direction for a monitor) instead of crashing. */
+  val DefaultMaxVocab: Int = 1 << 20
+
   /** Batch helper: per-source references for [[monitorBySource]] —
-    * the collect is Σ per-source vocabulary (published-artifact sized). */
-  def referencesBySource(docs: DataFrame, srcCol: String,
-                         textCol: String): Map[String, (Map[Long, Long], Long)] = {
-    val rows = docs
+    * the collect is Σ per-source vocabulary, bounded at `maxVocab`
+    * PER SOURCE (see [[DefaultMaxVocab]]; the rank filter is a
+    * per-source window, never a driver-side sort). */
+  def referencesBySource(docs: DataFrame, srcCol: String, textCol: String,
+                         maxVocab: Int = DefaultMaxVocab): Map[String, (Map[Long, Long], Long)] = {
+    val grouped = docs
       .select(col(srcCol).as("source"),
         explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .select(col("source"), xxhash64(col("word")).as("wh"))
       .groupBy("source", "wh").agg(count(lit(1)).as("n"))
+    val totals = grouped.groupBy("source")
+      .agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("wh"))
+    val rows = grouped
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     rows.groupBy(_._1).map { case (src, ws) =>
-      src -> (ws.map(w => w._2 -> w._3).toMap, ws.map(_._3).sum)
+      src -> (ws.map(w => w._2 -> w._3).toMap, totals(src))
     }
   }
 
   /** Batch helper: the reference (hash→count, total) of a corpus —
-    * the collect is vocabulary-sized (the reference is a published
-    * artifact, not the corpus). */
-  def referenceOf(docs: DataFrame, textCol: String): (Map[Long, Long], Long) = {
-    val rows = docs
+    * the collect is vocabulary-sized, bounded at `maxVocab` (see
+    * [[DefaultMaxVocab]]; the top-V cut is a `TakeOrderedAndProject`,
+    * never a driver-side sort). */
+  def referenceOf(docs: DataFrame, textCol: String,
+                  maxVocab: Int = DefaultMaxVocab): (Map[Long, Long], Long) = {
+    val grouped = docs
       .select(explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .select(xxhash64(col("word")).as("wh"))
       .groupBy("wh").agg(count(lit(1)).as("n"))
+    val total = grouped.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    val rows = grouped.orderBy(col("n").desc, col("wh")).limit(maxVocab)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    (rows.toMap, rows.map(_._2).sum)
+    (rows.toMap, total)
   }
 }

@@ -103,8 +103,9 @@ class ApproxCatalogSpec extends SparkSpec {
     val sb2 = PercentileExact.grouped(withNulls, "g", "v", Seq(0.5 -> "p50"))
       .collect().map(_.getString(0)).toSet
     assert(!sb2.contains("g1") && sb2.contains("g2"))
-    // multi-column form (one tagged sort): bit-identical to per-column
-    // builtins, including a second column with a different distribution
+    // multi-column form (one range-sort per value column, full-outer-
+    // joined on the group): bit-identical to per-column builtins,
+    // including a second column with a different distribution
     val df2 = df.withColumn("w", col("v") * col("v") - 3.0)
     val multi = PercentileExact.groupedColumns(df2, "g",
       Seq("v" -> Seq(0.5 -> "v50", 0.95 -> "v95"), "w" -> Seq(0.25 -> "w25")))
@@ -115,6 +116,24 @@ class ApproxCatalogSpec extends SparkSpec {
         expr("percentile(w, 0.25d)").as("w25"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(multi == builtin2, s"multi-column percentiles diverged from builtin")
+    // a group all-null in ONE column keeps its row with that column's
+    // percentile null and the other columns' percentiles intact (the
+    // builtin's shape — an inner join across per-column results would
+    // silently drop the whole group)
+    val df3 = df2.withColumn("w", when(col("g") === "g1", lit(null)).otherwise(col("w")))
+    val partial = PercentileExact.groupedColumns(df3, "g",
+      Seq("v" -> Seq(0.5 -> "v50"), "w" -> Seq(0.25 -> "w25")))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val builtin3 = df3.groupBy("g")
+      .agg(expr("percentile(v, 0.5d)").as("v50"), expr("percentile(w, 0.25d)").as("w25"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(partial.contains("g1") && partial("g1")._2.isEmpty && partial("g1")._1.nonEmpty,
+      s"g1 must keep its v percentile with a null w25: ${partial.get("g1")}")
+    assert(partial == builtin3, "partial-null multi-column diverged from builtin")
   }
 
   test("SQL catalog: tables, the five views, and functions are sql-reachable") {

@@ -203,6 +203,53 @@ class ProceduresSpec extends SparkSpec {
       val fourth = get(url)
       assert(fourth.body() == first.body())
       assert(srv.cacheStats == ((2L, 2L)), s"post-refresh repeat must hit, got ${srv.cacheStats}")
+      // per-key breakdown: the aggregate can hide one key that never
+      // hits (an arg mismatch between poller and pre-warm set) — the
+      // by-key/by-proc views pin the exact call shape
+      val key = ("GetTopUsers", Seq("60", "5"))
+      assert(srv.cacheStatsByKey == Map(key -> ((2L, 2L))),
+        s"per-key stats: ${srv.cacheStatsByKey}")
+      srv.call("GetTopUsers", Seq("60", "3")) // different args = different key
+      assert(srv.cacheStatsByKey(("GetTopUsers", Seq("60", "3"))) == ((0L, 1L)))
+      assert(srv.cacheStatsByProc("GetTopUsers") == ((2L, 3L)),
+        s"per-proc sums over args: ${srv.cacheStatsByProc}")
+    } finally srv.stop()
+  }
+
+  test("back-to-back HTTP calls serve at hit speed (TCP_NODELAY — no delayed-ACK stalls)") {
+    // regression: without sun.net.httpserver.nodelay the dashboard's
+    // six sequential calls per 1 Hz tick served at ~44 ms each past the
+    // first — Nagle on the server held the body segment for the
+    // client's delayed ACK (~40 ms); only the first exchange after the
+    // idle sleep rode the kernel's quickack window (the BENCH_DEMO p50
+    // asymmetry: GetTopUsers 1.7 ms, the other four + @Statistics 44 ms)
+    val srv = new graft.server.QueryServer(spark, sf)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(proc: String, params: String): Long = {
+        val t0 = System.nanoTime()
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/api/1.0/?Procedure=$proc&Parameters=" +
+              java.net.URLEncoder.encode(params, "UTF-8"))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200)
+        System.nanoTime() - t0
+      }
+      val calls = Seq("GetTopUsers" -> "[60,5]", "GetTopDests" -> "[60,5]",
+        "GetTopSources" -> "[5]", "@Statistics" -> "[\"PROCEDUREPROFILE\"]")
+      calls.foreach { case (p, a) => get(p, a) } // render misses + warm the connection
+      // 5 ticks of back-to-back calls; the delayed-ACK failure mode is
+      // a ~40 ms FLOOR on every non-first call, so the median of the
+      // tail calls is the discriminating stat (p50 ~2-3 ms fixed)
+      val tailLat = (1 to 5).flatMap { _ =>
+        Thread.sleep(300) // idle gap puts the connection back in quickack
+        calls.map { case (p, a) => get(p, a) }.drop(1)
+      }.sorted
+      val p50Ms = tailLat(tailLat.length / 2) / 1e6
+      assert(p50Ms < 25.0,
+        f"back-to-back cached calls must not stall on delayed ACK: tail p50 $p50Ms%.1f ms")
     } finally srv.stop()
   }
 

@@ -297,14 +297,53 @@ class MockObjectStoreSpec extends SparkSpec {
       val v = VersionedStore.publish((1L to 50L).toDF("id"), root)
       assert(v == 3, s"crashed claim v2 must be skipped, got v$v")
       assert(VersionedStore.read(s, root).count() == 50)
-      // vacuum sweeps the dead claim and its partial dir with the
-      // superseded version
+      // with the default grace the DEAD claim and its partial dir are
+      // retained — vacuum can't tell a crashed publisher from a slow
+      // one except by age, so a fresh uncommitted number is presumed
+      // in-flight (committed history v1 sweeps immediately regardless)
+      VersionedStore.vacuum(root, keep = 0)
+      val kept = Dfs.list(Dfs.path(root)).map(_.getPath.getName)
+      assert(!kept.contains("v00001") && !kept.contains(".claim_v00001"),
+        s"committed history must sweep immediately: $kept")
+      assert(kept.contains(".claim_v00002"),
+        s"a fresh uncommitted claim must survive the default grace: $kept")
+      // past the grace window the same state is provably dead — swept
+      VersionedStore.vacuum(root, keep = 0, graceMs = 0)
+      val names = Dfs.list(Dfs.path(root)).map(_.getPath.getName)
+      assert(!names.contains("v00002") && !names.contains(".claim_v00002"),
+        s"dead claim/partial dir must be vacuumed after the grace: $names")
+      assert(VersionedStore.read(s, root).count() == 50)
+    }
+  }
+
+  test("VersionedStore on mock: vacuum never destroys a slow publisher overtaken by racing publishes") {
+    withMock { s =>
+      import s.implicits._
+      val root = mocked("graft_mock_vsovertake") + "/store"
+      VersionedStore.publish((1L to 10L).toDF("id"), root) // v1 (live)
+      // a SLOW publisher in another process has claimed v2 and is still
+      // writing: claim marker present, partial dir present, no commit.
+      // (Hand-built state: the claim/partial-dir shape is exactly what
+      // the crashed-publish test above produces through real I/O; here
+      // the publisher is alive, which no in-JVM call can represent.)
+      assert(Dfs.createExclusive(Dfs.path(root + "/.claim_v00002")))
+      (1L to 5L).toDF("id").write.parquet(root + "/v00002")
+      // two racers overtake it: live advances to v4, so with keep=0 the
+      // slow publisher's number (2) falls under the cutoff (3)
+      VersionedStore.publish((1L to 20L).toDF("id"), root) // v3
+      VersionedStore.publish((1L to 30L).toDF("id"), root) // v4
       VersionedStore.vacuum(root, keep = 0)
       val names = Dfs.list(Dfs.path(root)).map(_.getPath.getName)
-      assert(!names.contains("v00001") && !names.contains(".claim_v00001"))
-      assert(!names.contains("v00002") && !names.contains(".claim_v00002"),
-        s"dead claim/partial dir must be vacuumed: $names")
-      assert(VersionedStore.read(s, root).count() == 50)
+      assert(names.contains(".claim_v00002") && names.contains("v00002"),
+        s"vacuum deleted an in-flight publish's claim/dir mid-write: $names")
+      assert(!names.contains("v00001") && !names.contains("v00003"),
+        s"committed superseded versions must still sweep: $names")
+      // the slow publisher eventually completes its write and commits —
+      // the store must expose the COMPLETE version, never a torn one
+      (1L to 50L).toDF("id").write.mode("overwrite").parquet(root + "/v00002")
+      Dfs.writeStringAtomic(Dfs.path(root + "/CURRENT"), "v00002")
+      assert(VersionedStore.read(s, root).count() == 50,
+        "overtaken publisher's late commit must resolve to its complete version")
     }
   }
 

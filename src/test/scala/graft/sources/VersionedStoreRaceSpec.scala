@@ -33,39 +33,55 @@ class VersionedStoreRaceSpec extends SparkSpec {
 
   private val PublishesPerChild = 4
 
+  // child JVM = same java, same classpath, same --add-opens set the
+  // forked test JVM runs with (Spark on JDK 17 needs them)
+  private val javaBin = s"${System.getProperty("java.home")}/bin/java"
+  // the flags come in BOTH forms: single-token "--add-opens=m=A" and
+  // two-token "--add-opens", "m=A" (build.sbt uses the latter) — a
+  // flag-only filter would drop the module values and the child java
+  // would die at launch
+  private def addOpens: Vector[String] = {
+    val parentArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    parentArgs.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports")
+        Seq(a, parentArgs(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
+      else Nil
+    }
+  }
+
+  private def launchChild(work: java.nio.file.Path, root: String,
+                          barrier: java.nio.file.Path, writerId: Int,
+                          publishes: Int, mode: Seq[String] = Nil): (Process, java.io.File) = {
+    val log = work.resolve(s"child_$writerId.log").toFile
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.sources.VersionedStoreRaceChild",
+      root, writerId.toString, publishes.toString, barrier.toString) ++ mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
+  }
+
+  private def awaitFile(p: java.nio.file.Path, timeoutMs: Long = 120000)(onFail: => Nothing): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!java.nio.file.Files.exists(p)) {
+      if (System.currentTimeMillis() >= deadline) onFail
+      Thread.sleep(50)
+    }
+  }
+
   test("two JVMs racing publish: unique versions, complete payloads, no torn reads") {
     val work = java.nio.file.Files.createTempDirectory("graft_vsrace")
     val root = "file://" + work.resolve("store")
     val barrier = work.resolve("barrier")
     java.nio.file.Files.createDirectories(barrier)
 
-    // child JVM = same java, same classpath, same --add-opens set the
-    // forked test JVM runs with (Spark on JDK 17 needs them)
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    // the flags come in BOTH forms: single-token "--add-opens=m=A" and
-    // two-token "--add-opens", "m=A" (build.sbt uses the latter) — a
-    // flag-only filter would drop the module values and the child java
-    // would die at launch
-    val parentArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toVector
-    val addOpens = parentArgs.zipWithIndex.flatMap { case (a, i) =>
-      if (a == "--add-opens" || a == "--add-exports")
-        Seq(a, parentArgs(i + 1))
-      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
-      else Nil
-    }
-    def launch(writerId: Int): (Process, java.io.File) = {
-      val log = work.resolve(s"child_$writerId.log").toFile
-      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx2g", "-cp", System.getProperty("java.class.path"),
-        "graft.sources.VersionedStoreRaceChild",
-        root, writerId.toString, PublishesPerChild.toString, barrier.toString))
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(true)
-      pb.redirectOutput(log)
-      (pb.start(), log)
-    }
-    val children = Seq(launch(1), launch(2))
+    val children = Seq(
+      launchChild(work, root, barrier, 1, PublishesPerChild),
+      launchChild(work, root, barrier, 2, PublishesPerChild))
     try {
       // release both only once both Sparks are up, so publishes overlap
       val readyDeadline = System.currentTimeMillis() + 120000
@@ -141,6 +157,55 @@ class VersionedStoreRaceSpec extends SparkSpec {
       assert(legalCounts.contains(VersionedStore.read(spark, root).count()))
     } finally {
       children.foreach { case (p, _) => if (p.isAlive) p.destroyForcibly() }
+    }
+  }
+
+  test("vacuum never destroys a stalled cross-process publisher overtaken by racing commits") {
+    val work = java.nio.file.Files.createTempDirectory("graft_vsstall")
+    val root = "file://" + work.resolve("store")
+    val barrier = work.resolve("barrier")
+    java.nio.file.Files.createDirectories(barrier)
+    import spark.implicits._
+
+    VersionedStore.publish((1 to 10).toDF("x"), root) // v1, live
+    // the stalled publisher: claims the next number, then parks between
+    // allocation and write (the onClaimed seam) until `resume`
+    val (child, log) = launchChild(work, root, barrier, 3, 1, Seq("stall"))
+    try {
+      def childDied(): Nothing = {
+        child.destroyForcibly()
+        fail("stalled child never progressed: " +
+          new String(java.nio.file.Files.readAllBytes(log.toPath)))
+      }
+      awaitFile(barrier.resolve("ready_3"))(childDied())
+      java.nio.file.Files.write(barrier.resolve("go"), Array.emptyByteArray)
+      awaitFile(barrier.resolve("claimed_3"))(childDied())
+      val claimed = new String(
+        java.nio.file.Files.readAllBytes(barrier.resolve("claimed_3"))).trim.toInt
+      assert(claimed == 2, s"stalled child should have claimed v2, got v$claimed")
+
+      // two racing commits overtake the stalled number: live=4, so with
+      // keep=0 the stalled v2 falls under the vacuum cutoff (3)
+      VersionedStore.publish((1 to 20).toDF("x"), root) // v3
+      VersionedStore.publish((1 to 30).toDF("x"), root) // v4
+      val dropped = VersionedStore.vacuum(root, keep = 0)
+      assert(dropped == Seq("v00001", "v00003"),
+        s"vacuum must sweep exactly the committed history: $dropped")
+      val names = Dfs.list(Dfs.path(root)).map(_.getPath.getName)
+      assert(names.contains(".claim_v00002"),
+        s"vacuum deleted the stalled publisher's claim mid-publish: $names")
+
+      // release the stalled publisher: it writes v2 and commits CURRENT
+      java.nio.file.Files.write(barrier.resolve("resume"), Array.emptyByteArray)
+      assert(child.waitFor() == 0,
+        s"stalled child failed: ${new String(java.nio.file.Files.readAllBytes(log.toPath))}")
+      // the store must expose the COMPLETE late-committed version —
+      // never a torn one (rows encode writer 3, seq 1 => 301)
+      assert(VersionedStore.currentVersion(root).contains(2))
+      assert(VersionedStore.read(spark, root).count() == 301,
+        "late commit after an overtaking vacuum must resolve to the complete version")
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
     }
   }
 }

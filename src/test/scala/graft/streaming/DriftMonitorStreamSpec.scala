@@ -183,4 +183,30 @@ class DriftMonitorStreamSpec extends SparkSpec {
       DriftMonitorStream.tvAgainst(Map(1L -> big), big, Map(2L -> big), big)
     }
   }
+
+  test("reference builders bound the driver collect at maxVocab, keeping the full total") {
+    import spark.implicits._
+    // 4 distinct words with counts 4/3/2/1 — a corpus-sized relation in
+    // miniature; maxVocab=2 must keep the TOP-2 map but the FULL total
+    // (truncated tail reads as ref-frequency-0: overstated drift, never
+    // a driver OOM)
+    val docs = Seq(
+      ("s1", "alpha alpha alpha alpha beta beta beta"),
+      ("s1", "gamma gamma delta")).toDF("source", "text")
+    val (ref, total) = DriftMonitorStream.referenceOf(docs, "text", maxVocab = 2)
+    assert(ref.size == 2, s"map must be cut at maxVocab: $ref")
+    assert(total == 10L, s"total must stay the full word count: $total")
+    val hashOf = Seq("alpha", "beta").map(w =>
+      w -> Seq(w).toDF("word").select(xxhash64(col("word"))).head().getLong(0)).toMap
+    assert(ref == Map(hashOf("alpha") -> 4L, hashOf("beta") -> 3L),
+      s"cut must keep the top-counts entries: $ref")
+    // per-source variant: the bound applies PER SOURCE
+    val docs2 = docs.union(Seq(("s2", "x x y")).toDF("source", "text"))
+    val refs = DriftMonitorStream.referencesBySource(docs2, "source", "text", maxVocab = 2)
+    assert(refs("s1")._1.size == 2 && refs("s1")._2 == 10L, s"s1: ${refs("s1")}")
+    assert(refs("s2")._1.size == 2 && refs("s2")._2 == 3L, s"s2: ${refs("s2")}")
+    // unbounded default leaves small references untouched
+    val (full, fullTotal) = DriftMonitorStream.referenceOf(docs, "text")
+    assert(full.size == 4 && fullTotal == 10L)
+  }
 }
