@@ -73,7 +73,9 @@ object DemoBench {
     restartAtSec: Int = -1, recoverySec: Double = -1.0,
     expectedExportRows: Long = -1L, sinkFiles: Int = -1,
     loadBefore: Double = -1.0, loadAfter: Double = -1.0,
-    stealPct: Double = -1.0) {
+    stealPct: Double = -1.0,
+    ingestPhaseMs: Map[String, Long] = Map.empty,
+    maxFilesPerTrigger: Int = 4) {
 
     def json: String = {
       val procs = perProc.map { p =>
@@ -91,7 +93,12 @@ object DemoBench {
       val exact =
         if (expectedExportRows < 0) ""
         else s""","expected_export_rows":$expectedExportRows"""
-      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"steal_pct":$stealPct%.1f,"sub_windows":$subs$restart$exact,"per_proc":$procs}"""
+      val phases =
+        if (ingestPhaseMs.isEmpty) ""
+        else ingestPhaseMs.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","ingest_phase_ms_mean":{""", ",", "}")
+      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"max_files_per_trigger":$maxFilesPerTrigger,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"steal_pct":$stealPct%.1f,"sub_windows":$subs$restart$exact$phases,"per_proc":$procs}"""
     }
   }
 
@@ -132,7 +139,8 @@ object DemoBench {
           bucketPattern: String = "yyyy-MM-dd-HH-mm",
           killIngestAtSec: Option[Int] = None,
           verifyExactness: Boolean = false,
-          subWindowSec: Int = 150): DemoResult = {
+          subWindowSec: Int = 150,
+          maxFilesPerTrigger: Int = 4): DemoResult = {
     implicit val sp: SparkSession = spark
 
     val loadBefore = BoxLoad.loadavg1m()
@@ -216,6 +224,9 @@ object DemoBench {
     // (triggerEpochMs, inputRows, execMs) — rows per batch so
     // sub-window eps can be computed from trigger-stamped slices
     val ingestBatch = new ConcurrentLinkedQueue[(Long, Long, Long)]()
+    // cumulative ms per progress phase across ingest batches (window
+    // deltas taken by snapshot, like the row counters)
+    val ingestPhase = new ConcurrentHashMap[String, AtomicLong]()
     // a SET of ids: a crash-restart starts a second query instance on
     // the same checkpoint, and processed-row accounting must span both
     val ingestIds = ConcurrentHashMap.newKeySet[java.util.UUID]()
@@ -233,6 +244,19 @@ object DemoBench {
           lastDataMs.set(System.currentTimeMillis())
           ingestBatch.add((java.time.Instant.parse(p.timestamp).toEpochMilli,
             p.numInputRows, p.durationMs.get("triggerExecution").toLong))
+          // per-phase costs: where a micro-batch's wall-clock goes —
+          // the capacity-knee question is "which phase saturates first",
+          // unanswerable from triggerExecution alone. Spark's phase keys
+          // (getBatch/latestOffset = source listing, queryPlanning,
+          // addBatch = the actual execute+sink, walCommit/commitOffsets
+          // = per-batch checkpoint protocol) plus the state store's own
+          // commit latency from stateOperators.
+          p.durationMs.forEach((k, v) =>
+            ingestPhase.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(v))
+          p.stateOperators.foreach { so =>
+            ingestPhase.computeIfAbsent("stateCommit", _ => new AtomicLong())
+              .addAndGet(so.commitTimeMs)
+          }
         }
       }
     }
@@ -272,7 +296,8 @@ object DemoBench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(chgKey, "true")
     // ---- ingest query: the full reference hot path ------------------
-    // maxFilesPerTrigger=4 = up to FOUR offered-seconds per batch (one
+    // maxFilesPerTrigger (default 4) = up to that many offered-seconds
+    // per batch (one
     // file per tranche): at steady state each 1-s trigger clears one
     // arriving tranche; after a hiccup the query catches up at 4x the
     // offered rate instead of letting backlog ratchet
@@ -287,7 +312,7 @@ object DemoBench {
     // corrupting a sink manifest
     def startIngest(): org.apache.spark.sql.streaming.StreamingQuery = {
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4).parquet(drop)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(drop)
       // the ONE shared hot-path definition (IngestPipeline.hotPath) —
       // this harness must measure exactly what ThroughputBench measures
       val q = IngestPipeline.hotPath(stream).toDF()
@@ -307,7 +332,8 @@ object DemoBench {
 
     // ---- view-maintenance query (A4 per-second tier) ----------------
     viewQ = StreamingViews.eventsBySecond(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(drop)
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(drop)
           .select(col("src").cast("long").as("user_id"), col("ts")))
       .writeStream
       .option("checkpointLocation", viewCkpt)
@@ -404,6 +430,11 @@ object DemoBench {
     val rows0 = processedIngest(); val viewRows0 = processed(viewQ.id)
     val landed0 = landed.get(); val refreshes0 = refreshes.get()
     val cacheStats0 = srvRef.cacheStatsByProc
+    def phaseSnap(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      ingestPhase.asScala.map { case (k, v) => k -> v.get() }.toMap
+    }
+    val phase0 = phaseSnap()
     val windowStart = System.nanoTime()
     val windowStartMs = System.currentTimeMillis()
     // ---- optional mid-window hard kill + restart of the ingest leg --
@@ -437,6 +468,7 @@ object DemoBench {
     val rows1 = processedIngest(); val viewRows1 = processed(viewQ.id)
     val landed1 = landed.get(); val refreshes1 = refreshes.get()
     val cacheStats1 = srvRef.cacheStatsByProc
+    val phase1 = phaseSnap()
 
     // ---- optional full drain before shutdown (exactly-once check) ---
     if (verifyExactness) {
@@ -576,7 +608,12 @@ object DemoBench {
       expectedExportRows = expectedExport,
       sinkFiles = countParquet(new java.io.File(sink)),
       loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m(),
-      stealPct = BoxLoad.stealPctSince(steal0))
+      stealPct = BoxLoad.stealPctSince(steal0),
+      ingestPhaseMs = (phase1.keySet ++ phase0.keySet).map { k =>
+        k -> (phase1.getOrElse(k, 0L) - phase0.getOrElse(k, 0L)) /
+          math.max(1, batchTimes.length)
+      }.toMap,
+      maxFilesPerTrigger = maxFilesPerTrigger)
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res
     } finally {
@@ -625,6 +662,7 @@ object DemoBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val durationSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_SEC", "300").toInt
     val offered = sys.env.getOrElse("SPARK_GRAFT_DEMO_EPS", "25000").toInt
+    val mft = sys.env.getOrElse("SPARK_GRAFT_DEMO_MFT", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -652,7 +690,7 @@ object DemoBench {
         val kneeSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_KNEE_SEC", "120").toInt
         val points = rates.split(",").map(_.trim.toInt).map { eps =>
           val r = run(spark, sfDir, durationSec = kneeSec, offeredEps = eps,
-            subWindowSec = 60)
+            subWindowSec = 60, maxFilesPerTrigger = mft)
           println(s"[demo-knee] $eps: ${r.json}")
           r
         }
@@ -665,7 +703,7 @@ object DemoBench {
       case None =>
         val subWin = sys.env.getOrElse("SPARK_GRAFT_DEMO_SUBWIN", "150").toInt
         val res = run(spark, sfDir, durationSec = durationSec,
-          offeredEps = offered, subWindowSec = subWin)
+          offeredEps = offered, subWindowSec = subWin, maxFilesPerTrigger = mft)
         val out = sys.env.getOrElse("SPARK_GRAFT_DEMO_OUT", "BENCH_DEMO.json")
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (res.json + "\n").getBytes("UTF-8"))
