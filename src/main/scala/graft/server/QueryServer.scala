@@ -384,6 +384,18 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     }
   })
 
+  // cached daemon pool, not the create-default null executor: with no
+  // executor the dispatcher thread runs handlers SERIALLY, so one slow
+  // render (a post-refresh cold miss, an @AdHoc scan) head-of-line
+  // blocks every concurrent dashboard client behind it — the browser
+  // dashboard fires its five 1 Hz polls as parallel XHRs. Daemon
+  // threads: an undisposed server must never pin the JVM.
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "query-server")
+    t.setDaemon(true)
+    t
+  }))
+
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 }

@@ -216,6 +216,41 @@ class ProceduresSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent HTTP clients get correct payloads (handlers run on a pool, not the dispatcher)") {
+    // the browser dashboard fires its five 1 Hz polls as PARALLEL XHRs;
+    // handlers must be safe under concurrency (cache stamps, profile
+    // deques, Spark renders) and must not head-of-line block each other
+    val srv = new graft.server.QueryServer(spark, sf)
+    val port = srv.start()
+    try {
+      val calls = Seq("GetTopUsers" -> "%5B60,5%5D", "GetTopDests" -> "%5B60,5%5D",
+        "GetTopSources" -> "%5B5%5D", "GetEventsByCluster" -> "%5B60%5D")
+      def get(proc: String, params: String): String = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/api/1.0/?Procedure=$proc&Parameters=$params")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 200, s"$proc -> ${r.statusCode()}")
+        r.body()
+      }
+      val expected = calls.map { case (p, a) => (p, a) -> get(p, a) }.toMap
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          try (0 until 25).foreach { j =>
+            val (p, a) = calls((i + j) % calls.length)
+            val body = get(p, a)
+            if (body != expected((p, a)))
+              errs.add(s"$p: concurrent payload diverged")
+          } catch { case t: Throwable => errs.add(s"thread $i: $t") }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      assert(errs.isEmpty, s"concurrent clients failed: ${errs.toArray.mkString("; ")}")
+    } finally srv.stop()
+  }
+
   test("back-to-back HTTP calls serve at hit speed (TCP_NODELAY — no delayed-ACK stalls)") {
     // regression: without sun.net.httpserver.nodelay the dashboard's
     // six sequential calls per 1 Hz tick served at ~44 ms each past the
