@@ -50,6 +50,8 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   private val version = new java.util.concurrent.atomic.AtomicLong(0)
   private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxKeyStats =
+    spark.conf.getOption("spark.graft.server.maxKeyStats").map(_.toInt).getOrElse(1024)
   private val keyStats = new java.util.concurrent.ConcurrentHashMap[
     (String, Seq[String]),
     (java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.AtomicLong)]()
@@ -60,9 +62,10 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   /** Per-(procedure, args) (hits, misses) since start. The aggregate
     * [[cacheStats]] can hide a single key that never hits (e.g. an arg
     * mismatch between the poller and the pre-warm set); this breaks the
-    * rate down to the exact call shape. Bounded by the same key space
-    * as the cache itself (misses on un-cacheable overflow keys still
-    * count — that's the signal). */
+    * rate down to the exact call shape. Capped at `maxKeyStats`
+    * distinct keys (same rationale as `maxCacheEntries`: an ad-hoc
+    * param sweep must not grow driver memory without bound) — calls on
+    * overflow keys still count in the aggregate [[cacheStats]]. */
   def cacheStatsByKey: Map[(String, Seq[String]), (Long, Long)] = {
     import scala.jdk.CollectionConverters._
     keyStats.asScala.map { case (k, (h, m)) => k -> (h.get(), m.get()) }.toMap
@@ -251,13 +254,20 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   private def cached0(proc: String, args: Seq[String]): String = {
     val key = (proc, args)
-    val ks = keyStats.computeIfAbsent(key, _ =>
-      (new java.util.concurrent.atomic.AtomicLong(),
-       new java.util.concurrent.atomic.AtomicLong()))
+    val ks =
+      if (keyStats.size < maxKeyStats || keyStats.containsKey(key))
+        keyStats.computeIfAbsent(key, _ =>
+          (new java.util.concurrent.atomic.AtomicLong(),
+           new java.util.concurrent.atomic.AtomicLong()))
+      else null
     val hit = cache.get(key)
-    if (hit != null) { hitCount.incrementAndGet(); ks._1.incrementAndGet(); hit }
-    else {
-      missCount.incrementAndGet(); ks._2.incrementAndGet()
+    if (hit != null) {
+      hitCount.incrementAndGet()
+      if (ks != null) ks._1.incrementAndGet()
+      hit
+    } else {
+      missCount.incrementAndGet()
+      if (ks != null) ks._2.incrementAndGet()
       val startVersion = version.get()
       val payload = render(proc, args)
       // only install if no refresh() ran while we rendered — a stale

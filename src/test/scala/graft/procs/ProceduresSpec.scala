@@ -216,6 +216,22 @@ class ProceduresSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("per-key cache stats are capped; overflow keys still count in the aggregate") {
+    // same rationale as maxCacheEntries: an ad-hoc param sweep must not
+    // grow driver memory without bound through the stats map either
+    spark.conf.set("spark.graft.server.maxKeyStats", "2")
+    try {
+      val srv = new graft.server.QueryServer(spark, sf)
+      try {
+        (1 to 4).foreach(k => srv.call("GetTopSources", Seq(k.toString)))
+        assert(srv.cacheStatsByKey.size == 2,
+          s"stats map must stop at the cap: ${srv.cacheStatsByKey.keySet}")
+        assert(srv.cacheStats == ((0L, 4L)),
+          s"overflow keys still count in the aggregate: ${srv.cacheStats}")
+      } finally srv.stop()
+    } finally spark.conf.unset("spark.graft.server.maxKeyStats")
+  }
+
   test("concurrent HTTP clients get correct payloads (handlers run on a pool, not the dispatcher)") {
     // the browser dashboard fires its five 1 Hz polls as PARALLEL XHRs;
     // handlers must be safe under concurrency (cache stamps, profile
