@@ -224,9 +224,13 @@ object DemoBench {
     // (triggerEpochMs, inputRows, execMs) — rows per batch so
     // sub-window eps can be computed from trigger-stamped slices
     val ingestBatch = new ConcurrentLinkedQueue[(Long, Long, Long)]()
-    // cumulative ms per progress phase across ingest batches (window
-    // deltas taken by snapshot, like the row counters)
-    val ingestPhase = new ConcurrentHashMap[String, AtomicLong]()
+    // per-batch phase costs stamped with the TRIGGER's wall clock —
+    // the same stamping discipline as ingestBatch, so the window
+    // selects exactly the batches batchTimes counts (a snapshot-delta
+    // approach billed warm-up batches whose progress events the
+    // backed-up listener bus delivered after the window opened)
+    val ingestPhaseByBatch =
+      new ConcurrentLinkedQueue[(Long, scala.collection.Map[String, Long])]()
     // a SET of ids: a crash-restart starts a second query instance on
     // the same checkpoint, and processed-row accounting must span both
     val ingestIds = ConcurrentHashMap.newKeySet[java.util.UUID]()
@@ -251,12 +255,13 @@ object DemoBench {
           // addBatch = the actual execute+sink, walCommit/commitOffsets
           // = per-batch checkpoint protocol) plus the state store's own
           // commit latency from stateOperators.
-          p.durationMs.forEach((k, v) =>
-            ingestPhase.computeIfAbsent(k, _ => new AtomicLong()).addAndGet(v))
-          p.stateOperators.foreach { so =>
-            ingestPhase.computeIfAbsent("stateCommit", _ => new AtomicLong())
-              .addAndGet(so.commitTimeMs)
-          }
+          val phases = scala.collection.mutable.Map.empty[String, Long]
+          p.durationMs.forEach((k, v) => phases.update(k, v.toLong))
+          p.stateOperators.foreach(so =>
+            phases.update("stateCommit",
+              phases.getOrElse("stateCommit", 0L) + so.commitTimeMs))
+          ingestPhaseByBatch.add(
+            (java.time.Instant.parse(p.timestamp).toEpochMilli, phases))
         }
       }
     }
@@ -430,11 +435,6 @@ object DemoBench {
     val rows0 = processedIngest(); val viewRows0 = processed(viewQ.id)
     val landed0 = landed.get(); val refreshes0 = refreshes.get()
     val cacheStats0 = srvRef.cacheStatsByProc
-    def phaseSnap(): Map[String, Long] = {
-      import scala.jdk.CollectionConverters._
-      ingestPhase.asScala.map { case (k, v) => k -> v.get() }.toMap
-    }
-    val phase0 = phaseSnap()
     val windowStart = System.nanoTime()
     val windowStartMs = System.currentTimeMillis()
     // ---- optional mid-window hard kill + restart of the ingest leg --
@@ -451,8 +451,8 @@ object DemoBench {
           try ingestQRef.get().stop() catch { case _: Exception => }
           ingestQRef.set(startIngest())
           // recovery = backlog back under one offered-second (the
-          // steady-state bound); catch-up runs at maxFilesPerTrigger=4
-          // tranches/batch = 4x the offered rate
+          // steady-state bound); catch-up runs at maxFilesPerTrigger
+          // tranches/batch = that multiple of the offered rate
           while (!stop.get() &&
                  landed.get() - processedIngest() > offeredEps &&
                  System.nanoTime() - tKill < 120L * 1000000000L)
@@ -468,7 +468,6 @@ object DemoBench {
     val rows1 = processedIngest(); val viewRows1 = processed(viewQ.id)
     val landed1 = landed.get(); val refreshes1 = refreshes.get()
     val cacheStats1 = srvRef.cacheStatsByProc
-    val phase1 = phaseSnap()
 
     // ---- optional full drain before shutdown (exactly-once check) ---
     if (verifyExactness) {
@@ -609,10 +608,15 @@ object DemoBench {
       sinkFiles = countParquet(new java.io.File(sink)),
       loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m(),
       stealPct = BoxLoad.stealPctSince(steal0),
-      ingestPhaseMs = (phase1.keySet ++ phase0.keySet).map { k =>
-        k -> (phase1.getOrElse(k, 0L) - phase0.getOrElse(k, 0L)) /
-          math.max(1, batchTimes.length)
-      }.toMap,
+      ingestPhaseMs = {
+        val inWindow = ingestPhaseByBatch
+          .toArray(Array.empty[(Long, scala.collection.Map[String, Long])])
+          .filter(b => b._1 >= windowStartMs && b._1 < windowEndMs)
+        inWindow.flatMap(_._2.keys).distinct.map { k =>
+          k -> inWindow.map(_._2.getOrElse(k, 0L)).sum /
+            math.max(1, inWindow.length)
+        }.toMap
+      },
       maxFilesPerTrigger = maxFilesPerTrigger)
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res

@@ -65,7 +65,10 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     * rate down to the exact call shape. Capped at `maxKeyStats`
     * distinct keys (same rationale as `maxCacheEntries`: an ad-hoc
     * param sweep must not grow driver memory without bound) — calls on
-    * overflow keys still count in the aggregate [[cacheStats]]. */
+    * overflow keys still count in the aggregate [[cacheStats]]. The
+    * cap is approximate under concurrency (size-check then insert, not
+    * atomic): overshoot is bounded by the handler pool size, which is
+    * itself bounded. */
   def cacheStatsByKey: Map[(String, Seq[String]), (Long, Long)] = {
     import scala.jdk.CollectionConverters._
     keyStats.asScala.map { case (k, (h, m)) => k -> (h.get(), m.get()) }.toMap
@@ -394,13 +397,21 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     }
   })
 
-  // cached daemon pool, not the create-default null executor: with no
+  // BOUNDED daemon pool, not the create-default null executor: with no
   // executor the dispatcher thread runs handlers SERIALLY, so one slow
   // render (a post-refresh cold miss, an @AdHoc scan) head-of-line
   // blocks every concurrent dashboard client behind it — the browser
-  // dashboard fires its five 1 Hz polls as parallel XHRs. Daemon
-  // threads: an undisposed server must never pin the JVM.
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+  // dashboard fires its five 1 Hz polls as parallel XHRs. Bounded (not
+  // a cached pool): each in-flight request can be a driver-side Spark
+  // job, so the pool size IS the concurrency backpressure — an
+  // unbounded pool would let a retry storm run unbounded parallel
+  // @AdHoc scans and exhaust driver threads/memory; excess requests
+  // queue, which is the old serial behavior beyond `handlerThreads`
+  // in flight. Daemon threads: an undisposed server must never pin
+  // the JVM.
+  private val handlerThreads =
+    spark.conf.getOption("spark.graft.server.handlerThreads").map(_.toInt).getOrElse(8)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(handlerThreads, r => {
     val t = new Thread(r, "query-server")
     t.setDaemon(true)
     t
@@ -424,7 +435,18 @@ object QueryServer {
     * first exchange after an idle gap). Net effect on the 1 Hz
     * dashboard: the FIRST call of each tick served in ~2 ms, every
     * subsequent call in ~44 ms — including @Statistics, which runs no
-    * Spark job at all. With NODELAY all calls serve at ~2 ms. */
+    * Spark job at all. With NODELAY all calls serve at ~2 ms.
+    *
+    * Caveats, inherent to the JDK knob: the property is JVM-GLOBAL
+    * (it flips NODELAY for every JDK HttpServer in the process, which
+    * is the right default for small-response servers) and is read
+    * exactly once at ServerConfig's static init — if an embedding
+    * application created its own HttpServer before the first
+    * QueryServer, the set here is a silent no-op and the ~40 ms
+    * delayed-ACK floor returns (the ProceduresSpec latency regression
+    * test catches that in THIS codebase; an embedder must set the
+    * property at JVM start). ServerConfig is not introspectable under
+    * JDK 17 module encapsulation, so this cannot be detected here. */
   private[server] def ensureNoDelay(): Unit =
     System.setProperty("sun.net.httpserver.nodelay", "true")
 }

@@ -31,6 +31,10 @@ object VersionedStore {
     * file barrier. Identity in production. */
   private[sources] var onClaimed: Int => Unit = _ => ()
 
+  /** How often an in-flight [[publish]] re-touches its claim marker —
+    * the liveness heartbeat vacuum's grace window reads. Test-tunable. */
+  private[sources] var claimHeartbeatMs: Long = 60L * 1000
+
   private def currentFile(root: String) = new Path(root, "CURRENT")
 
   def currentVersion(root: String): Option[Int] = {
@@ -76,23 +80,50 @@ object VersionedStore {
       // skip numbers claimed by concurrent or crashed publishers (a
       // crashed claim's dir is garbage until vacuum; never reuse it)
       while (!Dfs.createExclusive(claimFile(root, next))) next += 1
-      // test seam: lets the cross-process race spec stall a publisher
-      // BETWEEN allocation and write (the window where racing commits
-      // can overtake its number). No-op in production.
-      onClaimed(next)
-      val dir = new Path(root, f"v$next%05d").toString
-      df.write.mode("overwrite").parquet(dir)
-      // contents are forced to stable storage BEFORE the pointer
-      // replace: a crash may persist the rename metadata but not the
-      // bytes, leaving CURRENT empty (Dfs.writeStringAtomic's contract)
-      Dfs.writeStringAtomic(currentFile(root), f"v$next%05d")
+      // claim HEARTBEAT: re-touch the claim marker (atomic replace)
+      // while the version write runs, so vacuum's liveness signal — the
+      // claim's mtime — tracks the PUBLISHER being alive, not merely
+      // when the claim was first made. Without it, any write running
+      // longer than the vacuum grace reads as crashed (the version
+      // dir's own top-level mtime does NOT advance while part-files
+      // land under the committer's nested _temporary tree). Stopped in
+      // the finally on every exit path, so a crashed publisher's claim
+      // goes stale and becomes sweepable after the grace.
+      val beat = new Thread(() => {
+        try while (true) {
+          Thread.sleep(claimHeartbeatMs)
+          Dfs.writeStringAtomic(claimFile(root, next),
+            System.currentTimeMillis().toString)
+        } catch { case _: InterruptedException => }
+      }, s"vstore-claim-heartbeat-v$next")
+      beat.setDaemon(true)
+      beat.start()
+      try {
+        // test seam: lets the cross-process race spec stall a publisher
+        // BETWEEN allocation and write (the window where racing commits
+        // can overtake its number). No-op in production.
+        onClaimed(next)
+        val dir = new Path(root, f"v$next%05d").toString
+        df.write.mode("overwrite").parquet(dir)
+        // contents are forced to stable storage BEFORE the pointer
+        // replace: a crash may persist the rename metadata but not the
+        // bytes, leaving CURRENT empty (Dfs.writeStringAtomic's contract)
+        Dfs.writeStringAtomic(currentFile(root), f"v$next%05d")
+      } finally {
+        beat.interrupt()
+        beat.join(10000)
+      }
       // commit marker: tells vacuum this number is COMMITTED HISTORY
       // (safe to sweep immediately once superseded) rather than a
       // possibly-in-flight publish (age-gated — see vacuum). Written
-      // AFTER the pointer: a crash between the two leaves a committed
-      // version without a marker, which vacuum merely sweeps later
-      // (after the grace window) — the safe direction.
-      Dfs.createExclusive(commitFile(root, next))
+      // AFTER the pointer, BEST-EFFORT: the publish is already durably
+      // committed at this point, so a transient marker-create failure
+      // must not fail the caller into a retry that would publish a
+      // duplicate version — a committed version without a marker is
+      // exactly the state vacuum's grace window already handles (swept
+      // later instead of immediately; the safe direction).
+      try Dfs.createExclusive(commitFile(root, next))
+      catch { case scala.util.control.NonFatal(_) => }
       next
     }
 
@@ -100,13 +131,15 @@ object VersionedStore {
     spark.read.parquet(currentPath(root).getOrElse(
       throw new IllegalStateException(s"no CURRENT version in $root")))
 
-  /** How long a claimed-but-never-committed version must sit untouched
-    * (claim marker AND version dir mtime) before vacuum may reclaim it
-    * as a crashed publish. Must conservatively exceed any plausible
-    * publish duration: a slow publisher stalled past this window whose
-    * claim is swept can have its dir deleted mid-write (same contract
-    * as [[Dfs.writeStringAtomic]]'s temp-orphan grace, scaled up from
-    * a pointer write to a full parquet job). */
+  /** How long a claimed-but-never-committed version's markers must sit
+    * untouched before vacuum may reclaim it as a crashed publish. A
+    * LIVE publisher re-touches its claim every [[claimHeartbeatMs]]
+    * (60 s), so any grace comfortably above the heartbeat separates
+    * alive from dead regardless of how long the version write runs;
+    * the hour default additionally covers publishers from pre-heartbeat
+    * builds, whose claim mtime is fixed at claim time (for those the
+    * grace must conservatively exceed the publish duration — same
+    * contract as [[Dfs.writeStringAtomic]]'s temp-orphan grace). */
   val ClaimGraceMs: Long = 60L * 60 * 1000
 
   /** Drop versions older than the live one minus `keep` (readers of
@@ -123,12 +156,14 @@ object VersionedStore {
     * `.commit_vNNNNN` marker (provably committed history — written by
     * [[publish]] right after the pointer replace) are swept
     * immediately; a claimed-but-never-committed number is swept only
-    * once both its claim marker and its dir (the dir's mtime advances
-    * as the publisher's part-files land) have been quiescent for
-    * `graceMs` — i.e. the publisher is dead, not slow. Versions
-    * committed by pre-marker layouts lack the marker and sweep after
-    * the grace window instead of immediately — a delay, never a
-    * correctness loss. */
+    * once its claim marker (heartbeat-refreshed by a live publisher —
+    * see [[publish]]; the version DIR's top-level mtime is useless as
+    * a liveness signal, since part-files land under the committer's
+    * nested `_temporary` tree without touching it) and its dir have
+    * been quiescent for `graceMs` — i.e. the publisher is dead, not
+    * slow. Versions committed by pre-marker layouts lack the marker
+    * and sweep after the grace window instead of immediately — a
+    * delay, never a correctness loss. */
   def vacuum(root: String, keep: Int = 1, graceMs: Long = ClaimGraceMs): Seq[String] = {
     val live = currentVersion(root).getOrElse(return Nil)
     val cutoff = live - 1 - keep

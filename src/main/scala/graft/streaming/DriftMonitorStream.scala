@@ -311,24 +311,30 @@ object DriftMonitorStream {
     * per-source window, never a driver-side sort). */
   def referencesBySource(docs: DataFrame, srcCol: String, textCol: String,
                          maxVocab: Int = DefaultMaxVocab): Map[String, (Map[Long, Long], Long)] = {
+    // persisted: the totals action and the top-V action are SEPARATE
+    // jobs over the same explode+groupBy — without it the full-corpus
+    // scan (the case the maxVocab bound exists for) runs twice
     val grouped = docs
       .select(col(srcCol).as("source"),
         explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .select(col("source"), xxhash64(col("word")).as("wh"))
       .groupBy("source", "wh").agg(count(lit(1)).as("n"))
-    val totals = grouped.groupBy("source")
-      .agg(sum("n").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("n").desc, col("wh"))
-    val rows = grouped
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    rows.groupBy(_._1).map { case (src, ws) =>
-      src -> (ws.map(w => w._2 -> w._3).toMap, totals(src))
-    }
+      .persist()
+    try {
+      val totals = grouped.groupBy("source")
+        .agg(sum("n").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc, col("wh"))
+      val rows = grouped
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= maxVocab)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.groupBy(_._1).map { case (src, ws) =>
+        src -> (ws.map(w => w._2 -> w._3).toMap, totals(src))
+      }
+    } finally grouped.unpersist()
   }
 
   /** Batch helper: the reference (hash→count, total) of a corpus —
@@ -337,14 +343,18 @@ object DriftMonitorStream {
     * never a driver-side sort). */
   def referenceOf(docs: DataFrame, textCol: String,
                   maxVocab: Int = DefaultMaxVocab): (Map[Long, Long], Long) = {
+    // persisted for the same two-actions reason as [[referencesBySource]]
     val grouped = docs
       .select(explode(split(col(textCol), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .select(xxhash64(col("word")).as("wh"))
       .groupBy("wh").agg(count(lit(1)).as("n"))
-    val total = grouped.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-    val rows = grouped.orderBy(col("n").desc, col("wh")).limit(maxVocab)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    (rows.toMap, total)
+      .persist()
+    try {
+      val total = grouped.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val rows = grouped.orderBy(col("n").desc, col("wh")).limit(maxVocab)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      (rows.toMap, total)
+    } finally grouped.unpersist()
   }
 }

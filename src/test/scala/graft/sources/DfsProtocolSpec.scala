@@ -98,6 +98,43 @@ class DfsProtocolSpec extends SparkSpec {
     assert(VersionedStore.read(spark, root).count() == 2)
   }
 
+  test("VersionedStore: a live publisher's claim heartbeat keeps its version un-vacuumable") {
+    import spark.implicits._
+    val root = schemed("graft_vsheartbeat")
+    VersionedStore.publish(Seq(1).toDF("x"), root) // v1, live
+    val prevBeat = VersionedStore.claimHeartbeatMs
+    VersionedStore.claimHeartbeatMs = 100
+    val beats = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      VersionedStore.onClaimed = v => {
+        val claim = Dfs.path(s"$root/.claim_v0000$v")
+        // freshly-claimed marker is empty; each heartbeat atomically
+        // replaces it with a millis stamp — observe >= 2 refreshes
+        // while the publisher is "slow" (stalled here, mid-publish)
+        val deadline = System.currentTimeMillis() + 10000
+        var last = ""
+        while (beats.get() < 2 && System.currentTimeMillis() < deadline) {
+          val cur = if (Dfs.exists(claim)) Dfs.readString(claim) else ""
+          if (cur.nonEmpty && cur != last) { beats.incrementAndGet(); last = cur }
+          Thread.sleep(20)
+        }
+      }
+      VersionedStore.publish(Seq(2).toDF("x"), root) // v2, stalls in the hook
+      assert(beats.get() >= 2,
+        s"claim heartbeat must refresh the marker while the publish runs: ${beats.get()}")
+      // and the heartbeat STOPS with the publish: the claim goes
+      // quiescent, so a later vacuum can reclaim a genuinely dead claim
+      val claim2 = Dfs.path(s"$root/.claim_v00002")
+      val at = Dfs.readString(claim2)
+      Thread.sleep(400)
+      assert(Dfs.readString(claim2) == at,
+        "heartbeat must stop once the publish commits")
+    } finally {
+      VersionedStore.onClaimed = _ => ()
+      VersionedStore.claimHeartbeatMs = prevBeat
+    }
+  }
+
   test("compactPartitions: swap + self-heal branches through file://") {
     import spark.implicits._
     val dir = schemed("graft_hcompact") + "/sink"
