@@ -75,7 +75,8 @@ object DemoBench {
     loadBefore: Double = -1.0, loadAfter: Double = -1.0,
     stealPct: Double = -1.0,
     ingestPhaseMs: Map[String, Long] = Map.empty,
-    maxFilesPerTrigger: Int = 4) {
+    maxFilesPerTrigger: Int = 4,
+    streamParts: Int = 8) {
 
     def json: String = {
       val procs = perProc.map { p =>
@@ -98,7 +99,7 @@ object DemoBench {
         else ingestPhaseMs.toSeq.sortBy(-_._2)
           .map { case (k, v) => s""""$k":$v""" }
           .mkString(""","ingest_phase_ms_mean":{""", ",", "}")
-      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"max_files_per_trigger":$maxFilesPerTrigger,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"steal_pct":$stealPct%.1f,"sub_windows":$subs$restart$exact$phases,"per_proc":$procs}"""
+      f"""{"metric":"demo_parity","duration_sec":$durationSec%.1f,"offered_eps":$offeredEps%.0f,"sustained_eps":$sustainedEps%.0f,"landed_rows":$landedRows,"processed_rows":$processedRows,"backlog_rows":$backlogRows,"batch_ms_mean":$batchMsMean%.0f,"batches":$batches,"max_files_per_trigger":$maxFilesPerTrigger,"stream_parts":$streamParts,"dash_calls":$dashCalls,"dash_p50_ms":$dashP50Ms%.1f,"dash_p99_ms":$dashP99Ms%.1f,"dash_max_ms":$dashMaxMs%.1f,"dash_errors":$dashErrors,"refreshes":$refreshes,"dropped_partitions":$droppedPartitions,"view_rows":$viewRows,"export_rows":$exportRows,"sink_files":$sinkFiles,${BoxLoad.jsonFields(loadBefore, loadAfter)},"steal_pct":$stealPct%.1f,"sub_windows":$subs$restart$exact$phases,"per_proc":$procs}"""
     }
   }
 
@@ -617,7 +618,8 @@ object DemoBench {
             math.max(1, inWindow.length)
         }.toMap
       },
-      maxFilesPerTrigger = maxFilesPerTrigger)
+      maxFilesPerTrigger = maxFilesPerTrigger,
+      streamParts = streamParts.toInt)
     graft.sources.VersionedStore.deleteRecursive(new java.io.File(base))
     res
     } finally {
@@ -667,6 +669,7 @@ object DemoBench {
     val durationSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_SEC", "300").toInt
     val offered = sys.env.getOrElse("SPARK_GRAFT_DEMO_EPS", "25000").toInt
     val mft = sys.env.getOrElse("SPARK_GRAFT_DEMO_MFT", "4").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_DEMO_PARTS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -694,7 +697,7 @@ object DemoBench {
         val kneeSec = sys.env.getOrElse("SPARK_GRAFT_DEMO_KNEE_SEC", "120").toInt
         val points = rates.split(",").map(_.trim.toInt).map { eps =>
           val r = run(spark, sfDir, durationSec = kneeSec, offeredEps = eps,
-            subWindowSec = 60, maxFilesPerTrigger = mft)
+            subWindowSec = 60, maxFilesPerTrigger = mft, streamParts = parts)
           println(s"[demo-knee] $eps: ${r.json}")
           r
         }
@@ -707,7 +710,8 @@ object DemoBench {
       case None =>
         val subWin = sys.env.getOrElse("SPARK_GRAFT_DEMO_SUBWIN", "150").toInt
         val res = run(spark, sfDir, durationSec = durationSec,
-          offeredEps = offered, subWindowSec = subWin, maxFilesPerTrigger = mft)
+          offeredEps = offered, subWindowSec = subWin, maxFilesPerTrigger = mft,
+          streamParts = parts)
         val out = sys.env.getOrElse("SPARK_GRAFT_DEMO_OUT", "BENCH_DEMO.json")
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (res.json + "\n").getBytes("UTF-8"))
