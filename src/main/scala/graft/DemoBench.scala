@@ -232,6 +232,34 @@ object DemoBench {
     // backed-up listener bus delivered after the window opened)
     val ingestPhaseByBatch =
       new ConcurrentLinkedQueue[(Long, scala.collection.Map[String, Long])]()
+    // sink-cost split inside addBatch (the r17 knee's conclusion was
+    // "the sink/shuffle half of addBatch binds past ~120k at
+    // parts=16" — tuning it needs to know whether that cost is the
+    // DISTRIBUTED write job or DRIVER-side work): foreachBatch stamps
+    // each batch's total write wall ("sinkWrite"); the job listener
+    // below attributes the write's Spark jobs by an inherited local
+    // property and sums their wall ("sinkJob" = distributed compute +
+    // task-side file writes + task commits). sinkWrite - sinkJob ≈
+    // driver-side planning + commitJob (task-file renames, _SUCCESS);
+    // addBatch - sinkWrite = micro-batch plumbing around foreachBatch.
+    // A local property, NOT setJobGroup: the stream execution thread
+    // owns its job group (hard stop cancels by it — the restart spec's
+    // crash shape), and local properties inherit into job submissions
+    // without touching that.
+    val sinkMsByBatch = new ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    val sinkJobMs = new ConcurrentHashMap[String, AtomicLong]()
+    val sinkJobListener = new org.apache.spark.scheduler.SparkListener {
+      private val starts = new ConcurrentHashMap[Integer, (String, Long)]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val b = Option(js.properties).map(_.getProperty("graft.demo.sinkBatch")).orNull
+        if (b != null) starts.put(js.jobId, (b, js.time))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = starts.remove(je.jobId)
+        if (s != null)
+          sinkJobMs.computeIfAbsent(s._1, _ => new AtomicLong()).addAndGet(je.time - s._2)
+      }
+    }
     // a SET of ids: a crash-restart starts a second query instance on
     // the same checkpoint, and processed-row accounting must span both
     val ingestIds = ConcurrentHashMap.newKeySet[java.util.UUID]()
@@ -261,6 +289,14 @@ object DemoBench {
           p.stateOperators.foreach(so =>
             phases.update("stateCommit",
               phases.getOrElse("stateCommit", 0L) + so.commitTimeMs))
+          Option(sinkMsByBatch.remove(java.lang.Long.valueOf(p.batchId)))
+            .foreach(t => phases.update("sinkWrite", t.longValue()))
+          // jobEnd rides the core listener bus (a different queue than
+          // this streaming event); by progress time it is essentially
+          // always delivered — if a backed-up bus hasn't delivered it
+          // yet, skip the key for this batch rather than record 0
+          Option(sinkJobMs.remove(p.batchId.toString))
+            .foreach(j => phases.update("sinkJob", j.get()))
           ingestPhaseByBatch.add(
             (java.time.Instant.parse(p.timestamp).toEpochMilli, phases))
         }
@@ -289,6 +325,7 @@ object DemoBench {
     var srv: graft.server.QueryServer = null
     try {
     spark.streams.addListener(listener)
+    spark.sparkContext.addSparkListener(sinkJobListener)
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     // RocksDB + changelog checkpointing: the session-gate state is
     // workload-bounded (~gap-window × offered-rate keys) but still
@@ -326,8 +363,15 @@ object DemoBench {
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").partitionBy("date_min")
+          val sc = b.sparkSession.sparkContext
+          sc.setLocalProperty("graft.demo.sinkBatch", id.toString)
+          val t0 = System.nanoTime()
+          try b.write.mode("overwrite").partitionBy("date_min")
             .parquet(s"$sink/batch=$id")
+          finally {
+            sc.setLocalProperty("graft.demo.sinkBatch", null)
+            sinkMsByBatch.put(id, (System.nanoTime() - t0) / 1000000L)
+          }
         }
         .trigger(Trigger.ProcessingTime("1 second"))
         .start()
@@ -635,6 +679,7 @@ object DemoBench {
       if (viewQ != null) try viewQ.stop() catch { case _: Exception => }
       if (srv != null) try srv.stop() catch { case _: Exception => }
       spark.streams.removeListener(listener)
+      spark.sparkContext.removeSparkListener(sinkJobListener)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProv match {
         case Some(v) => spark.conf.set(provKey, v); case None => spark.conf.unset(provKey)

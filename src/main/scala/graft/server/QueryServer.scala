@@ -344,7 +344,14 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
       case c => c.toString
     } + "\""
 
-  server.createContext("/api/1.0/", (ex: HttpExchange) => {
+  // the WHOLE API request is gated, cache hits and @Statistics
+  // included: under saturation the cheap calls could in principle be
+  // let through free, but admission that inspects the request before
+  // deciding would itself need a thread per waiter — and r17's plain
+  // 8-thread pool already serialized everything at this same bound,
+  // so gating uniformly is strictly more permissive than before
+  // (8 running + 64 waiting vs 8 total in flight)
+  server.createContext("/api/1.0/", (ex: HttpExchange) => admitted(ex) {
     val resp = try {
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.nonEmpty)
@@ -397,28 +404,88 @@ final class QueryServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     }
   })
 
-  // BOUNDED daemon pool, not the create-default null executor: with no
+  // BOUNDED admission, not the create-default null executor: with no
   // executor the dispatcher thread runs handlers SERIALLY, so one slow
   // render (a post-refresh cold miss, an @AdHoc scan) head-of-line
   // blocks every concurrent dashboard client behind it — the browser
-  // dashboard fires its five 1 Hz polls as parallel XHRs. Bounded (not
-  // a cached pool): each in-flight request can be a driver-side Spark
-  // job, so the pool size IS the concurrency backpressure — an
-  // unbounded pool would let a retry storm run unbounded parallel
-  // @AdHoc scans and exhaust driver threads/memory; excess requests
-  // queue, which is the old serial behavior beyond `handlerThreads`
-  // in flight. Daemon threads: an undisposed server must never pin
-  // the JVM.
+  // dashboard fires its five 1 Hz polls as parallel XHRs. Each
+  // in-flight API request can be a driver-side Spark job, so
+  // concurrency needs a HARD bound ([[jobGate]], `handlerThreads`
+  // permits) — but a bound alone just moves the problem into a queue,
+  // and an UNBOUNDED queue lets a retry storm grow request latency
+  // without limit while every client still "succeeds" eventually. So
+  // the wait line is bounded too (`queueBound`): beyond
+  // handlerThreads running + queueBound waiting, requests are SHED
+  // with 503 + Retry-After — load visible to the caller instead of
+  // silently deferred. The JDK server gives each accepted exchange a
+  // thread, so waiters each hold one: the main pool is sized
+  // running+waiting exactly (SynchronousQueue — no hidden internal
+  // task queue to re-unbound the latency), and overflow beyond it is
+  // rejected onto a tiny shed pool whose only job is writing fast
+  // 503s (its FIFO is unbounded in COUNT but each task completes in
+  // microseconds, so shed latency stays flat). Daemon threads
+  // throughout: an undisposed server must never pin the JVM.
   private val handlerThreads =
     spark.conf.getOption("spark.graft.server.handlerThreads").map(_.toInt).getOrElse(8)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(handlerThreads, r => {
-    val t = new Thread(r, "query-server")
+  private val queueBound =
+    spark.conf.getOption("spark.graft.server.queueBound").map(_.toInt).getOrElse(64)
+  /** Spark-job concurrency gate; fair, so queued requests drain FIFO. */
+  private val jobGate = new java.util.concurrent.Semaphore(handlerThreads, true)
+  private val waiting = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory = r => {
+    val t = new Thread(r, name)
     t.setDaemon(true)
     t
-  }))
+  }
+  private val shedPool = java.util.concurrent.Executors
+    .newFixedThreadPool(2, daemonFactory("query-server-shed"))
+  private val handlerPool = new java.util.concurrent.ThreadPoolExecutor(
+    handlerThreads, handlerThreads + queueBound, 30L,
+    java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable](),
+    daemonFactory("query-server"),
+    (r, _) => shedPool.execute(r))
+  server.setExecutor(handlerPool)
+
+  /** Admission control for the API context: run `body` under a
+    * [[jobGate]] permit, wait in the bounded line if none free, shed
+    * with 503 if the line is full. A request that reached us via the
+    * shed pool never waits (by construction the line was full when it
+    * was rejected; blocking there would strand the shed threads and
+    * stall the 503 path) — it runs only on an immediately-free permit. */
+  private def admitted(ex: HttpExchange)(body: => Unit): Unit = {
+    def run(): Unit = try body finally jobGate.release()
+    if (jobGate.tryAcquire()) run()
+    else {
+      val onShed = Thread.currentThread().getName == "query-server-shed"
+      if (!onShed && waiting.incrementAndGet() <= queueBound) {
+        try jobGate.acquire() finally waiting.decrementAndGet()
+        run()
+      } else {
+        if (!onShed) waiting.decrementAndGet()
+        val bytes =
+          s"""{"status":-1,"error":${jsonStr(
+            s"server saturated: $handlerThreads in flight, $queueBound queued; retry")}}"""
+            .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.getResponseHeaders.add("Retry-After", "1")
+        ex.sendResponseHeaders(503, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+  }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // HttpServer.stop does NOT stop a user-supplied executor; without
+    // these, every QueryServer instance leaks its daemon handler
+    // threads for the JVM's life (knee mode and the suites construct
+    // many servers per JVM).
+    handlerPool.shutdownNow()
+    shedPool.shutdownNow()
+  }
 }
 
 object QueryServer {

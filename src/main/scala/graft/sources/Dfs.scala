@@ -252,7 +252,15 @@ object Dfs {
     * prose, turning a real failure into a silent lost-race `false`
     * (the claim loop would then skip numbers forever instead of
     * surfacing the fault). The cause-chain walk is depth-bounded
-    * against (theoretical) cyclic chains. */
+    * against (theoretical) cyclic chains.
+    *
+    * Deliberate fail-loud tradeoff: a filesystem whose exists-refusal
+    * text omits the path entirely (some wrapper renderings) makes
+    * [[createExclusive]] THROW instead of returning a lost-race
+    * `false`. That surfaces as a loud publish failure — retryable,
+    * never corrupting. Such environments should map their refusal to
+    * `FileAlreadyExistsException` (the typed case above), which is the
+    * Hadoop contract for this condition. */
   private def isFileExists(t: Throwable, p: Path): Boolean = {
     val name = p.getName
     @annotation.tailrec

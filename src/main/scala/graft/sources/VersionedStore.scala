@@ -92,8 +92,18 @@ object VersionedStore {
       val beat = new Thread(() => {
         try while (true) {
           Thread.sleep(claimHeartbeatMs)
-          Dfs.writeStringAtomic(claimFile(root, next),
+          // a transient store blip must not kill the liveness signal:
+          // one missed beat is harmless (the grace window spans many
+          // beats), but a DEAD beat thread would let a long publish go
+          // stale-looking and become sweepable mid-write — the exact
+          // hole the commit-marker/grace protocol exists to close. So
+          // swallow per-beat failures and keep beating; only interrupt
+          // (the publish finishing) exits the loop.
+          // (NonFatal deliberately: it excludes InterruptedException,
+          // which must still reach the outer catch and end the loop)
+          try Dfs.writeStringAtomic(claimFile(root, next),
             System.currentTimeMillis().toString)
+          catch { case scala.util.control.NonFatal(_) => }
         } catch { case _: InterruptedException => }
       }, s"vstore-claim-heartbeat-v$next")
       beat.setDaemon(true)
@@ -139,7 +149,14 @@ object VersionedStore {
     * the hour default additionally covers publishers from pre-heartbeat
     * builds, whose claim mtime is fixed at claim time (for those the
     * grace must conservatively exceed the publish duration — same
-    * contract as [[Dfs.writeStringAtomic]]'s temp-orphan grace). */
+    * contract as [[Dfs.writeStringAtomic]]'s temp-orphan grace).
+    *
+    * Staleness compares the vacuum CLIENT's clock against STORAGE-side
+    * modification times, so client/storage skew eats directly into the
+    * effective window. The hour default dwarfs realistic skew; callers
+    * passing a small custom `graceMs` are assuming co-located (or
+    * NTP-tight) clocks and should size the grace to heartbeat interval
+    * + worst-case skew, not just the heartbeat. */
   val ClaimGraceMs: Long = 60L * 60 * 1000
 
   /** Drop versions older than the live one minus `keep` (readers of

@@ -304,6 +304,48 @@ class ProceduresSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("saturated server sheds with 503 + Retry-After instead of queueing latency without bound") {
+    // one permit, zero wait line: the smallest config where the shed
+    // path is reachable deterministically — a second concurrent
+    // request MUST 503 immediately while the first still runs. (At the
+    // defaults the same logic gives 8 running + 64 FIFO waiters.)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.server.handlerThreads", "1")
+    s.conf.set("spark.graft.server.queueBound", "0")
+    s.udf.register("graft_test_stall", (ms: Int) => { Thread.sleep(ms); ms })
+    val srv = new graft.server.QueryServer(s, sf)
+    val port = srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(proc: String, params: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/api/1.0/?Procedure=$proc&Parameters=" +
+            java.net.URLEncoder.encode(params, "UTF-8"))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      // occupy the single permit: a deliberately slow (uncached) @AdHoc
+      val slow = new java.util.concurrent.FutureTask(() =>
+        get("@AdHoc", """["SELECT graft_test_stall(5000) AS x"]"""))
+      new Thread(slow, "flood-slow-caller").start()
+      Thread.sleep(700) // permit is taken at admission, well inside this
+      val t0 = System.nanoTime()
+      val shed = get("@Statistics", "[\"PROCEDUREPROFILE\"]")
+      val shedMs = (System.nanoTime() - t0) / 1e6
+      assert(shed.statusCode() == 503,
+        s"second concurrent request must be shed: ${shed.statusCode()} ${shed.body()}")
+      assert(shed.body().contains("saturated"))
+      assert(shed.headers().firstValue("Retry-After").isPresent,
+        "shed response must carry Retry-After")
+      assert(shedMs < 2500.0,
+        f"shedding must be immediate, not queued behind the slow call: $shedMs%.0f ms")
+      val ok = slow.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(ok.statusCode() == 200 && ok.body().contains("\"x\""),
+        s"the admitted slow call must still complete: ${ok.body()}")
+      // permit released -> the server recovers without restart
+      val after = get("@Statistics", "[\"PROCEDUREPROFILE\"]")
+      assert(after.statusCode() == 200, s"post-saturation request must serve: ${after.body()}")
+    } finally srv.stop()
+  }
+
   test("pre-warming refresh re-renders hot keys on the refresher thread (no caller-paid miss)") {
     val srv = new graft.server.QueryServer(spark, sf)
     srv.start()

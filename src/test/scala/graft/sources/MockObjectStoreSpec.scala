@@ -347,6 +347,49 @@ class MockObjectStoreSpec extends SparkSpec {
     }
   }
 
+  test("VersionedStore on mock: claim heartbeat survives a transient write failure and keeps beating") {
+    withMock { s =>
+      import s.implicits._
+      val root = mocked("graft_mock_vsbeat") + "/store"
+      VersionedStore.publish((1L to 5L).toDF("id"), root) // v1, live
+      val prevBeat = VersionedStore.claimHeartbeatMs
+      VersionedStore.claimHeartbeatMs = 100
+      try {
+        // the FIRST beat's atomic marker replace dies inside the mock
+        // rename; the hook is one-shot, so the failure is exactly a
+        // transient store blip. The beat thread must swallow it and
+        // keep beating — a dead beat thread would let a long publish
+        // read as crashed and become sweepable mid-write.
+        MockFsCrash.plan = (_, dst) =>
+          if (dst.contains(".claim_v00002")) 0L else -1L
+        val beats = new java.util.concurrent.atomic.AtomicInteger(0)
+        VersionedStore.onClaimed = v => {
+          val claim = Dfs.path(f"$root/.claim_v$v%05d")
+          // stall the publisher mid-publish; the freshly-claimed marker
+          // is empty (and transiently missing right after the injected
+          // failure — the overwrite path deletes the target before the
+          // copy that crashed), so each SURVIVING beat shows up as a
+          // new non-empty millis stamp.
+          val deadline = System.currentTimeMillis() + 10000
+          var last = ""
+          while (beats.get() < 2 && System.currentTimeMillis() < deadline) {
+            val cur = if (Dfs.exists(claim)) Dfs.readString(claim) else ""
+            if (cur.nonEmpty && cur != last) { beats.incrementAndGet(); last = cur }
+            Thread.sleep(20)
+          }
+        }
+        VersionedStore.publish((1L to 7L).toDF("id"), root) // v2, stalls in hook
+        assert(MockFsCrash.fired == 1, "the injected beat failure must actually have fired")
+        assert(beats.get() >= 2,
+          s"beats after the injected one-shot failure must still land: ${beats.get()}")
+        assert(VersionedStore.read(s, root).count() == 7)
+      } finally {
+        VersionedStore.onClaimed = _ => ()
+        VersionedStore.claimHeartbeatMs = prevBeat
+      }
+    }
+  }
+
   test("SRP batch append / sweep / compact on mock: mid-move crash heals through the documented replay") {
     withMock { s =>
       import s.implicits._
