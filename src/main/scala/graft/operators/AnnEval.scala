@@ -127,13 +127,23 @@ object AnnEval {
     import s.implicits._
     val qids = queryIds(s, d)
     val qemb = Tables.embeddings(s, d).filter(col("vec_id").isin(qids: _*))
+    // ONE collect for every table's 16 signatures (a union of the
+    // per-table projections) instead of one driver round trip per
+    // table — each collect is a full Spark job whose latency dwarfs
+    // the 16-row result at any scale
+    val sigsByTable: Map[Int, Seq[(Long, Int)]] =
+      (0 until tables).map { t =>
+        SimilarityOps.srpSignature(qemb, AnnIndex.SrpBits,
+            planeOffset = t * AnnIndex.SrpBits)
+          .select(lit(t).as("t"), col("vec_id"), col("srp_bucket").cast("int"))
+      }.reduce(_ unionAll _)
+        .collect().toSeq
+        .map(r => (r.getInt(0), (r.getLong(1), r.getInt(2))))
+        .groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
     val perTable = (0 until tables).map { t =>
       val idx = AnnIndex.srpTable(s, d, t)
-      val sigs = SimilarityOps.srpSignature(qemb, AnnIndex.SrpBits,
-          planeOffset = t * AnnIndex.SrpBits)
-        .select(col("vec_id"), col("srp_bucket").cast("int"))
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
-      val pairs = sigs.toSeq.flatMap { case (qid, b) =>
+      val sigs = sigsByTable(t)
+      val pairs = sigs.flatMap { case (qid, b) =>
         AnnIndex.hammingBuckets(b, radius).map(pb => (qid, pb)) }
       val union = pairs.map(_._2).distinct
       val probe = pairs.toDF("qid", "srp_bucket")
@@ -254,7 +264,12 @@ object AnnEval {
         Window.partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id"))))
       .filter(col("ar") <= 100)
       .select("qid", "vec_id")
-    val cands = approx.join(emb, "vec_id").select(col("qid"), col("vec_id"), col("v"))
+    // approx is ≤ 16·100 rows but sits above a window, so the planner
+    // has no size estimate and would stage a sort-merge join (two
+    // exchanges + sorts, each an AQE job) — broadcast it explicitly;
+    // the corpus side is then scanned once with no shuffle (§3.1)
+    val cands = broadcast(approx).join(emb, "vec_id")
+      .select(col("qid"), col("vec_id"), col("v"))
     quantRerank(s, cands, queryVecsQ(s, d, qids))
   }
 
@@ -309,13 +324,17 @@ object AnnEval {
     val exact = RetrievalOps2.rankedTopK(s, d)
       .select(col("qid"), col("vec_id"), lit(1).as("rel"))
     val qids = queryIds(s, d).toDF("qid")
-    val per = ann.join(exact, Seq("qid", "vec_id"), "left")
+    // both legs are ≤ 16·K rows but derive from windows (no stats):
+    // without the hints each grading join stages a sort-merge —
+    // broadcast the exact leg into the ann leg and the per-query
+    // aggregate into the 16-row qid spine (§3.1)
+    val per = ann.join(broadcast(exact), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_returned"),
         sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"),
         sum(when(col("rel").isNotNull, RetrievalOps2.dcgWeight(col("rn")))
           .otherwise(0L)).as("dcg_s"))
-    qids.join(per, Seq("qid"), "left")
+    qids.join(broadcast(per), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_returned"), lit(0L)).as("n_returned"),
         coalesce(col("hits"), lit(0L)).as("hits"),

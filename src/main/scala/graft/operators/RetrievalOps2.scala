@@ -89,8 +89,15 @@ object RetrievalOps2 {
                              dims: Option[Int]): DataFrame = {
     graft.functions.VectorFunctions.registerAll(s)
     val emb = Tables.embeddings(s, d)
-    val q0 = DedupOps.quantized(emb)
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    // same floor(x·1000) math as DedupOps.quantized, computed in the
+    // scan projection with `label` carried along — the former
+    // quantized(emb) ⋈ emb self-join re-scanned the corpus just to
+    // re-attach a column the first scan already had (one scan + one
+    // join removed from every eval_*/ann_eval_* plan; values identical
+    // expression-for-expression, so oracle hashes are untouched)
+    val q0 = emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("n", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
     val q = dims match {
       case None => q0
       case Some(m) => q0

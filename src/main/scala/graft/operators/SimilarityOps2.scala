@@ -55,12 +55,20 @@ object SimilarityOps2 {
     * train-on-a-sample discipline every PQ deployment uses. */
   def pqAnchorsCodesOf(emb: DataFrame, m: Int, sub: Int, k: Int): (DataFrame, DataFrame) = {
     val subExpr = pqSubExprOf(m, sub)
-    val anchors = emb
+    val anchorPlan = emb
       .orderBy(md5(concat(col("vec_id").cast("string"), lit("pq"))), col("vec_id"))
       .limit(k)
       .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
       .select(col("code"), explode(expr(subExpr)).as("a"))
       .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
+    // the codebook is a CONSTANT k·m rows (128 at the defaults) but its
+    // plan is a global sort + single-partition window: left lazy, every
+    // consumer branch (encode leg, ADC query-table leg) re-runs that
+    // subplan as its own AQE stages. Materialize it once into a local
+    // relation — collecting a fixed-size codebook is scale-free, and
+    // downstream broadcasts come straight from driver memory.
+    val anchors = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(anchorPlan.collect(): _*), anchorPlan.schema)
     (anchors, pqEncode(emb, anchors, m, sub))
   }
 
