@@ -93,17 +93,23 @@ object AnalyticsOps5 {
     //    non-integer k (e.g. 1.5) lands in n_out_of_range identically
     //    in both engines instead of diverging on cast semantics (ANSI
     //    Spark throws, DuckDB rounds).
-    val jvalid = get_json_object(col("props"), "$").isNotNull ||
-      trim(col("props")) === "null"
-    val k = get_json_object(col("props"), "$.k")
-    val kInt = when(k.rlike("^-?\\d{1,18}$"), k.cast("long"))
-    events.groupBy("event_type")
+    // probe each payload ONCE in a row-local projection: referencing
+    // get_json_object from four separate aggregate expressions re-ran
+    // the JSON parse per aggregate per row (no CSE across aggregate
+    // buffers), and the parse was pinned to the scan's task count —
+    // Widen spreads it (no-op at real scale), the projection halves it
+    val probed = Widen(events.select(col("event_type"), col("props")))
+      .withColumn("jvalid", get_json_object(col("props"), "$").isNotNull ||
+        trim(col("props")) === "null")
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+    val kInt = when(col("k").rlike("^-?\\d{1,18}$"), col("k").cast("long"))
+    probed.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null"),
-        sum(when(col("props").isNotNull && !jvalid, 1L).otherwise(0L))
+        sum(when(col("props").isNotNull && !col("jvalid"), 1L).otherwise(0L))
           .as("n_invalid_json"),
-        sum(when(jvalid && k.isNull, 1L).otherwise(0L)).as("n_missing_k"),
-        sum(when(k.isNotNull &&
+        sum(when(col("jvalid") && col("k").isNull, 1L).otherwise(0L)).as("n_missing_k"),
+        sum(when(col("k").isNotNull &&
           !coalesce(kInt.between(KLo, KHi), lit(false)), 1L).otherwise(0L))
           .as("n_out_of_range"))
       .orderBy("event_type")

@@ -434,7 +434,10 @@ object DedupOps {
     // small best-neighbor side into the corpus scan.
     "dedup_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val jac = jaccardPairs(docs)
+      // pair relation feeds BOTH mirror branches of the union — without
+      // the checkpoint each branch re-ran the full inverted-index pair
+      // pipeline (the multi-branch rule; 2× the dominant cost)
+      val jac = jaccardPairs(docs).select("da", "db", "j").localCheckpoint(true)
       val und = jac.select(col("da").as("doc_id"), col("db").as("other_id"), col("j"))
         .unionAll(jac.select(col("db").as("doc_id"), col("da").as("other_id"), col("j")))
       val best = und

@@ -31,8 +31,12 @@ object FunctionOps3 {
 
   val queries: Map[String, Q] = Map(
     "xml_funcs_surface" -> ((s, d) =>
-      Tables.events(s, d)
+      // four XML parses per row make this projection CPU-bound — widen
+      // the (constant-size) filtered slice so the parse isn't pinned to
+      // the scan's split count (Widen is a no-op at real scale)
+      Widen(Tables.events(s, d)
         .filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type"))
         .select(col("event_id"),
           concat(lit("<ev><u>"), col("user_id"), lit("</u><t>"),
             col("event_type"), lit("</t><vals><v>"), col("event_id") % 7,

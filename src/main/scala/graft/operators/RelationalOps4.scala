@@ -123,9 +123,11 @@ object RelationalOps4 {
         .orderBy("day")
     }),
 
-    // scalar string-function surface over the customer dim
+    // scalar string-function surface over the customer dim — widened
+    // so the regex/pad/reverse projection isn't pinned to the single
+    // local scan task (Widen is a no-op at real scale)
     "string_funcs_surface" -> ((s, d) =>
-      Tables.customer(s, d)
+      Widen(Tables.customer(s, d).select("c_custkey", "c_name"))
         .select(col("c_custkey"),
           upper(col("c_name")).as("uname"),
           lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),

@@ -81,7 +81,11 @@ object TrainingOps5 {
     }),
 
     "boilerplate_mask" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      // tokenize+posexplode is the CPU-heavy stage: widen the narrow
+      // (doc_id, text) projection so it isn't pinned to the scan's
+      // split count (no-op at real scale); both consumers (gram census
+      // and the n_tokens leg) reuse the same exchange
+      val toks = Widen(Tables.documents(s, d).select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
       // positional grams (NOT the distinct shingle set — masking needs
       // every occurrence's position); same gram definition as the

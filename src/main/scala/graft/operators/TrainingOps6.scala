@@ -66,9 +66,14 @@ object TrainingOps6 {
   def splitLeakage(docs: DataFrame, tauPpm: Long): DataFrame = {
     val withSplit = docs.withColumn("split", splitCol)
       .select(col("doc_id"), col("split"))
+    // materialize the (tiny, τ-filtered) pair set ONCE: it feeds FOUR
+    // union branches below, and without the checkpoint each branch
+    // re-ran the whole inverted-index pair pipeline (4× the dominant
+    // cost at every scale — the repo's standard multi-branch rule)
     val pairs = DedupOps.jaccardPairs(docs)
       .filter(expr(s"c * 1000000 div (na + nb - c) >= $tauPpm"))
       .select(col("da"), col("db"))
+      .localCheckpoint(true)
     // group id = min neighbor over the pair star (single-hop grouping:
     // each doc maps to the smallest doc it pairs with, incl. itself)
     val member = pairs.select(col("da").as("doc_id"), col("db").as("peer"))

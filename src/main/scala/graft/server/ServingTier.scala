@@ -54,19 +54,36 @@ final class ServingTier(spark: SparkSession, dir: String,
 
   def refresh(): Unit = synchronized {
     val ev = Tables.events(spark, dir)
-    val bySec = ev.groupBy(date_trunc("second", col("ts")).as("second_ts"), col("user_id"))
-      .agg(count(lit(1)).as("count_values"))
-    val destsBySec = ev.groupBy(date_trunc("second", col("ts")).as("second_ts"), col("event_type"))
-      .agg(count(lit(1)).as("count_values"))
-    val clusterBySec = ev.select(col("ts"),
+    // ONE events pass for all three per-second tiers: GROUPING SETS
+    // shares the scan and the shuffle (the former three groupBys each
+    // re-scanned the fact table — at real scale three full passes),
+    // and one materialization job replaces three. Views split back out
+    // by grouping_id: bits follow (second_ts, user_id, event_type,
+    // cluster) order, 1 = column NOT in the grouping set.
+    val perSec = ev.select(
+        date_trunc("second", col("ts")).as("second_ts"), col("user_id"),
+        col("event_type"),
         MLOps.scoreExpr(MLOps.literalCenterSeq,
           (col("user_id") % 100).cast("double"), col("value")).as("cluster"))
-      .groupBy(date_trunc("second", col("ts")).as("second_ts"), col("cluster"))
-      .agg(count(lit(1)).as("count_values"))
-    // A1/A2 lifetime tiers aggregate the export stream (db/ddl.sql:92-101)
+      .groupingSets(
+        Seq(Seq(col("second_ts"), col("user_id")),
+          Seq(col("second_ts"), col("event_type")),
+          Seq(col("second_ts"), col("cluster"))),
+        col("second_ts"), col("user_id"), col("event_type"), col("cluster"))
+      .agg(count(lit(1)).as("count_values"), grouping_id().as("gid"))
+      .localCheckpoint(true)
+    val bySec = perSec.filter(col("gid") === 3)
+      .select("second_ts", "user_id", "count_values")
+    val destsBySec = perSec.filter(col("gid") === 5)
+      .select("second_ts", "event_type", "count_values")
+    val clusterBySec = perSec.filter(col("gid") === 6)
+      .select("second_ts", "cluster", "count_values")
+    // A1/A2 lifetime tiers aggregate the export stream (db/ddl.sql:92-101).
+    // The enrich→score→gate export pipeline is the expensive scan here:
+    // run it ONCE into the (user_id, event_type) tier and re-aggregate
+    // that tier for the per-user view — sum of the per-dest counts is
+    // exactly the former count(*) per user, on dim-sized input.
     val exportEv = graft.operators.ClickstreamOps.exportEvents(spark, dir)
-    val bySrc = exportEv.groupBy("user_id")
-      .agg(count(lit(1)).as("total_visits"))
     val bySrcDest = exportEv.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("counts"))
     // Materialize via localCheckpoint, NOT cache(): Spark's CacheManager
@@ -76,12 +93,25 @@ final class ServingTier(spark: SparkSession, dir: String,
     // permanently uncached. Checkpointed RDD blocks have independent
     // identity per refresh; superseded ones are released by the
     // ContextCleaner once the old map is dropped.
+    //
+    // Tiers materialize SEQUENTIALLY on purpose: refresh() runs next
+    // to latency-sensitive work (the demo's streaming micro-batches,
+    // the 1 Hz dashboard) and a burst of concurrent refresh jobs
+    // monopolizes the FIFO scheduler's task slots — measured as an
+    // ingest backlog in DemoParitySpec when this was briefly parallel.
+    val srcDest = bySrcDest.localCheckpoint(true)
+    val bySrc = srcDest.groupBy("user_id")
+      .agg(sum("counts").as("total_visits"))
+    // the three per-second views are row-local filters over the ONE
+    // perSec checkpoint — re-checkpointing them would just copy the
+    // same blocks three more times; unpersistCheckpoint finds the
+    // shared LogicalRDD through each filter (idempotent unpersist)
     val next = Map(
-      "events_by_second" -> bySec.localCheckpoint(true),
-      "dests_by_second" -> destsBySec.localCheckpoint(true),
-      "events_by_cluster" -> clusterBySec.localCheckpoint(true),
-      "events_by_src_view" -> bySrc.localCheckpoint(true),
-      "events_by_src_dest" -> bySrcDest.localCheckpoint(true))
+      "events_by_second" -> bySec,
+      "dests_by_second" -> destsBySec,
+      "events_by_cluster" -> clusterBySec,
+      "events_by_src_dest" -> srcDest,
+      "events_by_src_view" -> bySrc.localCheckpoint(true))
     val (kept, expired) = (views :: retiring).splitAt(graceGenerations)
     retiring = kept
     views = next // atomic repoint — readers see old or new, never mixed

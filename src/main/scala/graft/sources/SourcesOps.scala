@@ -282,7 +282,18 @@ object SourcesOps {
       // would itself be "compacted"
       .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
         !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-    val rewritten = parts.flatMap { ps =>
+    // partitions compact INDEPENDENTLY (each owns its live/tmp/trash
+    // triple), so run them through a small bounded pool instead of one
+    // at a time: each pass is a read+rewrite Spark job plus filesystem
+    // renames, and sequential passes serialize on per-job latency.
+    // Bounded at 4 so a thousand-partition maintenance sweep cannot
+    // flood the scheduler; result order preserved (futures awaited in
+    // listing order).
+    val compactPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, parts.length)))
+    implicit val compactEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(compactPool)
+    def compactOne(ps: org.apache.hadoop.fs.FileStatus): Option[(String, Int, Int)] = {
       val p = ps.getPath
       val before = dataFiles(p).length
       if (before < minFilesToCompact) None
@@ -315,6 +326,13 @@ object SourcesOps {
         Some((p.getName, before, dataFiles(p).length))
       }
     }
+    val rewritten =
+      try {
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, Future}
+        parts.map(ps => Future(compactOne(ps)))
+          .flatMap(f => Await.result(f, Duration.Inf))
+      } finally compactPool.shutdown()
     CompactReport(healed, rewritten)
   }
 
