@@ -46,6 +46,21 @@ object DedupOps {
       tokenized(docs).repartition(docs.sparkSession.sparkContext.defaultParallelism),
       preTokenized = true)
 
+  /** As [[docShingleArrays]] but carrying extra row-local columns
+    * through the shingling map — callers that need a doc attribute
+    * (e.g. `source`) next to the shingle array previously re-joined
+    * the corpus on doc_id just to re-attach a column the source row
+    * already had (one corpus scan + one join saved). */
+  def docShingleArraysCarry(docs: DataFrame, carryCols: Seq[String]): DataFrame = {
+    val keep = (Seq("doc_id") ++ carryCols).map(col)
+    docs.select(keep :+ split(col("text"), " ", -1).as("w"): _*)
+      .filter(size(col("w")) >= 3)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(keep :+
+        expr(s"array_distinct(transform($gramArrayExpr, g -> xxhash64(g)))").as("ghs"): _*)
+      .withColumn("n", size(col("ghs")).cast("long"))
+  }
+
   /** Same map stage without the spread-the-scan repartition — for
     * streaming inputs (already micro-batch partitioned) and callers
     * that manage their own partitioning. */

@@ -32,6 +32,10 @@ object PipelineOps {
       val docs = Tables.documents(s, d)
       // 1. exact dedup: canonical survivor per identical text
       val w = Window.partitionBy("text")
+      // canon feeds BOTH the contamination probe and the final
+      // anti-join/report — materialize the gated survivor set once
+      // (a real curation run stages this output anyway) instead of
+      // re-running the dedup window per branch
       val canon = docs
         .withColumn("mn", min("doc_id").over(w))
         .filter(col("doc_id") === col("mn"))
@@ -40,6 +44,7 @@ object PipelineOps {
         // benchmark docs are held out, never trained on
         .filter(!expr(isBench))
         .select("doc_id", "text", "source")
+        .localCheckpoint(true)
       // 3. decontaminate: drop docs sharing ANY 3-gram with the
       // benchmark split (gram set broadcast; left_anti keeps the
       // corpus on its own partitioning)
@@ -61,6 +66,9 @@ object PipelineOps {
     // count / nulls / distincts / min / max per column, one scan pass,
     // numerics profiled exactly via floor(x*100) integer space
     "table_profile" -> ((s, d) => {
+      // NOT widened: the distinct-aggregates' own exchange already
+      // redistributes the expanded rows, so a pre-shuffle just adds a
+      // stage (measured slower at sf0.1)
       val o = Tables.orders(s, d)
       val one = o.agg(
         count(lit(1)).as("n"),

@@ -282,10 +282,9 @@ object SelectionOps {
       // count over R, and the owner census is a gh-keyed min over R —
       // doc_id leads the struct, so the min is decided by doc_id
       // alone. Checkpoint R: both legs read it.
-      val pairs = DedupOps.docShingleArrays(docs)
-        .join(docs.select(col("doc_id"), xxhash64(col("source")).as("sid")),
-          "doc_id")
-        .select(col("doc_id"), col("sid"), explode(col("ghs")).as("gh"))
+      val pairs = DedupOps.docShingleArraysCarry(docs, Seq("source"))
+        .select(col("doc_id"), xxhash64(col("source")).as("sid"),
+          explode(col("ghs")).as("gh"))
         .groupBy("gh", "sid")
         .agg(min(col("doc_id")).as("d"))
         .localCheckpoint(true)

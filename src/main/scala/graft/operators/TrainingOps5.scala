@@ -90,9 +90,12 @@ object TrainingOps5 {
       // positional grams (NOT the distinct shingle set — masking needs
       // every occurrence's position); same gram definition as the
       // dedup tranche via DedupOps.gramArrayExpr
+      // grams feed BOTH the boilerplate census and the mask join —
+      // checkpoint the positional explode once (multi-branch rule)
       val grams = toks.filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           posexplode(expr(DedupOps.gramArrayExpr)).as(Seq("pos", "g")))
+        .localCheckpoint(true)
       val boiler = grams.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= BoilerDfMin)
