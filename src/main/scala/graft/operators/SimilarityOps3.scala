@@ -69,7 +69,11 @@ object SimilarityOps3 {
         .select(col("g"),
           expr("(1000 * n div df) * (1000 * n div df)").as("w2"))
       val gw = grams.join(wg, "g").localCheckpoint(true)
+      // norm feeds TWO join branches below (n2a and n2b legs) — left
+      // lazy each branch re-ran the doc-keyed aggregate over the gw
+      // checkpoint; one doc-sized materialization serves both
       val norm = gw.groupBy("doc_id").agg(sum(col("w2")).as("n2"))
+        .localCheckpoint(true)
       val a = gw.select(col("doc_id").as("da"), col("g"), col("w2"))
       val b = gw.select(col("doc_id").as("db"), col("g"))
       val dots = a.join(b, Seq("g")).filter(col("da") < col("db"))
