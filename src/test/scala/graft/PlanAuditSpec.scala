@@ -265,6 +265,19 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup_ngram_jaccard degenerated to a cartesian:\n$plan")
   }
 
+  test("ann_eval grading joins stay broadcast (no staged sort-merge on window legs)") {
+    // r18: the grading legs (exact top-10, per-query aggregates, ADC
+    // funnel survivors) are ≤16·K rows but derive from windows, so the
+    // planner has no stats — explicit broadcast hints keep them from
+    // staging sort-merge exchanges. Regression guard on one
+    // representative of each probe family.
+    for (q <- Seq("ann_eval_ivf", "ann_eval_lsh", "ann_eval_pq_m8")) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q staged a sort-merge join on a dim-sized grading leg:\n$plan")
+    }
+  }
+
   test("ewma anomaly plans no ordered window — explode + re-aggregate only") {
     val plan = finalPlan("ewma_anomaly")
     assert(!plan.contains("Window"),
