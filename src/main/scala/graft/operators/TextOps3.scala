@@ -35,7 +35,11 @@ object TextOps3 {
     // docs; rank ties broken by term.
     "tfidf_topk" -> ((s, d) => {
       val tok = tokens(Tables.documents(s, d))
+      // tf feeds the df census AND the scoring join — materialize the
+      // shared tier once (multi-branch rule) instead of re-running the
+      // token explode + count per branch
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
         .withColumn("score_ppm", expr("tf * 1000000 div df"))
@@ -58,7 +62,10 @@ object TextOps3 {
           "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
           .as("b"))
         .select(col("b.w1"), col("b.w2"))
+      // pair feeds the unigram re-aggregate AND the final join — one
+      // materialization instead of two bigram explode+count passes
       val pair = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
       val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
       pair.join(uni, "w1")
         .filter(col("c12") >= 5)

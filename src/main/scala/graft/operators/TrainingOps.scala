@@ -234,7 +234,13 @@ object TrainingOps {
           "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        // big feeds the pair census AND the per-doc scoring join; pair
+        // feeds the unigram tier AND the model join — without the two
+        // checkpoints the bigram explode re-ran three times (the
+        // multi-branch rule)
+        .localCheckpoint(true)
       val pair = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
       val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
       val model = pair.join(uni, "w1")
         .withColumn("p_ppm", expr("c12 * 1000000 div c1"))

@@ -91,7 +91,11 @@ object TrainingOps2 {
     "dsir_weights" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
+      // tok feeds the corpus census, the target census AND the final
+      // scoring join — one materialized explode instead of three
+      // (multi-branch rule)
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+        .localCheckpoint(true)
       val corpus = tok.groupBy("t").agg(count(lit(1)).as("c_all"))
       val target = tok.filter(isEval).groupBy("t").agg(count(lit(1)).as("c_tgt"))
       val totals = corpus.agg(sum("c_all").as("n_all"))

@@ -140,7 +140,10 @@ object TrainingOps8 {
         .filter(size(col("w")) >= 3)
         .select(explode(expr(
           "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("g"))
+      // freq feeds the corpus total AND the top-k leg — one vocabulary
+      // materialization instead of two gram explode+count passes
       val freq = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val total = freq.agg(sum("cnt").as("total"))
       // top-k FIRST (TakeOrderedAndProject), THEN rank the ≤5000
       // survivors — the global-order window never sees the vocabulary
