@@ -72,6 +72,7 @@ object DemoBench {
     subWindows: Seq[SubWin] = Nil,
     restartAtSec: Int = -1, recoverySec: Double = -1.0,
     expectedExportRows: Long = -1L, sinkFiles: Int = -1,
+    drainedOk: Boolean = true, ingestError: String = "",
     loadBefore: Double = -1.0, loadAfter: Double = -1.0,
     stealPct: Double = -1.0,
     ingestPhaseMs: Map[String, Long] = Map.empty,
@@ -93,7 +94,7 @@ object DemoBench {
         else f""","restart_at_sec":$restartAtSec,"recovery_sec":$recoverySec%.1f"""
       val exact =
         if (expectedExportRows < 0) ""
-        else s""","expected_export_rows":$expectedExportRows"""
+        else s""","expected_export_rows":$expectedExportRows,"drained":$drainedOk,"ingest_error":"$ingestError""""
       val phases =
         if (ingestPhaseMs.isEmpty) ""
         else ingestPhaseMs.toSeq.sortBy(-_._2)
@@ -515,6 +516,14 @@ object DemoBench {
     val cacheStats1 = srvRef.cacheStatsByProc
 
     // ---- optional full drain before shutdown (exactly-once check) ---
+    // the r18 driver run failed the exactness assert by ~one tranche
+    // with NO evidence of which teardown leg lost it — record (a)
+    // whether the drain actually completed (vs deadline expiry / a
+    // dead query exiting the loop early) and (b) the restarted
+    // instance's terminal exception, so a loaded-box failure is
+    // attributable from the artifact instead of unfalsifiable
+    var drainedOk = true
+    var ingestError = ""
     if (verifyExactness) {
       feederDone.set(true)
       killer.foreach(_.join(150000))
@@ -538,6 +547,21 @@ object DemoBench {
       while (ingestQRef.get().isActive && !drained() &&
              System.nanoTime() < drainDeadline)
         Thread.sleep(250)
+      drainedOk = drained()
+      ingestError = ingestQRef.get().exception
+        .map(e => Option(e.getMessage).getOrElse(e.toString)
+          .replaceAll("[\"\\\\\\n\\r]", " ").take(300))
+        .getOrElse("")
+      // never interrupt a mid-flight batch at FINAL stop: an aborted
+      // overwrite leaves its batch=<id> dir deleted with no restart
+      // left to re-execute it, and the sink read below would blame
+      // exactly-once for a teardown artifact. (The mid-run hard kill
+      // is the crash under test; this stop is bookkeeping.)
+      val graceDeadline = System.nanoTime() + 15L * 1000000000L
+      while (ingestQRef.get().isActive &&
+             ingestQRef.get().status.isTriggerActive &&
+             System.nanoTime() < graceDeadline)
+        Thread.sleep(100)
     }
 
     stop.set(true)
@@ -650,6 +674,7 @@ object DemoBench {
       recoverySec =
         if (recoverySecRef.get() < 0) -1.0 else recoverySecRef.get() / 1000.0,
       expectedExportRows = expectedExport,
+      drainedOk = drainedOk, ingestError = ingestError,
       sinkFiles = countParquet(new java.io.File(sink)),
       loadBefore = loadBefore, loadAfter = BoxLoad.loadavg1m(),
       stealPct = BoxLoad.stealPctSince(steal0),

@@ -142,7 +142,9 @@ object AnnEval {
         .groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
     val perTable = (0 until tables).map { t =>
       val idx = AnnIndex.srpTable(s, d, t)
-      val sigs = sigsByTable(t)
+      // a table with zero collected signatures (empty query set) must
+      // yield an empty probe, not a Map.apply NoSuchElementException
+      val sigs = sigsByTable.getOrElse(t, Seq.empty)
       val pairs = sigs.flatMap { case (qid, b) =>
         AnnIndex.hammingBuckets(b, radius).map(pb => (qid, pb)) }
       val union = pairs.map(_._2).distinct

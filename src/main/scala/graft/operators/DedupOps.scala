@@ -42,9 +42,7 @@ object DedupOps {
     * input split, but this map stage carries all the hashing work —
     * round-robin it across the cluster first. */
   def docShingleArrays(docs: DataFrame): DataFrame =
-    docShingleArraysNoRepartition(
-      tokenized(docs).repartition(docs.sparkSession.sparkContext.defaultParallelism),
-      preTokenized = true)
+    docShingleArraysCarry(docs, Nil)
 
   /** As [[docShingleArrays]] but carrying extra row-local columns
     * through the shingling map — callers that need a doc attribute

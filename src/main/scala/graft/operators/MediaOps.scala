@@ -225,9 +225,12 @@ object MediaOps {
     // within the hamming radius — exactly how a real pHash behaves —
     // while unrelated payloads need ≥1 of 4 16-bit bands to collide.
     "media_phash_neardup" -> ((s, d) => {
-      val hh = Tables.documents(s, d)
-        .select(col("doc_id").as("media_id"),
-          split(col("text"), " ", -1).as("tk"))
+      // the corpus is one input split, and the 64-luma gradient-hash
+      // projection below is the query's single heaviest map stage —
+      // round-robin it across the cluster first (Widen no-ops at scale)
+      val hh = Widen(Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), col("text")))
+        .select(col("media_id"), split(col("text"), " ", -1).as("tk"))
       // try_element_at: past-the-end tokens read as luma 0 (ANSI
       // element_at THROWS out of bounds; DuckDB's list index is
       // NULL-past-end, mirrored by the same coalesce). The luma mixes

@@ -61,14 +61,18 @@ object SimilarityOps2 {
       .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
       .select(col("code"), explode(expr(subExpr)).as("a"))
       .select(col("code"), col("a.m").as("m"), col("a.sv").as("av"))
-    // the codebook is a CONSTANT k·m rows (128 at the defaults) but its
-    // plan is a global sort + single-partition window: left lazy, every
-    // consumer branch (encode leg, ADC query-table leg) re-runs that
-    // subplan as its own AQE stages. Materialize it once into a local
-    // relation — collecting a fixed-size codebook is scale-free, and
-    // downstream broadcasts come straight from driver memory.
-    val anchors = emb.sparkSession.createDataFrame(
-      java.util.Arrays.asList(anchorPlan.collect(): _*), anchorPlan.schema)
+    // the codebook is a CONSTANT k·m rows (128 at the defaults); its
+    // plan is a global sort + single-partition window with two consumer
+    // branches (encode leg, ADC query-table leg). r18 collected it into
+    // a LocalRelation so the subplan runs once — but the driver's
+    // paired run measured ann_pq 0.80× WITH the collect, and the r19
+    // same-hour A/B (min-of-4, 32 cores, sf0.1) agreed it does not pay:
+    // ann_pq 1.87 s (collect) vs 1.67 s (lazy); ann_eval_pq 2.59 vs
+    // 2.69 — a wash overall, negative for the headline query. The
+    // blocking collect sits inside the timed construction window and
+    // costs a driver job latency that the saved re-run of a tiny
+    // sorted-head subplan never earns back. REVERTED to lazy (r19).
+    val anchors = anchorPlan
     (anchors, pqEncode(emb, anchors, m, sub))
   }
 

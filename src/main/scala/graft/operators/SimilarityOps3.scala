@@ -74,10 +74,21 @@ object SimilarityOps3 {
       // checkpoint; one doc-sized materialization serves both
       val norm = gw.groupBy("doc_id").agg(sum(col("w2")).as("n2"))
         .localCheckpoint(true)
-      val a = gw.select(col("doc_id").as("da"), col("g"), col("w2"))
-      val b = gw.select(col("doc_id").as("db"), col("g"))
+      // the checkpoint's AQE-coalesced output loses partitioning info,
+      // so the a⋈b self-join re-shuffled BOTH legs of the SAME relation.
+      // One explicit repartition on the join key, with the two legs
+      // projecting IDENTICAL columns (so canonicalized plans match and
+      // the planner emits Exchange + ReusedExchange instead of two
+      // shuffles of the biggest relation in the query). least(w2, w2b)
+      // is exact: tf is binary, so both endpoints of a shared gram
+      // carry the SAME per-gram w² — consuming both copies is what
+      // keeps leg b's w2 from being pruned into a narrower (reuse-
+      // breaking) exchange.
+      val gwp = gw.repartition(col("g"))
+      val a = gwp.select(col("doc_id").as("da"), col("g"), col("w2"))
+      val b = gwp.select(col("doc_id").as("db"), col("g"), col("w2").as("w2b"))
       val dots = a.join(b, Seq("g")).filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(sum(col("w2")).as("dot"))
+        .groupBy("da", "db").agg(sum(least(col("w2"), col("w2b"))).as("dot"))
       dots
         .join(norm.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
         .join(norm.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")

@@ -24,8 +24,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Widen {
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    // the 'scan + row-local filter/project only' contract, ENFORCED
+    // (not just documented): probing toRdd on an exchange-bearing plan
+    // would materialize AQE stages at construction time. The physical
+    // sparkPlan can't be checked for that — EnsureRequirements adds
+    // ENSURE_REQUIREMENTS exchanges only inside executedPlan — so the
+    // guard whitelists the logical shapes that can never plan an
+    // exchange; anything else is returned untouched (misuse degrades
+    // to a no-op instead of silently executing half the query early)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, Repartition}
+    val rowLocalOnly = df.queryExecution.optimizedPlan.collect { case n => n }.forall {
+      case _: Project | _: Filter | _: LeafNode => true
+      case r: Repartition => !r.shuffle // coalesce: partition-local, no exchange
+      case _ => false
+    }
+    if (!rowLocalOnly) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.queryExecution.toRdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    }
   }
 }

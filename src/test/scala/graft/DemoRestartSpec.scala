@@ -30,6 +30,13 @@ class DemoRestartSpec extends SparkSpec {
       streamParts = "2", bucketPattern = "yyyy-MM-dd-HH-mm-ss",
       killIngestAtSec = Some(20), verifyExactness = true)
     info(res.json)
+    // teardown sanity FIRST: a dead restarted instance or a truncated
+    // drain makes the exactly-once compare below meaningless — fail
+    // with the cause, not the symptom (the r18 driver-run failure was
+    // exactly this shape: ~one tranche short, cause unrecorded)
+    assert(res.ingestError.isEmpty,
+      s"restarted ingest instance died: ${res.ingestError}")
+    assert(res.drainedOk, "drain did not complete before the deadline")
     // (a) exactly-once across the crash: replay oracle == sink count
     assert(res.expectedExportRows > 0, "replay oracle computed nothing")
     assert(res.exportRows == res.expectedExportRows,

@@ -27,4 +27,14 @@ class WidenSpec extends SparkSpec {
     // the SAME Dataset comes back — no repartition node was added
     assert(w eq df, "Widen must short-circuit when partitions >= parallelism")
   }
+
+  test("widen refuses exchange-bearing plans (misuse degrades to no-op, not early AQE)") {
+    // an aggregate carries a shuffle Exchange: probing its toRdd would
+    // materialize AQE stages at plan-construction time — the guard must
+    // hand the plan back untouched instead
+    val agg = spark.range(0, 1000).coalesce(1).toDF("id")
+      .groupBy(expr("id % 7").as("k")).agg(count(lit(1)).as("c"))
+    val w = Widen(agg)
+    assert(w eq agg, "Widen must be a no-op on plans containing an Exchange")
+  }
 }
