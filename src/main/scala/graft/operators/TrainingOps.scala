@@ -101,21 +101,34 @@ object TrainingOps {
     // repetition filters: coverage of the most frequent token and the
     // most frequent bigram (x2: a bigram occurrence covers two tokens)
     "doc_repetition" -> ((s, d) => {
-      // round-robin first: the corpus file is one input split and the
-      // token/bigram explodes would otherwise run on one core
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
-      val tokTop = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
-      val big = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-          .as("b"))
-      val bigTop = big.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("max_big"))
-      tokTop.join(bigTop, Seq("doc_id"), "left")
+      // ROW-LOCAL reformulation (r19): the max multiplicity of a doc's
+      // tokens equals the longest equal-run in its SORTED token array —
+      // one map stage computes both signals in place of the former two
+      // explode→(doc,term)-aggregate→(doc)-aggregate pipelines plus
+      // their join (4 exchanges + explode volume → 0 exchanges but the
+      // presentation sort). The aggregate() run-counter is an
+      // interpreted HOF, so this trades shuffle for per-row CPU — the
+      // trade the x10 scale cell validates (see OPTIMIZATION_r19.md).
+      // Results are bit-identical: sorting makes equal tokens adjacent,
+      // so the longest run IS the max count; null-text docs vanish from
+      // the old explode pipeline and are filtered to match.
+      def maxRun(arr: String) =
+        s"""aggregate(array_sort($arr),
+           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+           |  (a, x) -> named_struct(
+           |    'prev', x,
+           |    'run', IF(x <=> a.prev, a.run + 1L, 1L),
+           |    'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1L, 1L))),
+           |  a -> a.best)""".stripMargin
+      Widen(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull))
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          expr(maxRun("w")).as("max_tok"),
+          expr("IF(size(w) >= 2, " + maxRun(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")
+            + ", CAST(NULL AS BIGINT))").as("max_big"))
         .select(col("doc_id"), col("n_tok"),
           expr("max_tok * 1000000 div n_tok").as("top_token_ppm"),
           coalesce(expr("max_big * 2 * 1000000 div n_tok"), lit(0L)).as("top_bigram_ppm"))
