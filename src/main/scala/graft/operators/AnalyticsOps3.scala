@@ -65,6 +65,12 @@ object AnalyticsOps3 {
     // minute: each (minute, user) activity row covers minutes
     // m..m+4; re-aggregate on the covered minute
     "sliding_distinct_users" -> ((s, d) => {
+      // em feeds TWO branches, but checkpointing it measured SLOWER
+      // (r19 A/B min-of-5: 0.87 vs 0.79 s): the optimizer rewrites the
+      // spine branch's min/max-over-distinct into a plain scan-agg (the
+      // distinct is redundant for min/max), so the "recompute" is a
+      // thin ts-column scan while a checkpoint would materialize the
+      // full (minute, user) tier. Left lazy on purpose.
       val em = Tables.events(s, d)
         .select(expr("unix_micros(ts) div 60000000").as("m"), col("user_id"))
         .distinct()

@@ -75,26 +75,40 @@ object GovernanceOps {
   /** Deequ-style constraint report: one row per rule. */
   def dqCheckReport(orders: DataFrame, customer: DataFrame,
                     lineitem: DataFrame): DataFrame = {
-    // one scan per table: count/distinct/conditional sums share the pass
-    val o = orders.agg(
+    // one scan per table: count/distinct/conditional sums share the pass.
+    // The four 1-row tiers are INDEPENDENT (disjoint tables / the FK
+    // anti-join) and each materialization is a 1-2-task job over a
+    // single-split scan — sequential checkpoints left the cluster idle
+    // ~3/4 of the construction (guide §2.6: a few concurrent jobs fill
+    // the idle capacity). Materialize them concurrently; this is a
+    // batch-only path, so unlike ServingTier.refresh (kept sequential
+    // on purpose) there is no latency-sensitive micro-batch to starve.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val oF = Future(orders.agg(
       count(lit(1)).as("n"),
       countDistinct(col("o_orderkey")).as("nd"),
       sum(when(!(col("o_totalprice") > 0), 1L).otherwise(0L)).as("bad_price"))
-      .localCheckpoint(true)
-    val c = customer.agg(
+      .localCheckpoint(true))
+    val cF = Future(customer.agg(
       count(lit(1)).as("n"),
       sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"))
-      .localCheckpoint(true)
-    val l = lineitem.agg(
+      .localCheckpoint(true))
+    val lF = Future(lineitem.agg(
       count(lit(1)).as("n"),
       countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"),
       sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("bad_qty"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // FK rule: orders whose customer is missing (broadcast anti join)
-    val fk = orders.select(col("o_custkey"))
+    val fkF = Future(orders.select(col("o_custkey"))
       .join(broadcast(customer.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("viol")).localCheckpoint(true)
+      .agg(count(lit(1)).as("viol")).localCheckpoint(true))
+    val o = Await.result(oF, Duration.Inf)
+    val c = Await.result(cF, Duration.Inf)
+    val l = Await.result(lF, Duration.Inf)
+    val fk = Await.result(fkF, Duration.Inf)
 
     def rule(id: Long, name: String, src: DataFrame,
              checked: org.apache.spark.sql.Column,

@@ -41,7 +41,15 @@ object Procedures {
 
   /** GetTopUsers(seconds, limit) — GetTopUsers.java:26-31. Reads the
     * A4 per-second view (ClickstreamOps.eventsBySecond, the single
-    * definition of that tier). */
+    * definition of that tier).
+    *
+    * The as-of pin stays a SECOND thin events scan on purpose: deriving
+    * it from the view's own subtree (max(second_ts) over the aggregate)
+    * was tried in r19 — the optimizer's RemoveRedundantAggregates
+    * rewrites max-over-a-grouping-key straight onto the scan, so the
+    * "shared" leg decays to exactly this scan+max with no reusable
+    * exchange (the two legs need different partitionings). Plan shape
+    * identical, so the simpler form stays. */
   def getTopUsers(s: SparkSession, dir: String, seconds: Int, limit: Int): DataFrame =
     graft.operators.ClickstreamOps.eventsBySecond(s, dir)
       .crossJoin(broadcast(asOf(s, dir)))

@@ -30,7 +30,20 @@ final class ServingTier(spark: SparkSession, dir: String,
                         graceGenerations: Int = 1) {
   require(graceGenerations >= 1, s"graceGenerations >= 1: $graceGenerations")
 
-  @volatile private var views: Map[String, DataFrame] = Map.empty
+  /** One refresh generation: the view map plus the as-of pin (max
+    * second_ts) computed ONCE from the materialized per-second tier.
+    * Every grouping set keeps second_ts, so the max is identical across
+    * the three per-second views — pinning it at refresh time removes an
+    * aggregate + broadcast-exchange stage from EVERY windowed render
+    * (the views are immutable between refreshes, so the per-render
+    * max() always returned this same constant). One field, swapped
+    * atomically: a reader must never pair a new pin with an old view
+    * map (a mixed read would filter one generation's rows by another
+    * generation's cutoff). */
+  private case class Gen(views: Map[String, DataFrame],
+                         asof: Option[java.sql.Timestamp])
+  @volatile private var gen: Gen = Gen(Map.empty, None)
+  private def views: Map[String, DataFrame] = gen.views
 
   /** Superseded generations, newest first, kept alive for
     * `graceGenerations` refresh intervals. localCheckpoint blocks are
@@ -112,21 +125,26 @@ final class ServingTier(spark: SparkSession, dir: String,
       "events_by_cluster" -> clusterBySec,
       "events_by_src_dest" -> srcDest,
       "events_by_src_view" -> bySrc.localCheckpoint(true))
+    // the as-of pin for this generation: one tiny driver job over the
+    // already-checkpointed perSec blocks (replaces a per-render agg)
+    val asof = Option(perSec.agg(max(col("second_ts"))).collect()(0)
+      .getTimestamp(0))
     val (kept, expired) = (views :: retiring).splitAt(graceGenerations)
     retiring = kept
-    views = next // atomic repoint — readers see old or new, never mixed
+    gen = Gen(next, asof) // atomic repoint — readers see old or new, never mixed
     expired.foreach(_.valuesIterator.foreach(unpersistCheckpoint))
   }
 
   refresh()
 
-  private def asOf(view: DataFrame) =
-    broadcast(view.agg(max(col("second_ts")).as("asof_ts")))
-
   private def windowed(name: String, seconds: Int): DataFrame = {
-    val v = views(name)
-    v.crossJoin(asOf(v))
-      .filter(col("second_ts") >= col("asof_ts") - expr(s"INTERVAL $seconds seconds"))
+    val g = gen // ONE volatile read: view and pin from the same generation
+    val v = g.views(name)
+    g.asof match {
+      case Some(ts) =>
+        v.filter(col("second_ts") >= lit(ts) - expr(s"INTERVAL $seconds seconds"))
+      case None => v.filter(lit(false)) // no data yet: empty window, like the old null-asof filter
+    }
   }
 
   def getTopUsers(seconds: Int, limit: Int): DataFrame =
