@@ -86,16 +86,26 @@ object ApproxOps {
       // same pre-partition discipline as hll_sketch_tier: a 1e-4-eps
       // CMS buffer is ~1 MB — one per (day × task) under default
       // partial aggregation vs one per day when days are co-located
-      val skRows = ev.repartition(col("day")).groupBy("day")
+      // the sketch build and the candidate top-k are INDEPENDENT jobs
+      // over the same lazy ev projection — running the two collects
+      // sequentially left the cluster idle half the construction
+      // (guide §2.6); overlap them (batch-only path, nothing latency-
+      // sensitive to starve)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val skRowsF = Future(ev.repartition(col("day")).groupBy("day")
         .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
-        .collect()
-      val merged = skRows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
-        .reduce { (a, b) => a.mergeInPlace(b); a }
+        .collect())
       val w = Window.partitionBy("day").orderBy(col("c").desc, col("user_id"))
-      val cands = ev.groupBy("day", "user_id").agg(count(lit(1)).as("c"))
+      val candsF = Future(ev.groupBy("day", "user_id").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
         .select("user_id").distinct()
-        .collect().map(_.getLong(0))
+        .collect().map(_.getLong(0)))
+      val merged = Await.result(skRowsF, Duration.Inf)
+        .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val cands = Await.result(candsF, Duration.Inf)
       import s.implicits._
       cands.toSeq.map(u => (u, merged.estimateCount(u)))
         .toDF("user_id", "est_count")

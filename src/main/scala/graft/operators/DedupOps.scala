@@ -486,6 +486,11 @@ object DedupOps {
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("blk", "key")))
         .localCheckpoint(true) // 64-expr simhash agg runs once, not twice
+      // do NOT add a repartition(blk, key) here (the sparse_cosine_topk
+      // shared-exchange pattern): measured 2.6× SLOWER (r19 A/B
+      // min-of-5, 3.26 vs 1.25 s) — the checkpointed relation is small
+      // enough that the planner picks a cheaper join than two wide
+      // shuffles, and the forced exchange defeats it
       val l = blocks.as("l")
       val r = blocks.as("r")
       val hamming = (0 until 64)

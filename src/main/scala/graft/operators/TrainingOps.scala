@@ -221,6 +221,10 @@ object TrainingOps {
     // decides which sources to dedup against each other first (span
     // grain, not whole-doc: partial copies count)
     "source_overlap" -> ((s, d) => {
+      // sh feeds both self-join legs, but checkpoint + shared
+      // repartition(g) (the sparse_cosine_topk pattern) measured a WASH
+      // here (r19 A/B min-of-6: 1.12 vs 1.12 s) — the post-distinct
+      // relation is small and the join already cheap; left lazy
       val sh = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), split(col("text"), " ", -1).as("w"))
