@@ -183,6 +183,10 @@ object SelectionOps {
       .filter(col("rk") <= expr(s"n - (($tauPpm * n + 999999) div 1000000) + 1"))
       .select(col("doc_id"), col("gh"), col("n"), col("rk"))
       .localCheckpoint(true)
+      // no shared repartition(gh) for the self-join below (the
+      // sparse_cosine_topk pattern): measured a wash-to-loss (r19 A/B
+      // min-of-5: 4.03 vs 3.75 s) — the prefix-filtered relation is
+      // small enough that the forced exchange buys nothing
     // PPJoin positional upper bound (Xiao et al. §3.2): the grams shared
     // by a pair all rank ≥ this one in the global order, so the overlap
     // can't exceed min(na−rka, nb−rkb)+1 — and jaccard ≥ τ forces
